@@ -1,0 +1,152 @@
+"""Pairwise similarity scoring over candidate-pair DataFrames.
+
+Batched over Arrow (one pandas call per batch of pairs) per BASELINE.json
+north_star: "batched Jaro-Winkler/Levenshtein + MinHash-Jaccard similarity".
+Levenshtein similarity additionally has a pure built-in variant
+(``F.levenshtein`` is JVM-side) — preferred when texts are short or capped.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType
+
+LEV_CAP = 512  # cap quadratic edit-distance work per pair
+
+
+@pandas_udf(DoubleType())
+def pair_jaccard_udf(text_a: pd.Series, text_b: pd.Series) -> pd.Series:
+    """Exact token-set Jaccard per pair (the confirm-stage score for
+    near-dups; cheap because blocking already pruned the pair count)."""
+    out = np.empty(len(text_a), dtype=np.float64)
+    for i, (a, b) in enumerate(zip(text_a.values, text_b.values)):
+        if a is None or b is None:
+            out[i] = np.nan
+            continue
+        sa, sb = set(a.split()), set(b.split())
+        u = len(sa | sb)
+        out[i] = (len(sa & sb) / u) if u else 1.0
+    return pd.Series(out)
+
+
+def levenshtein_sim_col(a: Column, b: Column, cap: int = LEV_CAP) -> Column:
+    """1 − lev(a,b)/max(len) on ``cap``-char prefixes — built-in, JVM-side."""
+    pa, pb = F.substring(a, 1, cap), F.substring(b, 1, cap)
+    mx = F.greatest(F.length(pa), F.length(pb))
+    return F.when(mx == 0, F.lit(1.0)).otherwise(
+        1.0 - F.levenshtein(pa, pb) / mx.cast("double")
+    )
+
+
+def _levenshtein(a: str, b: str) -> int:
+    """Two-row DP, numpy inner loop."""
+    if a == b:
+        return 0
+    if not a:
+        return len(b)
+    if not b:
+        return len(a)
+    prev = np.arange(len(b) + 1)
+    bw = np.frombuffer(b.encode("utf-32-le"), dtype=np.uint32)
+    for i, ca in enumerate(a):
+        cur = np.empty(len(b) + 1, dtype=prev.dtype)
+        cur[0] = i + 1
+        sub = prev[:-1] + (bw != ord(ca))
+        np.minimum(sub, prev[1:] + 1, out=cur[1:])
+        # insertion needs a left-to-right scan
+        for j in range(1, len(b) + 1):
+            if cur[j - 1] + 1 < cur[j]:
+                cur[j] = cur[j - 1] + 1
+        prev = cur
+    return int(prev[-1])
+
+
+@pandas_udf(DoubleType())
+def pair_levenshtein_sim_udf(text_a: pd.Series, text_b: pd.Series) -> pd.Series:
+    """Batched 1 − lev/maxlen on capped prefixes (UDF variant; the
+    built-in ``levenshtein_sim_col`` is preferred in the hot path)."""
+    out = np.empty(len(text_a), dtype=np.float64)
+    for i, (a, b) in enumerate(zip(text_a.values, text_b.values)):
+        if a is None or b is None:
+            out[i] = np.nan
+            continue
+        a, b = a[:LEV_CAP], b[:LEV_CAP]
+        mx = max(len(a), len(b))
+        out[i] = 1.0 if mx == 0 else 1.0 - _levenshtein(a, b) / mx
+    return pd.Series(out)
+
+
+def _jaro(a: str, b: str) -> float:
+    if a == b:
+        return 1.0
+    la, lb = len(a), len(b)
+    if la == 0 or lb == 0:
+        return 0.0
+    window = max(la, lb) // 2 - 1
+    aw = np.frombuffer(a.encode("utf-32-le"), dtype=np.uint32)
+    bw = np.frombuffer(b.encode("utf-32-le"), dtype=np.uint32)
+    b_taken = np.zeros(lb, dtype=bool)
+    a_match = []
+    b_match_idx = []
+    for i in range(la):
+        lo, hi = max(0, i - window), min(lb, i + window + 1)
+        seg = np.where((bw[lo:hi] == aw[i]) & ~b_taken[lo:hi])[0]
+        if len(seg):
+            j = lo + int(seg[0])
+            b_taken[j] = True
+            a_match.append(i)
+            b_match_idx.append(j)
+    m = len(a_match)
+    if m == 0:
+        return 0.0
+    bm = np.array(sorted(b_match_idx))
+    b_order = np.array(b_match_idx)
+    t = int(np.sum(b_order != np.array(sorted(b_order)))) / 2
+    _ = bm
+    return (m / la + m / lb + (m - t) / m) / 3
+
+
+def _jaro_winkler(a: str, b: str, p: float = 0.1) -> float:
+    j = _jaro(a, b)
+    prefix = 0
+    for x, y in zip(a[:4], b[:4]):
+        if x != y:
+            break
+        prefix += 1
+    return j + prefix * p * (1 - j)
+
+
+@pandas_udf(DoubleType())
+def pair_jaro_winkler_udf(text_a: pd.Series, text_b: pd.Series) -> pd.Series:
+    """Batched Jaro-Winkler on capped prefixes."""
+    out = np.empty(len(text_a), dtype=np.float64)
+    for i, (a, b) in enumerate(zip(text_a.values, text_b.values)):
+        if a is None or b is None:
+            out[i] = np.nan
+        else:
+            out[i] = _jaro_winkler(a[:LEV_CAP], b[:LEV_CAP])
+    return pd.Series(out)
+
+
+@pandas_udf(DoubleType())
+def pair_ngram_jaccard_udf(text_a: pd.Series, text_b: pd.Series) -> pd.Series:
+    """Character 5-gram Jaccard per pair (dedup family per task spec)."""
+    N = 5
+
+    def grams(s: str) -> set:
+        return {s[i : i + N] for i in range(max(1, len(s) - N + 1))}
+
+    out = np.empty(len(text_a), dtype=np.float64)
+    for i, (a, b) in enumerate(zip(text_a.values, text_b.values)):
+        if a is None or b is None:
+            out[i] = np.nan
+            continue
+        ga, gb = grams(a), grams(b)
+        u = len(ga | gb)
+        out[i] = (len(ga & gb) / u) if u else 1.0
+    return pd.Series(out)

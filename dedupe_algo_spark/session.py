@@ -1,0 +1,67 @@
+"""SparkSession factory with scale-appropriate defaults.
+
+Local sandbox runs on local[N] (single JVM); the configs below are the
+ones that transfer to a real 1000-executor cluster: AQE (runtime
+re-planning + skew-join splitting), Arrow for pandas-UDF transfer,
+UTC session timezone (so results compare bit-identically against the
+DuckDB oracle), and shuffle partitions sized to the parallelism level
+instead of the 200 default.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Columns-per-Arrow-batch bound for pandas UDFs: keeps executor-side
+# pandas memory bounded regardless of row width (the reference bounds
+# hashing memory with a 1MB streaming buffer, scanner.rs:56; Arrow batch
+# size is our analog).
+ARROW_MAX_RECORDS = 10_000
+
+
+def get_spark(
+    app_name: str = "dedupe_algo_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession tuned for this engine.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS or *]``. On a real
+    cluster you would omit it and let spark-submit provide it; every
+    other config below is cluster-valid.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        try:
+            n = int(master.split("[")[1].rstrip("]"))
+        except (IndexError, ValueError):
+            n = os.cpu_count() or 8
+        shuffle_partitions = max(8, n)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            str(ARROW_MAX_RECORDS),
+        )
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
