@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship dedup pipeline over pages derived from the
+sf0.001 ``documents`` table unioned with the deterministic synthetic
+pages (which carry planted duplicate structure). ``queries()`` /
+``oracle_sql()`` — operator registry per SURVEY.md §2, implemented in
+``dedupe_algo_spark.queries``.
 """
 
 from __future__ import annotations
@@ -15,24 +15,35 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: full exact+near dedup
+    (blocking → hash cascade → pair scoring → connected components)."""
+    from pyspark.sql import functions as F
+
+    from dedupe_algo_spark.pipeline import dedup_pipeline
+    from dedupe_algo_spark.synth import synth_pages
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    doc_pages = docs.select(
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.com/d/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.lit("2026-01-01 00:00:00").cast("timestamp").alias("warc_ts"),
+        F.col("text").cast("binary").alias("html"),
+        F.col("text"),
+        F.col("lang"),
+    )
+    pages = doc_pages.unionByName(synth_pages(spark, 1000))
+    return dedup_pipeline(pages).clusters
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from dedupe_algo_spark.queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from dedupe_algo_spark.queries import ORACLES
+
+    return dict(ORACLES)

@@ -1,0 +1,104 @@
+"""Candidate-pair generation — the quadratic stage, kept sub-quadratic.
+
+The reference never materializes pairs (its groups ARE the duplicates);
+near-dup generalization needs a within-block self-join (SURVEY.md §2.4:
+"ours adds one at scale"). Design rules for 10^12 rows:
+
+1. **Collapse exact duplicates first.** Pair generation runs on one
+   representative per distinct text (the exact-dup assignment provides
+   the mapping), so a 10^6-copy boilerplate page contributes one node,
+   not 10^12 pairs. This is the single biggest scale lever.
+2. **Multi-path bucketing, one unioned bucket table.** A page emits one
+   bucket row per blocking path: the cheap key (length bucket ×
+   registered domain) and each MinHash LSH band. Equal bucket key ⇒
+   candidate. Paths union into one (bucket_key, url) table so the
+   self-join happens once.
+3. **Hot-bucket cap.** Buckets larger than ``max_bucket`` are dropped
+   (logged via the returned stats, audit-visible) — a 50k-row bucket
+   means the key carries no discriminating power (e.g. an empty-ish
+   boilerplate band) and would emit 10^9 junk pairs. AQE skew-join
+   handles residual imbalance.
+4. **Pair dedup by (url_a, url_b)** with ``url_a < url_b`` so each
+   unordered pair is scored once no matter how many buckets it fell in.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.minhash import minhash_bands, minhash_udf
+from ..functions.simhash import simhash64_udf, simhash_bands
+from .blocking import block_key
+
+DEFAULT_MAX_BUCKET = 2_000
+
+
+def bucket_table(
+    working: DataFrame,
+    use_minhash: bool = True,
+    use_simhash: bool = False,
+    use_cheap_key: bool = True,
+) -> DataFrame:
+    """→ (bucket_key, url). ``working`` needs (url, text) columns.
+
+    Signatures are computed once per page (map-side, Arrow-batched) and
+    exploded into bucket rows — no shuffle until the self-join.
+    """
+    paths = []
+    if use_cheap_key:
+        paths.append(
+            working.select(
+                block_key(F.col("text"), F.col("url")).alias("bucket_key"), "url"
+            )
+        )
+    if use_minhash:
+        sigs = working.select(
+            "url", minhash_bands(minhash_udf(F.col("text"))).alias("bands")
+        )
+        paths.append(
+            sigs.select(F.explode("bands").alias("bucket_key"), "url")
+        )
+    if use_simhash:
+        sh = working.select("url", simhash_bands(simhash64_udf(F.col("text"))).alias("bands"))
+        paths.append(sh.select(F.explode("bands").alias("bucket_key"), "url"))
+    out = paths[0]
+    for p in paths[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def candidate_pairs(
+    buckets: DataFrame,
+    max_bucket: int = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """→ distinct (url_a, url_b), url_a < url_b.
+
+    Hot buckets (> ``max_bucket`` members) are excluded — at web scale
+    these are non-discriminating keys whose pair blow-up is quadratic
+    junk. The bucket-size prune reuses the bucket_key shuffle via a
+    window count (same trick as singleton pruning, F7).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("bucket_key")
+    sized = buckets.withColumn("_n", F.count(F.lit(1)).over(w)).where(
+        (F.col("_n") >= 2) & (F.col("_n") <= max_bucket)
+    )
+    left = sized.select("bucket_key", F.col("url").alias("url_a"))
+    right = sized.select("bucket_key", F.col("url").alias("url_b"))
+    return (
+        left.join(right, "bucket_key")
+        .where(F.col("url_a") < F.col("url_b"))
+        .select("url_a", "url_b")
+        .distinct()
+    )
+
+
+def dropped_buckets(buckets: DataFrame, max_bucket: int = DEFAULT_MAX_BUCKET) -> DataFrame:
+    """Audit view of capped buckets (no silent truncation)."""
+    return (
+        buckets.groupBy("bucket_key")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .where(F.col("n_members") > max_bucket)
+    )

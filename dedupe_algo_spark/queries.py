@@ -1,0 +1,708 @@
+"""Query registry — every SURVEY.md §2 operator demonstrated over the
+driver's parquet tables, each with a DuckDB oracle-SQL twin.
+
+Conventions (driver contract, __spark_entry__.py):
+* every callable takes (spark, sf_dir) and returns a DataFrame;
+* every computed column is aliased identically in the Spark plan and
+  the oracle SQL;
+* doubles are rounded on BOTH sides (engine-order float drift would
+  break the value hash);
+* timestamps leave as formatted strings for the same reason.
+
+The dedup-specific UDF stages (MinHash, fingerprints, media) are
+registered without oracles — the driver records rows-only checks; their
+real correctness gate is tests/ against planted ground truth.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions.text import (
+    STOPWORDS,
+    lang_id_heuristic,
+    punct_ratio,
+    quality_score,
+    token_count,
+    word_tokens,
+)
+from .operators import views
+from .operators.ann import brute_force_topk, cosine_sim
+from .sources.tables import load_table
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+# ---------------------------------------------------------------------------
+# Dedup cascade over `documents` (n_chars = the reference's `size` key)
+# ---------------------------------------------------------------------------
+
+def q_size_clusters(spark, sf_dir):
+    """A1 — pass-1 hash-agg: group by size, keep groups ≥2 (lib.rs:54-64)."""
+    return (
+        _docs(spark, sf_dir)
+        .groupBy("n_chars")
+        .agg(F.count(F.lit(1)).alias("n_members"), F.min("doc_id").alias("min_doc_id"))
+        .where(F.col("n_members") >= 2)
+    )
+
+
+SQL_SIZE_CLUSTERS = """
+SELECT n_chars, COUNT(*) AS n_members, MIN(doc_id) AS min_doc_id
+FROM documents GROUP BY n_chars HAVING COUNT(*) >= 2
+"""
+
+
+def q_singleton_prune(spark, sf_dir):
+    """F7 — singleton-group discard via window count (lib.rs:61-64)."""
+    from .operators.blocking import prune_singleton_blocks
+
+    return prune_singleton_blocks(
+        _docs(spark, sf_dir).select("doc_id", "n_chars"), key="n_chars"
+    )
+
+
+SQL_SINGLETON_PRUNE = """
+SELECT doc_id, n_chars FROM (
+  SELECT doc_id, n_chars, COUNT(*) OVER (PARTITION BY n_chars) AS _n
+  FROM documents
+) WHERE _n >= 2
+"""
+
+
+def q_exact_hash_clusters(spark, sf_dir):
+    """A3 — pass-3 grouping by (size, content hash) (lib.rs:155-160)."""
+    return (
+        _docs(spark, sf_dir)
+        .select("n_chars", F.md5(F.col("text").cast("binary")).alias("content_hash"), "doc_id")
+        .groupBy("n_chars", "content_hash")
+        .agg(F.count(F.lit(1)).alias("n_members"), F.min("doc_id").alias("min_doc_id"))
+        .where(F.col("n_members") >= 2)
+    )
+
+
+SQL_EXACT_HASH_CLUSTERS = """
+SELECT n_chars, md5(text) AS content_hash, COUNT(*) AS n_members, MIN(doc_id) AS min_doc_id
+FROM documents GROUP BY 1, 2 HAVING COUNT(*) >= 2
+"""
+
+
+def q_keeper_ranking(spark, sf_dir):
+    """W1/W2 — keeper ranking within size clusters, oldest-first with
+    deterministic tie-break (useStore.ts:97-114)."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "n_chars", F.col("doc_id").cast("string").alias("_path")
+    )
+    from .operators.blocking import prune_singleton_blocks
+
+    clusters = prune_singleton_blocks(docs, key="n_chars")
+    ranked = views.keeper_ranking(
+        clusters, cluster_col="n_chars", ts_col="doc_id", keep="oldest", path_col="_path"
+    )
+    return ranked.select("doc_id", "n_chars", "keeper_rank", "is_duplicate")
+
+
+SQL_KEEPER_RANKING = """
+SELECT doc_id, n_chars,
+       ROW_NUMBER() OVER (PARTITION BY n_chars ORDER BY doc_id) AS keeper_rank,
+       ROW_NUMBER() OVER (PARTITION BY n_chars ORDER BY doc_id) > 1 AS is_duplicate
+FROM (
+  SELECT doc_id, n_chars, COUNT(*) OVER (PARTITION BY n_chars) AS _n FROM documents
+) WHERE _n >= 2
+"""
+
+
+def q_reclaimable(spark, sf_dir):
+    """A4 — reclaimable space Σ size×(n−1) (ResultsView.tsx:101-108)."""
+    clusters = q_singleton_prune(spark, sf_dir).withColumn(
+        "cluster_id", F.col("n_chars")
+    )
+    return views.reclaimable_space(clusters, size_col="n_chars")
+
+
+SQL_RECLAIMABLE = """
+SELECT CAST(SUM(n_chars * (n - 1)) AS BIGINT) AS reclaimable_bytes FROM (
+  SELECT n_chars, COUNT(*) AS n FROM documents GROUP BY 1 HAVING COUNT(*) >= 2
+)
+"""
+
+
+def q_group_search(spark, sf_dir):
+    """F8/W3 — keep whole cluster if ANY member matches the query
+    (ResultsView.tsx:52-62)."""
+    clusters = prune = q_singleton_prune_full(spark, sf_dir)
+    found = views.group_search(
+        clusters, "spark", cluster_col="n_chars", path_col="text"
+    )
+    return found.select("doc_id", "n_chars")
+
+
+def q_singleton_prune_full(spark, sf_dir):
+    from .operators.blocking import prune_singleton_blocks
+
+    return prune_singleton_blocks(
+        _docs(spark, sf_dir).select("doc_id", "n_chars", "text"), key="n_chars"
+    )
+
+
+SQL_GROUP_SEARCH = """
+SELECT doc_id, n_chars FROM (
+  SELECT doc_id, n_chars,
+         MAX(CASE WHEN contains(lower(text), 'spark') THEN 1 ELSE 0 END)
+             OVER (PARTITION BY n_chars) AS hit
+  FROM (
+    SELECT doc_id, n_chars, text, COUNT(*) OVER (PARTITION BY n_chars) AS _n
+    FROM documents
+  ) WHERE _n >= 2
+) WHERE hit = 1
+"""
+
+
+def q_category_rollup(spark, sf_dir):
+    """A6 — per-language rollup, size desc (dataTransform.ts:21-59)."""
+    return views.category_rollup(
+        _docs(spark, sf_dir), category=F.col("lang"), size_col="n_chars"
+    )
+
+
+SQL_CATEGORY_ROLLUP = """
+SELECT lang AS category, COUNT(*) AS n_files, CAST(SUM(n_chars) AS BIGINT) AS total_size
+FROM documents GROUP BY lang ORDER BY total_size DESC, category
+"""
+
+
+def q_folder_rollup(spark, sf_dir):
+    """A7 — two-level folder (source) rollup (dataTransform.ts:61-95)."""
+    docs = _docs(spark, sf_dir).withColumn("cluster_id", F.col("n_chars"))
+    return views.folder_rollup(
+        docs, folder_col=F.col("source"), size_col="n_chars"
+    )
+
+
+SQL_FOLDER_ROLLUP = """
+SELECT source AS folder, CAST(SUM(set_size) AS BIGINT) AS total_size, COUNT(*) AS n_dup_sets
+FROM (
+  SELECT source, n_chars, CAST(SUM(n_chars) AS BIGINT) AS set_size
+  FROM documents GROUP BY source, n_chars HAVING COUNT(*) >= 2
+) GROUP BY source ORDER BY total_size DESC, folder
+"""
+
+
+def q_cache_validity_join(spark, sf_dir):
+    """J1 — memo validity join: reuse hash only when stored size matches
+    (lib.rs:97-105). Synthetic memo: even doc_ids, stale unless id%4==0."""
+    docs = _docs(spark, sf_dir).select("doc_id", "n_chars", "text")
+    memo = docs.where(F.col("doc_id") % 2 == 0).select(
+        "doc_id",
+        (
+            F.col("n_chars")
+            + F.when(F.col("doc_id") % 4 == 0, F.lit(0)).otherwise(F.lit(1))
+        ).alias("stored_len"),
+        F.md5(F.col("text").cast("binary")).alias("stored_hash"),
+    )
+    j = docs.join(memo, "doc_id", "left")
+    return j.select(
+        "doc_id",
+        F.when(F.col("stored_len") == F.col("n_chars"), F.col("stored_hash")).alias(
+            "reused_hash"
+        ),
+        (F.col("stored_len") == F.col("n_chars")).alias("cache_hit"),
+    ).withColumn("cache_hit", F.coalesce(F.col("cache_hit"), F.lit(False)))
+
+
+SQL_CACHE_VALIDITY_JOIN = """
+WITH memo AS (
+  SELECT doc_id,
+         n_chars + (CASE WHEN doc_id % 4 = 0 THEN 0 ELSE 1 END) AS stored_len,
+         md5(text) AS stored_hash
+  FROM documents WHERE doc_id % 2 = 0
+)
+SELECT d.doc_id,
+       CASE WHEN m.stored_len = d.n_chars THEN m.stored_hash END AS reused_hash,
+       COALESCE(m.stored_len = d.n_chars, FALSE) AS cache_hit
+FROM documents d LEFT JOIN memo m USING (doc_id)
+"""
+
+
+def q_prefix_theta_join(spark, sf_dir):
+    """J4 — longest-prefix theta join (lib.rs:320-324), sources vs a tiny
+    mount dimension (broadcast)."""
+    paths = _docs(spark, sf_dir).select(F.col("source").alias("path")).distinct()
+    mounts = spark.createDataFrame(
+        [("src", "base"), ("src1", "extended")], "mount_point string, name string"
+    )
+    out = views.longest_prefix_join(paths, mounts)
+    return out.select(F.col("path").alias("source"), F.col("name").alias("mount_name"))
+
+
+SQL_PREFIX_THETA_JOIN = """
+WITH mounts(mount_point, name) AS (VALUES ('src', 'base'), ('src1', 'extended')),
+paths AS (SELECT DISTINCT source FROM documents),
+j AS (
+  SELECT source, name,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY LENGTH(mount_point) DESC, mount_point) AS rn
+  FROM paths JOIN mounts ON source LIKE mount_point || '%'
+)
+SELECT source, name AS mount_name FROM j WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+def q_token_count(spark, sf_dir):
+    return _docs(spark, sf_dir).select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+
+
+SQL_TOKEN_COUNT = """
+SELECT doc_id,
+       CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+            ELSE len(regexp_split_to_array(TRIM(text), '\\s+')) END AS n_tokens
+FROM documents
+"""
+
+
+def q_bpe_token_count(spark, sf_dir):
+    """BPE-ish regex pre-tokenizer count (letters/digits/punct runs)."""
+    return _docs(spark, sf_dir).select(
+        "doc_id", F.size(word_tokens(F.col("text"))).cast("long").alias("n_bpe_tokens")
+    )
+
+
+SQL_BPE_TOKEN_COUNT = r"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS n_bpe_tokens
+FROM documents
+"""
+
+
+def q_quality(spark, sf_dir):
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.round(punct_ratio(F.col("text")), 6).alias("punct_ratio"),
+        quality_score(F.col("text")).alias("quality"),
+    )
+
+
+_SW_EN_SQL = "[" + ", ".join(f"'{w}'" for w in STOPWORDS["en"]) + "]"
+
+SQL_QUALITY = f"""
+WITH t AS (
+  SELECT doc_id, text,
+         LENGTH(text) AS n,
+         LENGTH(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS n_clean,
+         regexp_split_to_array(TRIM(LOWER(text)), '\\s+') AS toks
+  FROM documents
+), s AS (
+  SELECT doc_id,
+         CASE WHEN n = 0 THEN 0.0 ELSE (n - n_clean) / CAST(n AS DOUBLE) END AS pr,
+         CASE WHEN len(toks) = 0 THEN 0.0
+              ELSE len(list_filter(toks, x -> list_contains({_SW_EN_SQL}, x)))
+                   / CAST(len(toks) AS DOUBLE) END AS swr,
+         n
+  FROM t
+)
+SELECT doc_id,
+       ROUND(pr, 6) AS punct_ratio,
+       ROUND(LEAST(n / 2000.0, 1.0)
+             * GREATEST(0.0, 1.0 - pr * 4.0)
+             * (0.5 + 0.5 * LEAST(swr * 5.0, 1.0)), 6) AS quality
+FROM s
+"""
+
+
+def q_lang_id(spark, sf_dir):
+    return _docs(spark, sf_dir).select(
+        "doc_id", lang_id_heuristic(F.col("text")).alias("lang_guess")
+    )
+
+
+def _sw_sql(lang: str) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in STOPWORDS[lang]) + "]"
+
+
+SQL_LANG_ID = f"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(TRIM(LOWER(text)), '\\s+') AS toks FROM documents
+), s AS (
+  SELECT doc_id,
+         len(list_filter(toks, x -> list_contains({_sw_sql('de')}, x))) AS de,
+         len(list_filter(toks, x -> list_contains({_sw_sql('en')}, x))) AS en,
+         len(list_filter(toks, x -> list_contains({_sw_sql('es')}, x))) AS es,
+         len(list_filter(toks, x -> list_contains({_sw_sql('fr')}, x))) AS fr
+  FROM t
+)
+SELECT doc_id,
+  CASE WHEN de > 0 AND de >= en AND de >= es AND de >= fr THEN 'de'
+       WHEN en > 0 AND en >= de AND en >= es AND en >= fr THEN 'en'
+       WHEN es > 0 AND es >= de AND es >= en AND es >= fr THEN 'es'
+       WHEN fr > 0 AND fr >= de AND fr >= en AND fr >= es THEN 'fr'
+       ELSE 'und' END AS lang_guess
+FROM s
+"""
+
+
+# ---------------------------------------------------------------------------
+# Relational coverage over TPC-H-ish tables
+# ---------------------------------------------------------------------------
+
+def q_semi_join(spark, sf_dir):
+    """J3 — customers having orders (left semi)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return customer.join(
+        orders, customer["c_custkey"] == orders["o_custkey"], "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+SQL_SEMI_JOIN = """
+SELECT c_custkey, c_name FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def q_anti_join(spark, sf_dir):
+    """J5 — customers with no orders (left anti)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return customer.join(
+        orders, customer["c_custkey"] == orders["o_custkey"], "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+SQL_ANTI_JOIN = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def q_union_distinct(spark, sf_dir):
+    """U1/U2 — union-distinct of two event populations."""
+    events = load_table(spark, sf_dir, "events")
+    a = events.where(F.col("event_type") == "click").select("user_id")
+    b = events.where(F.col("event_type") == "purchase").select("user_id")
+    return a.union(b).distinct()
+
+
+SQL_UNION_DISTINCT = """
+SELECT user_id FROM events WHERE event_type = 'click'
+UNION
+SELECT user_id FROM events WHERE event_type = 'purchase'
+"""
+
+
+def q_top_k(spark, sf_dir):
+    """O6 — deterministic top-100 (DeleteConfirmation.tsx:56)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return views.top_k_preview(
+        li.select("l_orderkey", "l_linenumber", "l_extendedprice"),
+        order=[F.desc("l_extendedprice"), F.asc("l_orderkey"), F.asc("l_linenumber")],
+        k=100,
+    )
+
+
+SQL_TOP_K = """
+SELECT l_orderkey, l_linenumber, l_extendedprice
+FROM lineitem ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 100
+"""
+
+
+def q_window_rank_orders(spark, sf_dir):
+    """W1 on TPC-H — top order per customer (ranking window)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+
+
+SQL_WINDOW_RANK_ORDERS = """
+SELECT o_custkey, o_orderkey, o_totalprice FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+                               ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+) WHERE rn = 1
+"""
+
+
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-flavored aggregation cascade (A2/A3 shape)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where((F.col("l_discount") >= 0.02) & (F.col("l_discount") <= 0.08))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc"
+            ),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+SQL_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_base,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc,
+       ROUND(AVG(l_quantity), 4) AS avg_qty,
+       COUNT(*) AS n
+FROM lineitem
+WHERE l_discount >= 0.02 AND l_discount <= 0.08
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_top_revenue_orders(spark, sf_dir):
+    """TPC-H Q3-flavored join + agg + top-k."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_orderkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+    return rev.orderBy(F.desc("revenue"), F.asc("o_orderkey")).limit(10)
+
+
+SQL_TOP_REVENUE_ORDERS = """
+SELECT o_orderkey, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+GROUP BY o_orderkey ORDER BY revenue DESC, o_orderkey LIMIT 10
+"""
+
+
+def q_events_hourly(spark, sf_dir):
+    """Streaming analog in batch: tumbling 1h window × event_type rollup."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:00").alias(
+                "hour"
+            ),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+SQL_EVENTS_HOURLY = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour, event_type,
+       COUNT(*) AS n, ROUND(SUM(value), 2) AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Embeddings: similarity search
+# ---------------------------------------------------------------------------
+
+def q_embedding_topk(spark, sf_dir):
+    """Brute-force cosine top-5 for 3 query vectors (correctness baseline)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    return brute_force_topk(emb, queries, k=5).select(
+        "query_id", "vec_id", "cosine", "rank"
+    )
+
+
+SQL_EMBEDDING_TOPK = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 3),
+s AS (
+  SELECT query_id, e.vec_id,
+         ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                      CAST(qv AS DOUBLE[])), 6) AS cosine
+  FROM embeddings e CROSS JOIN q
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, vec_id) AS rank
+  FROM s
+)
+SELECT query_id, vec_id, cosine, rank FROM r WHERE rank <= 5
+"""
+
+
+def q_embedding_allpairs_sim(spark, sf_dir):
+    """Exact all-pairs cosine ≥0.8 on a vec_id<100 slice — the exhaustive
+    twin the LSH path is validated against."""
+    emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 100)
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("_va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("_vb"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine_sim(F.col("_va"), F.col("_vb")), 6).alias("cosine"),
+        )
+        .where(F.col("cosine") >= 0.8)
+    )
+
+
+SQL_EMBEDDING_ALLPAIRS_SIM = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE a.vec_id < 100 AND b.vec_id < 100
+  AND ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(b.embedding AS DOUBLE[])), 6) >= 0.8
+"""
+
+
+# ---------------------------------------------------------------------------
+# Rows-only (non-SQL-expressible) — UDF pipelines; correctness gated by
+# tests/ against planted ground truth instead of DuckDB.
+# ---------------------------------------------------------------------------
+
+def _sf_of(sf_dir: str) -> float:
+    import re
+
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else 0.001
+
+
+def q_pages_dedup_clusters(spark, sf_dir):
+    """Flagship: full exact+near dedup on the synthetic pages table
+    (size scaled to the sf of the given directory)."""
+    from .pipeline import dedup_pipeline
+    from .synth import synth_pages
+
+    n = max(500, int(200_000 * _sf_of(sf_dir) / 0.1))
+    pages = synth_pages(spark, n)
+    return dedup_pipeline(pages).clusters
+
+
+def q_minhash_dup_pairs(spark, sf_dir):
+    """MinHash-LSH near-dup pairs on synthetic pages (UDF path)."""
+    from .operators.candidates import bucket_table, candidate_pairs
+    from .operators.scoring import score_pairs
+    from .synth import synth_pages
+
+    n = max(500, int(20_000 * _sf_of(sf_dir) / 0.1))
+    pages = synth_pages(spark, n).select("url", "text")
+    pairs = candidate_pairs(bucket_table(pages, use_cheap_key=False))
+    return score_pairs(pairs, pages).select(
+        "url_a", "url_b", F.round("score", 4).alias("score")
+    )
+
+
+def q_simhash_signatures(spark, sf_dir):
+    """SimHash signatures + band keys on documents (UDF path)."""
+    from .functions.simhash import simhash64_udf, simhash_bands
+
+    docs = _docs(spark, sf_dir)
+    sh = docs.select("doc_id", simhash64_udf(F.col("text")).alias("simhash"))
+    return sh.select("doc_id", "simhash", F.explode(simhash_bands(F.col("simhash"))).alias("band"))
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    """Rolling-hash document fingerprint (UDF path)."""
+    from .functions.text import fingerprint_udf
+
+    return _docs(spark, sf_dir).select(
+        "doc_id", fingerprint_udf(F.col("text")).alias("fingerprint")
+    )
+
+
+def q_embedding_lsh_pairs(spark, sf_dir):
+    """LSH-bucketed embedding near-dup pairs (approximate scale path)."""
+    from .operators.ann import embedding_near_dupes
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_dupes(emb, threshold=0.8, n_bits=8, n_tables=8)
+
+
+def q_media_features(spark, sf_dir):
+    """Multimodal plumbing: binary payloads → mapInPandas features
+    (decode stubbed deterministically — no codecs in this container)."""
+    from .multimodal import extract_features, synth_media
+
+    return extract_features(synth_media(spark, 300), fake=True)
+
+
+QUERIES = {
+    "size_clusters": q_size_clusters,
+    "singleton_prune": q_singleton_prune,
+    "exact_hash_clusters": q_exact_hash_clusters,
+    "keeper_ranking": q_keeper_ranking,
+    "reclaimable": q_reclaimable,
+    "group_search": q_group_search,
+    "category_rollup": q_category_rollup,
+    "folder_rollup": q_folder_rollup,
+    "cache_validity_join": q_cache_validity_join,
+    "prefix_theta_join": q_prefix_theta_join,
+    "token_count": q_token_count,
+    "bpe_token_count": q_bpe_token_count,
+    "quality": q_quality,
+    "lang_id": q_lang_id,
+    "semi_join": q_semi_join,
+    "anti_join": q_anti_join,
+    "union_distinct": q_union_distinct,
+    "top_k": q_top_k,
+    "window_rank_orders": q_window_rank_orders,
+    "pricing_summary": q_pricing_summary,
+    "top_revenue_orders": q_top_revenue_orders,
+    "events_hourly": q_events_hourly,
+    "embedding_topk": q_embedding_topk,
+    "embedding_allpairs_sim": q_embedding_allpairs_sim,
+    # rows-only (UDF pipelines; tests/ carry the correctness gate)
+    "pages_dedup_clusters": q_pages_dedup_clusters,
+    "minhash_dup_pairs": q_minhash_dup_pairs,
+    "simhash_signatures": q_simhash_signatures,
+    "doc_fingerprint": q_doc_fingerprint,
+    "embedding_lsh_pairs": q_embedding_lsh_pairs,
+    "media_features": q_media_features,
+}
+
+ORACLES = {
+    "size_clusters": SQL_SIZE_CLUSTERS,
+    "singleton_prune": SQL_SINGLETON_PRUNE,
+    "exact_hash_clusters": SQL_EXACT_HASH_CLUSTERS,
+    "keeper_ranking": SQL_KEEPER_RANKING,
+    "reclaimable": SQL_RECLAIMABLE,
+    "group_search": SQL_GROUP_SEARCH,
+    "category_rollup": SQL_CATEGORY_ROLLUP,
+    "folder_rollup": SQL_FOLDER_ROLLUP,
+    "cache_validity_join": SQL_CACHE_VALIDITY_JOIN,
+    "prefix_theta_join": SQL_PREFIX_THETA_JOIN,
+    "token_count": SQL_TOKEN_COUNT,
+    "bpe_token_count": SQL_BPE_TOKEN_COUNT,
+    "quality": SQL_QUALITY,
+    "lang_id": SQL_LANG_ID,
+    "semi_join": SQL_SEMI_JOIN,
+    "anti_join": SQL_ANTI_JOIN,
+    "union_distinct": SQL_UNION_DISTINCT,
+    "top_k": SQL_TOP_K,
+    "window_rank_orders": SQL_WINDOW_RANK_ORDERS,
+    "pricing_summary": SQL_PRICING_SUMMARY,
+    "top_revenue_orders": SQL_TOP_REVENUE_ORDERS,
+    "events_hourly": SQL_EVENTS_HOURLY,
+    "embedding_topk": SQL_EMBEDDING_TOPK,
+    "embedding_allpairs_sim": SQL_EMBEDDING_ALLPAIRS_SIM,
+}

@@ -1,0 +1,79 @@
+"""Audit / lineage table — per-stage per-partition metrics rows.
+
+Generalizes the reference's throttled progress events
+(ProgressPayload, lib.rs:23-28, emits at lib.rs:86-94,132-139) into
+durable lineage rows per north_rule: every pipeline stage appends
+(run_id, stage, partition_id, row_count, pair_count, elapsed_ms) to an
+append-only table. Counts are gathered with ``mapInPandas`` per
+partition — one row per partition per stage, never per input row (the
+reference throttles for the same reason).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import uuid
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..schemas import AUDIT_SCHEMA
+
+
+def new_run_id() -> str:
+    return uuid.uuid4().hex[:16]
+
+
+def partition_counts(
+    df: DataFrame, run_id: str, stage: str, elapsed_ms: int = 0
+) -> DataFrame:
+    """→ AUDIT_SCHEMA rows, one per partition of ``df``. Uses
+    ``spark_partition_id`` + groupBy — a map-side partial agg, one
+    shuffle of (n_partitions) rows."""
+    return (
+        df.withColumn("_pid", F.spark_partition_id())
+        .groupBy("_pid")
+        .agg(F.count(F.lit(1)).alias("row_count"))
+        .select(
+            F.lit(run_id).alias("run_id"),
+            F.lit(stage).alias("stage"),
+            F.col("_pid").cast("int").alias("partition_id"),
+            F.lit(None).cast("string").alias("block_id"),
+            F.col("row_count").cast("long"),
+            F.lit(None).cast("long").alias("pair_count"),
+            F.lit(elapsed_ms).cast("long").alias("elapsed_ms"),
+            F.current_timestamp().alias("committed_at"),
+        )
+    )
+
+
+class AuditLog:
+    """Append-only parquet audit table (Iceberg append in a catalog
+    deployment)."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+
+    def append(self, rows: DataFrame) -> None:
+        rows.write.mode("append").parquet(self.path)
+
+    def record_stage(
+        self, df: DataFrame, run_id: str, stage: str, elapsed_ms: int = 0
+    ) -> None:
+        self.append(partition_counts(df, run_id, stage, elapsed_ms))
+
+    def read(self) -> DataFrame:
+        if os.path.exists(self.path):
+            return self.spark.read.parquet(self.path)
+        return self.spark.createDataFrame([], AUDIT_SCHEMA)
+
+    def stages_of(self, run_id: str) -> list[str]:
+        return [
+            r["stage"]
+            for r in self.read().where(F.col("run_id") == run_id).select("stage").distinct().collect()
+        ]

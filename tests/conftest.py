@@ -1,0 +1,26 @@
+from __future__ import annotations
+
+import pytest
+
+from dedupe_algo_spark.session import get_spark
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(app_name="tests", master="local[4]", shuffle_partitions=8)
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="session")
+def pages_1k(spark):
+    from dedupe_algo_spark.synth import synth_pages
+
+    return synth_pages(spark, 1000).cache()
+
+
+@pytest.fixture(scope="session")
+def labels_1k(spark):
+    from dedupe_algo_spark.synth import synth_labels
+
+    return synth_labels(spark, 1000).cache()

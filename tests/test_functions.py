@@ -1,0 +1,107 @@
+"""Scalar/signature functions: domains, simhash, minhash, similarity."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from dedupe_algo_spark.functions.minhash import (
+    estimate_jaccard,
+    minhash_signature,
+)
+from dedupe_algo_spark.functions.simhash import simhash64
+from dedupe_algo_spark.functions.urls import registered_domain
+
+
+@pytest.mark.parametrize(
+    "url,expected",
+    [
+        ("https://www.site001.com/p/1", "site001.com"),
+        ("https://news.site060.org/x", "site060.org"),
+        ("https://site008.co.uk/y", "site008.co.uk"),
+        ("https://a.b.site009.net/z", "site009.net"),
+        ("http://localhost/z", "localhost"),
+        ("https://deep.a.b.site008.co.uk/y", "site008.co.uk"),
+    ],
+)
+def test_registered_domain(spark, url, expected):
+    got = (
+        spark.createDataFrame([(url,)], "url string")
+        .select(registered_domain(F.col("url")).alias("d"))
+        .collect()[0]["d"]
+    )
+    assert got == expected
+
+
+def test_simhash_deterministic_and_locality():
+    t = "the quick brown fox jumps over the lazy dog " * 20
+    assert simhash64(t) == simhash64(t)
+    mutated = t.replace("quick", "rapid", 1)
+    different = "completely unrelated words " * 30
+    h0, h1, h2 = simhash64(t), simhash64(mutated), simhash64(different)
+    ham = lambda a, b: bin((a ^ b) & (2**64 - 1)).count("1")  # noqa: E731
+    assert ham(h0, h1) < ham(h0, h2)
+    assert ham(h0, h1) <= 8
+
+
+def test_minhash_estimates_jaccard():
+    a = " ".join(f"tok{i}" for i in range(200))
+    b = " ".join(f"tok{i}" for i in range(180)) + " " + " ".join(
+        f"other{i}" for i in range(20)
+    )
+    sig_a, sig_b = minhash_signature(a), minhash_signature(b)
+    est = estimate_jaccard(sig_a, sig_b)
+    # true shingle jaccard ≈ 0.8 on 3-shingles ≈ (178/222) ≈ 0.80→ broad band
+    assert 0.5 < est < 0.95
+    assert estimate_jaccard(sig_a, sig_a) == 1.0
+
+
+def test_pair_udfs_on_dataframe(spark):
+    from dedupe_algo_spark.functions.similarity import (
+        levenshtein_sim_col,
+        pair_jaccard_udf,
+        pair_jaro_winkler_udf,
+        pair_levenshtein_sim_udf,
+        pair_ngram_jaccard_udf,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("abc def ghi", "abc def ghi"),
+            ("abc def ghi", "abc def xyz"),
+            ("abc def ghi", "zzz yyy xxx"),
+        ],
+        "a string, b string",
+    )
+    out = df.select(
+        pair_jaccard_udf("a", "b").alias("jac"),
+        pair_levenshtein_sim_udf("a", "b").alias("lev"),
+        levenshtein_sim_col(F.col("a"), F.col("b")).alias("lev_builtin"),
+        pair_jaro_winkler_udf("a", "b").alias("jw"),
+        pair_ngram_jaccard_udf("a", "b").alias("ng"),
+    ).toPandas()
+    assert out.iloc[0].tolist() == [1.0, 1.0, 1.0, 1.0, 1.0]
+    # identical > one-token-off > disjoint, for every measure
+    for c in out.columns:
+        assert out[c].iloc[0] > out[c].iloc[1] > out[c].iloc[2], c
+    # UDF levenshtein agrees with the built-in
+    assert np.allclose(out["lev"], out["lev_builtin"])
+
+
+def test_levenshtein_known_values():
+    from dedupe_algo_spark.functions.similarity import _levenshtein
+
+    assert _levenshtein("kitten", "sitting") == 3
+    assert _levenshtein("", "abc") == 3
+    assert _levenshtein("abc", "abc") == 0
+    assert _levenshtein("flaw", "lawn") == 2
+
+
+def test_jaro_winkler_known_values():
+    from dedupe_algo_spark.functions.similarity import _jaro_winkler
+
+    assert _jaro_winkler("MARTHA", "MARHTA") == pytest.approx(0.9611, abs=1e-3)
+    assert _jaro_winkler("DWAYNE", "DUANE") == pytest.approx(0.8400, abs=1e-2)
+    assert _jaro_winkler("abc", "abc") == 1.0
+    assert _jaro_winkler("abc", "xyz") == 0.0

@@ -1,0 +1,67 @@
+"""Hash-memo semantics: J1 validity join + S4 COALESCE upsert
+(cache.rs:19-77, lib.rs:97-105)."""
+
+from __future__ import annotations
+
+import datetime
+
+import pandas as pd
+import pytest
+
+from dedupe_algo_spark.schemas import MEMO_SCHEMA
+from dedupe_algo_spark.sources.memo import HashMemo, validity_join
+
+T1 = datetime.datetime(2026, 1, 1)
+T2 = datetime.datetime(2026, 2, 2)
+
+
+def _memo_df(spark, rows):
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=MEMO_SCHEMA.fieldNames()), schema=MEMO_SCHEMA
+    )
+
+
+def test_validity_join_hit_and_stale(spark):
+    memo = _memo_df(
+        spark,
+        [
+            ("u1", 100, T1, "p1", "s1"),  # valid
+            ("u2", 100, T1, "p2", "s2"),  # stale ts below
+            ("u3", 100, T1, "p3", "s3"),  # stale len below
+        ],
+    )
+    pages = spark.createDataFrame(
+        [("u1", 100, T1), ("u2", 100, T2), ("u3", 999, T1), ("u4", 5, T1)],
+        "url string, text_len long, warc_ts timestamp",
+    )
+    out = {r["url"]: r for r in validity_join(pages, memo).collect()}
+    assert out["u1"]["reused_sha256"] == "s1"
+    assert out["u2"]["reused_sha256"] is None  # mtime changed → recompute
+    assert out["u3"]["reused_sha256"] is None  # size changed → recompute
+    assert out["u4"]["reused_sha256"] is None  # never seen
+
+
+def test_upsert_coalesce_never_nulls_a_hash(spark, tmp_path):
+    memo = HashMemo(spark, str(tmp_path / "memo"))
+    memo.upsert(_memo_df(spark, [("u1", 100, T1, "p1", "s1")]))
+    # new row with null hashes must keep old hashes (cache.rs:69-70)
+    memo.upsert(_memo_df(spark, [("u1", 100, T2, None, None)]))
+    row = memo.read().collect()[0]
+    assert row["partial_hash"] == "p1" and row["content_sha256"] == "s1"
+    assert row["warc_ts"] == T2  # metadata updated
+
+
+def test_upsert_inserts_and_updates(spark, tmp_path):
+    memo = HashMemo(spark, str(tmp_path / "memo"))
+    memo.upsert(_memo_df(spark, [("u1", 1, T1, "p1", "s1")]))
+    memo.upsert(_memo_df(spark, [("u2", 2, T1, "p2", "s2"), ("u1", 1, T1, "px", "sx")]))
+    rows = {r["url"]: r for r in memo.read().collect()}
+    assert set(rows) == {"u1", "u2"}
+    assert rows["u1"]["content_sha256"] == "sx"  # non-null new wins
+
+
+def test_clear(spark, tmp_path):
+    memo = HashMemo(spark, str(tmp_path / "memo"))
+    memo.upsert(_memo_df(spark, [("u1", 1, T1, "p", "s")]))
+    memo.clear()
+    assert memo.read().count() == 0

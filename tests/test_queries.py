@@ -1,0 +1,68 @@
+"""Driver-contract checks: queries()/oracle_sql() agree with DuckDB at
+sf0.001 (the full sf0.01 sweep lives in tools/check_oracles.py)."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+from dedupe_algo_spark.queries import ORACLES, QUERIES
+from dedupe_algo_spark.sources.tables import TPCH_TABLES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+SAMPLE = [
+    "size_clusters",
+    "keeper_ranking",
+    "reclaimable",
+    "cache_validity_join",
+    "pricing_summary",
+    "events_hourly",
+    "embedding_topk",
+    "lang_id",
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TPCH_TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return con
+
+
+def _norm(df: pd.DataFrame) -> list[str]:
+    cols = sorted(df.columns)
+    d = df[cols].astype(str)
+    return sorted(d.apply(lambda r: "|".join(r.values), axis=1))
+
+
+def test_every_oracle_has_a_query():
+    assert set(ORACLES) <= set(QUERIES)
+
+
+@pytest.mark.parametrize("name", SAMPLE)
+def test_query_matches_oracle(spark, duck, name):
+    sdf = QUERIES[name](spark, SF_DIR).toPandas()
+    odf = duck.execute(ORACLES[name]).df()
+    assert sorted(sdf.columns) == sorted(odf.columns)
+    assert len(sdf) == len(odf)
+    assert _norm(sdf) == _norm(odf)
+
+
+def test_rows_only_queries_run(spark):
+    for name in set(QUERIES) - set(ORACLES):
+        df = QUERIES[name](spark, SF_DIR)
+        assert df.count() >= 0, name
+
+
+def test_entry_smoke(spark):
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() > 0
+    assert set(df.columns) == {"url", "cluster_id", "match_kind"}
