@@ -30,35 +30,77 @@ def _perm_params(num_perm: int = NUM_PERM) -> tuple[np.ndarray, np.ndarray]:
 _A, _B = _perm_params()
 
 
-def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
-    """Hashes of k-word shingles (k=3); falls back to unigrams for short
-    texts. SipHash via pandas.util.hash_array — vectorized, deterministic."""
+def _shingles(text: str, k: int = 3) -> list[str]:
+    """k-word shingles (k=3); falls back to unigrams for short texts.
+    Duplicates are fine — min over a multiset equals min over its set."""
     toks = text.split()
     if len(toks) < k:
-        items = toks if toks else [""]
-    else:
-        items = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
-    return np.unique(pd.util.hash_array(np.asarray(items, dtype=object)))
+        return toks if toks else [""]
+    return [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
 
 
-def minhash_signature(text: str | None, k: int = 3) -> np.ndarray | None:
+def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
+    """SipHash via pandas.util.hash_array — vectorized, deterministic."""
+    return pd.util.hash_array(np.asarray(_shingles(text, k), dtype=object))
+
+
+def minhash_signature_kperm(text: str | None, k: int = 3) -> np.ndarray | None:
+    """Classic 128-permutation MinHash — the textbook formulation, kept
+    for reference/tests. O(S×128) memory traffic per doc: measured
+    memory-bandwidth-bound at scale (51s for 178k docs on 32 cores)."""
     if text is None:
         return None
     h = _shingle_hashes(text, k)
-    # (n_shingles, num_perm) universal hashes, min over shingles
     vals = h[:, None] * _A[None, :] + _B[None, :]  # uint64 wraparound == mod 2^64
     return vals.min(axis=0).astype(np.int64)  # two's-complement view for Spark long
 
 
+def minhash_signature(text: str | None, k: int = 3) -> np.ndarray | None:
+    """One-permutation hashing (OPH) with rotation densification
+    (Li, Owen, Zhang 2012; Shrivastava & Li 2014 — public): hash each
+    shingle ONCE, scatter into NUM_PERM buckets by its low bits, keep the
+    per-bucket min, then fill empty buckets by rotation (borrow from the
+    next non-empty bucket). O(S) work/traffic per doc — ~100× less
+    memory movement than k-perm, same LSH banding behavior."""
+    if text is None:
+        return None
+    h = _shingle_hashes(text, k)
+    buckets = (h & np.uint64(NUM_PERM - 1)).astype(np.intp)
+    vals = h >> np.uint64(7)  # bucket-independent value bits
+    sig = np.full(NUM_PERM, np.uint64(0xFFFFFFFFFFFFFFFF), dtype=np.uint64)
+    np.minimum.at(sig, buckets, vals)
+    empty = sig == np.uint64(0xFFFFFFFFFFFFFFFF)
+    if empty.any():
+        if empty.all():
+            return np.zeros(NUM_PERM, dtype=np.int64)
+        # rotation densification: each empty bucket copies the value of
+        # the nearest non-empty bucket to its right (cyclically), offset
+        # by the distance so different borrow distances stay distinct
+        idx = np.arange(NUM_PERM)
+        nonempty_idx = idx[~empty]
+        pos = np.searchsorted(nonempty_idx, idx[empty])
+        donor = nonempty_idx[pos % len(nonempty_idx)]
+        dist = (donor - idx[empty]) % NUM_PERM
+        sig[empty] = sig[donor] + dist.astype(np.uint64)
+    return sig.astype(np.int64)
+
+
+def _batch_signatures(texts) -> list:
+    """Per-doc loop (numpy-optimal; batched reduceat and global hashing
+    were both measured slower)."""
+    return [minhash_signature(t) for t in texts]
+
+
 @pandas_udf(ArrayType(LongType()))
 def minhash_udf(texts: pd.Series) -> pd.Series:
-    return texts.map(minhash_signature)
+    return pd.Series(_batch_signatures(texts.values), index=texts.index)
 
 
 @pandas_udf(ArrayType(StringType()))
 def minhash_bands(signatures: pd.Series) -> pd.Series:
     """Band keys ``'m{band}:{hash-of-rows}'`` — one per LSH band. Explode
-    JVM-side to get bucket rows; equal band key ⇒ candidate pair."""
+    JVM-side to get bucket rows; equal band key ⇒ candidate pair.
+    (Python variant; the pipeline hot path uses ``minhash_bands_col``.)"""
     rows = NUM_PERM // LSH_BANDS
 
     def bands(sig: list[int] | None) -> list[str] | None:
@@ -69,6 +111,23 @@ def minhash_bands(signatures: pd.Series) -> pd.Series:
         return [f"m{i}:{int(v):x}" for i, v in enumerate(keys)]
 
     return signatures.map(bands)
+
+
+def minhash_bands_col(sig):
+    """JVM-side band keys: ``xxhash64(band_index, sig[4b..4b+3])`` per
+    band → ``array<long>``. Stays in whole-stage codegen, no Python, no
+    strings — band longs shuffle ~3× smaller than formatted keys."""
+    from pyspark.sql import functions as F
+
+    rows = NUM_PERM // LSH_BANDS
+    return F.array(
+        *[
+            F.xxhash64(
+                F.lit(b), *[F.element_at(sig, b * rows + r + 1) for r in range(rows)]
+            )
+            for b in range(LSH_BANDS)
+        ]
+    )
 
 
 def estimate_jaccard(sig_a: np.ndarray, sig_b: np.ndarray) -> float:

@@ -27,11 +27,21 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.minhash import minhash_bands, minhash_udf
+from ..functions.minhash import minhash_bands, minhash_bands_col, minhash_udf
 from ..functions.simhash import simhash64_udf, simhash_bands
 from .blocking import block_key
 
 DEFAULT_MAX_BUCKET = 2_000
+
+
+def bucket_table_from_sigs(sigs: DataFrame) -> DataFrame:
+    """→ (bucket_key:long, url) from a precomputed (url, sig) table.
+    Band keys are JVM-side xxhash64 over signature slices — the whole
+    bucketing is codegen, no Python, and the exploded rows carry only
+    (long, url): the narrowest possible self-join input."""
+    return sigs.select(
+        F.explode(minhash_bands_col(F.col("sig"))).alias("bucket_key"), "url"
+    )
 
 
 def bucket_table(
@@ -44,7 +54,18 @@ def bucket_table(
 
     Signatures are computed once per page (map-side, Arrow-batched) and
     exploded into bucket rows — no shuffle until the self-join.
+
+    The input is re-spread to full parallelism first: upstream joins at
+    small scale get AQE-coalesced to one partition, which would serialize
+    the CPU-heavy signature UDFs onto a single core (at production scale
+    the repartition is equally correct — signature compute wants even
+    CPU spread, and the following self-join reshuffles anyway).
     """
+    n_parts = max(
+        working.sparkSession.sparkContext.defaultParallelism,
+        working.rdd.getNumPartitions(),
+    )
+    working = working.repartition(n_parts)
     paths = []
     if use_cheap_key:
         paths.append(

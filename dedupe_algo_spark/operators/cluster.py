@@ -57,8 +57,9 @@ def _small_star(edges: DataFrame) -> DataFrame:
     oriented = _canonical(edges)  # src > dst
     m = oriented.groupBy("src").agg(F.min("dst").alias("m"))
     j = oriented.join(m, "src")
+    # no inner distinct: the caller's _canonical dedups the superstep output
     return j.select(F.col("dst").alias("src"), F.col("m").alias("dst")).union(
-        j.select("src", "m").distinct().select("src", F.col("m").alias("dst"))
+        j.select("src", F.col("m").alias("dst"))
     )
 
 
@@ -82,10 +83,12 @@ def connected_components(
     if checkpoint:
         cur = cur.localCheckpoint(eager=True)
     prev_sig = None
-    for _ in range(max_iter):
+    for i in range(max_iter):
         cur = _canonical(_small_star(_large_star(cur)))
         if checkpoint:
             cur = cur.localCheckpoint(eager=True)
+        if i == 0:
+            continue  # star graphs never converge before superstep 2
         sig = _signature(cur)
         if sig == prev_sig:
             break

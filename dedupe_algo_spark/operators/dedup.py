@@ -1,25 +1,36 @@
-"""Exact-duplicate cascade — the reference's flagship ``start_scan`` query.
+"""Exact-duplicate detection — the reference's flagship ``start_scan``.
 
 Reference 3-pass design (lib.rs:30-182):
   pass 1  group by size, drop singletons          (lib.rs:54-64)
   pass 2  partial hash (16KB head+tail), regroup  (lib.rs:83-121)
   pass 3  full hash, final groups of ≥2           (lib.rs:130-181)
 
-Spark re-design, NOT a translation:
+Spark re-design, NOT a translation. The reference's cascade exists to
+avoid *reading file bytes* for non-candidates (partial hash reads 32KB,
+full hash reads everything). In Spark the text is already in the row:
+one scan pass computes every per-row artifact map-side —
 
-* The reference's pass 1 (size-only grouping) exists to avoid disk reads;
-  it pays off because u64 byte sizes are high-cardinality. At 10^12 text
-  rows, char-length cardinality (~10^4) would put ~10^8 rows behind each
-  window key — a guaranteed hot shuffle. We therefore *fuse* pass 1 into
-  pass 2: the partial hash is computed map-side (zero shuffle, 16KB
-  window) and the first shuffle is on the well-distributed
-  ``(text_len, partial_hash)`` key. Same pruning semantics, one less
-  shuffle, no hot keys.
-* Hashes are built-in ``sha2`` (JVM, whole-stage codegen) by default;
-  the pandas-UDF variants (north_star mandate) are switchable and
-  digest-identical.
-* Singleton pruning is a window count over the grouping key — the window
-  reuses the shuffle partitioning the key already needs.
+    (url, text_len, partial_hash, content_sha256, minhash signature)
+
+— and ``text`` itself is dropped before the first shuffle. That is the
+100TB-defining property of this design: **text bytes never shuffle**;
+only the ~100-byte meta row (plus the 1KB signature on the near path)
+moves between executors, and the expensive column is read exactly once.
+
+The cascade's pruning semantics survive as grouping structure:
+* pass-1 analog: char-length is part of the grouping key (the
+  reference's size key) — but never a shuffle key on its own, because
+  its cardinality (~10^4) would put ~10^8 rows behind each key at
+  10^12 rows;
+* pass-2/3 analog: one hash-agg on the well-distributed
+  ``(text_len, content_sha256)`` key; partial hashes are still computed
+  (memo table parity, cache.rs:19-25) but no longer gate a separate
+  pass — with the bytes in hand, SHA-256 over the full text costs the
+  same scan either way.
+
+Hashes are built-in ``sha2`` (JVM, whole-stage codegen) by default; the
+pandas-UDF twins (north_star mandate) are switchable and
+digest-identical.
 """
 
 from __future__ import annotations
@@ -33,7 +44,44 @@ from ..functions.hashing import (
     sha256_col,
     sha256_udf,
 )
-from .blocking import prune_singleton_blocks
+from ..functions.minhash import minhash_udf
+
+
+def page_meta(
+    pages: DataFrame,
+    min_len: int = 10,
+    use_pandas_udf: bool = False,
+    with_signature: bool = True,
+    with_ts: bool = False,
+) -> DataFrame:
+    """One-pass map-side projection of everything dedup needs, with the
+    text column dropped at the end of the pass. Zero shuffles."""
+    partial = (
+        partial_sha256_udf(F.col("text"))
+        if use_pandas_udf
+        else partial_sha256_col(F.col("text"))
+    )
+    full = sha256_udf(F.col("text")) if use_pandas_udf else sha256_col(F.col("text"))
+    cols = [
+        F.col("url"),
+        F.length("text").cast("long").alias("text_len"),
+        partial.alias("partial_hash"),
+        full.alias("content_sha256"),
+    ]
+    if with_ts:
+        cols.insert(1, F.col("warc_ts"))
+    if with_signature:
+        cols.append(minhash_udf(F.col("text")).alias("sig"))
+    return pages.where(F.length("text") >= min_len).select(*cols)
+
+
+def assign_exact(meta: DataFrame) -> DataFrame:
+    """Exact grouping over slim meta: one shuffle on the
+    (text_len, content_sha256) key; window count + min reuse it."""
+    w = Window.partitionBy("text_len", "content_sha256")
+    return meta.withColumn("cluster_size", F.count(F.lit(1)).over(w)).withColumn(
+        "rep_url", F.min("url").over(w)
+    )
 
 
 def exact_dup_assignments(
@@ -42,41 +90,20 @@ def exact_dup_assignments(
     use_pandas_udf: bool = False,
     keep_singletons: bool = False,
 ) -> DataFrame:
-    """→ (url, text_len, content_sha256, cluster_id, cluster_size).
+    """→ (url, text_len, content_sha256, cluster_size, cluster_id).
 
     ``cluster_id`` = min(url) within the (text_len, sha256) group —
-    deterministic under any row order. With ``keep_singletons`` the
-    output covers every input row (used by the near-dup path to collapse
-    exact groups to one representative before pair generation).
+    deterministic under any row order.
     """
-    partial = partial_sha256_udf(F.col("text")) if use_pandas_udf else partial_sha256_col(F.col("text"))
-    full = sha256_udf(F.col("text")) if use_pandas_udf else sha256_col(F.col("text"))
-
-    df = (
-        pages.where(F.length("text") >= min_len)
-        .select(
-            "url",
-            F.length("text").cast("long").alias("text_len"),
-            F.col("text"),
-        )
-        .withColumn("partial_hash", partial)  # map-side, no shuffle
+    meta = page_meta(
+        pages, min_len=min_len, use_pandas_udf=use_pandas_udf, with_signature=False
     )
-    # fused pass 1+2: prune blocks that cannot contain an exact pair.
-    # (Skipped when singletons are requested — the prune is purely a
-    # compute gate for the dup-only output, not a semantic filter.)
-    survivors = (
-        df
-        if keep_singletons
-        else prune_singleton_blocks(df, key=["text_len", "partial_hash"])
-    )
-    # pass 3: full hash on survivors only (the expensive compute is gated
-    # behind the cheap prune, like the reference's full-read gating)
-    hashed = survivors.withColumn("content_sha256", full).drop("partial_hash")
-    w = Window.partitionBy("text_len", "content_sha256")
-    out = (
-        hashed.withColumn("cluster_size", F.count(F.lit(1)).over(w))
-        .withColumn("cluster_id", F.min("url").over(w))
-        .drop("text")
+    out = assign_exact(meta).select(
+        "url",
+        "text_len",
+        "content_sha256",
+        "cluster_size",
+        F.col("rep_url").alias("cluster_id"),
     )
     if not keep_singletons:
         out = out.where(F.col("cluster_size") >= 2)

@@ -1,14 +1,21 @@
 """Pair scoring — confirm stage for near-duplicate candidates.
 
-Reference analog: pass 3's byte-compare-via-full-hash confirm
-(lib.rs:130-160). For near-dups the confirm is a similarity score over
-the candidate-pair DataFrame (north_star: batched Jaro-Winkler /
-Levenshtein + MinHash-Jaccard).
+Two-tier design (north_star: "batched Jaro-Winkler/Levenshtein +
+MinHash-Jaccard"):
 
-Scale shape: pairs join texts twice (url_a, url_b) — two shuffles
-against the (much smaller) representative table; scores are one
-Arrow-batched UDF pass over the joined pairs. Exact dup pairs never
-reach here (collapsed to representatives upstream).
+1. **Estimate** — MinHash-Jaccard from the signatures already carried by
+   the bucket rows. Signature joins are pair-side-small (AQE broadcasts
+   the pair list), so the 1KB sigs stream map-side and nothing wide
+   shuffles. Pairs far below threshold (the vast majority) die here.
+2. **Confirm** — exact token-set Jaccard over the texts, but only for
+   estimate-survivors: the text column is re-read from the source and
+   joined against the (tiny) survivor list — again pair-side-small, so
+   text never shuffles. Jaro-Winkler / Levenshtein scorers are available
+   for fielded-record linkage via the same join shape.
+
+The reference analog is pass 3's full-hash byte-confirm after the cheap
+partial-hash gate (lib.rs:130-160) — same cheap-gate-then-confirm shape,
+generalized to similarity.
 """
 
 from __future__ import annotations
@@ -16,9 +23,53 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.minhash import minhash_jaccard_udf
 from ..functions.similarity import pair_jaccard_udf
 
-DEFAULT_THRESHOLD = 0.85
+DEFAULT_THRESHOLD = 0.80
+DEFAULT_ESTIMATE_GATE = 0.55  # pre-filter margin below the confirm threshold
+
+
+def estimate_pairs(pairs: DataFrame, sigs: DataFrame, gate: float) -> DataFrame:
+    """→ pairs with ``est_score`` ≥ gate. ``sigs`` is (url, sig)."""
+    sa = sigs.select(F.col("url").alias("url_a"), F.col("sig").alias("_sa"))
+    sb = sigs.select(F.col("url").alias("url_b"), F.col("sig").alias("_sb"))
+    est = (
+        pairs.join(sa, "url_a")
+        .join(sb, "url_b")
+        .withColumn("est_score", minhash_jaccard_udf(F.col("_sa"), F.col("_sb")))
+        .drop("_sa", "_sb")
+    )
+    return est.where(F.col("est_score") >= gate)
+
+
+def confirm_pairs(
+    candidates: DataFrame, pages: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact token-Jaccard confirm on estimate survivors.
+    → (url_a, url_b, score).
+
+    The text column is read from the source exactly ONCE: a semi-join
+    against the candidate url set carves out the tiny text slice
+    (2×|pairs| rows), which is then persisted and joined twice (both
+    joins are slice-side-small → broadcast). At 10^12 rows this halves
+    the second text scan; locally it halves the dominant stage cost.
+    """
+    cand = candidates.select("url_a", "url_b").persist()
+    urls = (
+        cand.select(F.col("url_a").alias("url"))
+        .union(cand.select(F.col("url_b").alias("url")))
+        .distinct()
+    )
+    slice_ = pages.join(urls, "url", "left_semi").select("url", "text").persist()
+    ta = slice_.select(F.col("url").alias("url_a"), F.col("text").alias("_ta"))
+    tb = slice_.select(F.col("url").alias("url_b"), F.col("text").alias("_tb"))
+    scored = (
+        cand.join(ta, "url_a")
+        .join(tb, "url_b")
+        .withColumn("score", pair_jaccard_udf(F.col("_ta"), F.col("_tb")))
+    )
+    return scored.where(F.col("score") >= threshold).select("url_a", "url_b", "score")
 
 
 def score_pairs(
@@ -26,14 +77,6 @@ def score_pairs(
     texts: DataFrame,
     threshold: float = DEFAULT_THRESHOLD,
 ) -> DataFrame:
-    """→ (url_a, url_b, score) for pairs with token-Jaccard ≥ threshold.
-
-    ``texts`` must be (url, text) with one row per url (representatives).
-    """
-    ta = texts.select(F.col("url").alias("url_a"), F.col("text").alias("text_a"))
-    tb = texts.select(F.col("url").alias("url_b"), F.col("text").alias("text_b"))
-    joined = pairs.join(ta, "url_a").join(tb, "url_b")
-    scored = joined.withColumn(
-        "score", pair_jaccard_udf(F.col("text_a"), F.col("text_b"))
-    )
-    return scored.where(F.col("score") >= threshold).select("url_a", "url_b", "score")
+    """Single-tier exact scoring (kept for direct use/tests):
+    → (url_a, url_b, score) with token-Jaccard ≥ threshold."""
+    return confirm_pairs(pairs, texts, threshold)

@@ -3,21 +3,24 @@
 Reference lifecycle (SURVEY.md §3.1, lib.rs:30-182) re-designed for
 Spark:
 
-    pages
-      → min-length filter                       (F5)
-      → exact-dup assignment (cascade)          (passes 1-3, dedup.py)
-      → collapse to one representative/text     (scale lever)
-      → multi-path bucketing (cheap key + LSH)  (pass-1 generalization)
-      → candidate self-join with hot-bucket cap (the added join, §2.4)
-      → Arrow-batched pair scoring ≥ threshold  (pass-3 generalization)
+    pages (scan, read ONCE)
+      → page_meta: map-side (url, len, partial, sha256, minhash sig);
+        text dropped before any shuffle               (passes 1-3 compute)
+      → exact grouping on (len, sha256)               (1 slim shuffle)
+      → collapse to one representative per text       (scale lever)
+      → JVM xxhash64 LSH bands → (long,url) self-join (pass-1 generalized)
+      → tier-1 MinHash-Jaccard estimate (sig join, pair-side broadcast)
+      → tier-2 exact token-Jaccard confirm (text re-read, pair-side
+        broadcast — text STILL never shuffles)
       → exact star-edges ∪ near match-edges
       → large-star/small-star connected components
-      → flat (url, cluster_id, match_kind) assignment
+      → flat (url, cluster_id, match_kind)
 
-Shuffle census (the plan to defend at 100 TB): one shuffle for the
-exact grouping key, one for the bucket self-join (AQE-skew-handled),
-two small joins for pair texts, and O(log n) CC supersteps over the
-match edges (tiny relative to input). Everything else is map-side.
+Shuffle census to defend at 100 TB: one shuffle of ~100B meta rows for
+exact grouping, one shuffle of (long,url) bucket rows for the candidate
+self-join (AQE-skew-handled, hot buckets capped + audited), O(log n) CC
+supersteps over match edges. The text column is scanned twice (meta,
+confirm) and shuffled zero times.
 """
 
 from __future__ import annotations
@@ -27,10 +30,19 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .operators.candidates import DEFAULT_MAX_BUCKET, bucket_table, candidate_pairs
+from .operators.candidates import (
+    DEFAULT_MAX_BUCKET,
+    bucket_table_from_sigs,
+    candidate_pairs,
+)
 from .operators.cluster import connected_components
-from .operators.dedup import exact_dup_assignments
-from .operators.scoring import DEFAULT_THRESHOLD, score_pairs
+from .operators.dedup import assign_exact, page_meta
+from .operators.scoring import (
+    DEFAULT_ESTIMATE_GATE,
+    DEFAULT_THRESHOLD,
+    confirm_pairs,
+    estimate_pairs,
+)
 
 
 @dataclass
@@ -46,104 +58,115 @@ def dedup_pipeline(
     pages: DataFrame,
     min_len: int = 10,
     threshold: float = DEFAULT_THRESHOLD,
+    estimate_gate: float = DEFAULT_ESTIMATE_GATE,
     max_bucket: int = DEFAULT_MAX_BUCKET,
     use_pandas_udf_hash: bool = False,
     include_near: bool = True,
-    use_simhash_path: bool = False,
-    use_cheap_key_path: bool = False,
+    exact_confirm: bool = True,
     stage=None,
 ) -> DedupResult:
     """Full dedup: exact + near duplicates → transitive clusters.
 
     ``stage(name, thunk) -> DataFrame`` is an optional checkpoint hook
-    (see runner.CheckpointedRun.stage): when provided, each named stage
-    commits its output and a resumed run reads committed snapshots
-    instead of recomputing.
+    (see runner.CheckpointedRun.stage): each named stage commits its
+    output and a resumed run reads committed snapshots instead of
+    recomputing. ``exact_confirm=False`` skips tier-2 (signature
+    estimate only — cheaper, slightly softer precision near the
+    threshold).
     """
     if stage is None:
         stage = lambda name, fn: fn()  # noqa: E731 — identity hook
 
-    # Exact assignment over every surviving row (singletons included —
-    # they are the representatives pair generation runs on).
-    exact_all = stage(
-        "exact_assign",
-        lambda: exact_dup_assignments(
+    meta = stage(
+        "page_meta",
+        lambda: page_meta(
             pages,
             min_len=min_len,
             use_pandas_udf=use_pandas_udf_hash,
-            keep_singletons=True,
-        ).withColumnRenamed("cluster_id", "rep_url"),
-    )
-    exact_all = exact_all.persist()
+            with_signature=include_near,
+        ),
+    ).persist()
 
-    exact_dups = exact_all.where(F.col("cluster_size") >= 2)
+    # persisted: the exact-grouping window feeds four consumers (dup
+    # view, star edges, rep signatures, final cluster join) — without
+    # this the 200MB window shuffle re-runs per consumer
+    assigned = assign_exact(meta).persist()
+    exact_dups = assigned.where(F.col("cluster_size") >= 2).select(
+        "url",
+        "text_len",
+        "content_sha256",
+        "cluster_size",
+        F.col("rep_url").alias("cluster_id"),
+    )
 
     # Star edges url→representative (linear in members, never quadratic).
-    exact_edges = exact_dups.where(F.col("url") != F.col("rep_url")).select(
-        F.col("url").alias("url_a"),
-        F.col("rep_url").alias("url_b"),
-        F.lit(1.0).alias("score"),
+    exact_edges = (
+        assigned.where(
+            (F.col("cluster_size") >= 2) & (F.col("url") != F.col("rep_url"))
+        )
+        .select(
+            F.col("url").alias("url_a"),
+            F.col("rep_url").alias("url_b"),
+            F.lit(1.0).alias("score"),
+        )
     )
 
     if include_near:
-        # One representative row per distinct text: rep carries the text.
-        reps = (
-            pages.where(F.length("text") >= min_len)
-            .join(
-                exact_all.where(F.col("url") == F.col("rep_url")).select("url"),
-                "url",
-                "inner",
-            )
-            .select("url", "text")
+        rep_sigs = assigned.where(F.col("url") == F.col("rep_url")).select(
+            "url", "sig"
         )
-        # Candidate generation is MinHash-LSH-primary: profiled on 20k
-        # pages, the coarse (log2-len, domain) cheap key emitted 2.76M
-        # pairs of which LSH-only contributed zero *new* true pairs —
-        # i.e. the cheap key was pure quadratic junk on head domains.
-        # LSH band buckets collide for unrelated docs at ~1e-4, so the
-        # pair count stays ~linear in the duplicate count at any scale.
-        near_edges = stage(
-            "near_edges",
-            lambda: score_pairs(
-                candidate_pairs(
-                    bucket_table(
-                        reps,
-                        use_minhash=True,
-                        use_simhash=use_simhash_path,
-                        use_cheap_key=use_cheap_key_path,
-                    ),
-                    max_bucket=max_bucket,
-                ),
-                reps,
-                threshold=threshold,
+
+        def near():
+            pairs = candidate_pairs(
+                bucket_table_from_sigs(rep_sigs), max_bucket=max_bucket
+            )
+            cands = estimate_pairs(pairs, rep_sigs, gate=estimate_gate)
+            if exact_confirm:
+                return confirm_pairs(cands, pages, threshold=threshold)
+            return cands.select(
+                "url_a", "url_b", F.col("est_score").alias("score")
+            ).where(F.col("score") >= threshold)
+
+        near_edges = stage("near_edges", near)
+        all_edges = exact_edges.unionByName(near_edges)
+
+        # CC runs on the contracted rep-graph only: exact groups are
+        # already stars rooted at min(url), and near edges connect reps
+        # exclusively, so component labels over (stars ∪ near) equal
+        # component labels over near alone, extended through the exact
+        # mapping. Cuts CC input from |members| to |rep near-edges|.
+        rep_comp = stage(
+            "components",
+            lambda: connected_components(
+                near_edges.select(
+                    F.col("url_a").alias("src"), F.col("url_b").alias("dst")
+                )
             ),
         )
-        all_edges = exact_edges.unionByName(near_edges)
     else:
-        near_edges = None
         all_edges = exact_edges
+        rep_comp = connected_components(
+            exact_edges.limit(0).select(
+                F.col("url_a").alias("src"), F.col("url_b").alias("dst")
+            )
+        )
 
-    components = stage(
-        "components",
-        lambda: connected_components(
-            all_edges.select(F.col("url_a").alias("src"), F.col("url_b").alias("dst"))
-        ),
+    comp = rep_comp.select(
+        F.col("url").alias("rep_url"), F.col("component")
     )
-
-    # match_kind: exact if the member shares content hash with its
-    # cluster's majority... simpler and faithful: exact if the url was in
-    # an exact-dup group, else near.
     clusters = (
-        components.withColumnRenamed("component", "cluster_id")
-        .join(exact_dups.select("url", F.lit("exact").alias("k")), "url", "left")
-        .withColumn("match_kind", F.coalesce(F.col("k"), F.lit("near")))
-        .select("url", "cluster_id", "match_kind")
+        assigned.select("url", "rep_url", "cluster_size")
+        .join(comp, "rep_url", "left")
+        .where((F.col("cluster_size") >= 2) | F.col("component").isNotNull())
+        .select(
+            "url",
+            F.coalesce(F.col("component"), F.col("rep_url")).alias("cluster_id"),
+            F.when(F.col("cluster_size") >= 2, F.lit("exact"))
+            .otherwise(F.lit("near"))
+            .alias("match_kind"),
+        )
     )
-    return DedupResult(
-        clusters=clusters,
-        exact=exact_dups.withColumnRenamed("rep_url", "cluster_id"),
-        edges=all_edges,
-    )
+    return DedupResult(clusters=clusters, exact=exact_dups, edges=all_edges)
 
 
 def pairwise_confusion(clusters: DataFrame, labels: DataFrame) -> DataFrame:

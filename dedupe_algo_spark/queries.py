@@ -255,6 +255,72 @@ SELECT source, name AS mount_name FROM j WHERE rn = 1
 # Text analysis
 # ---------------------------------------------------------------------------
 
+def q_recursive_prefix_size(spark, sf_dir):
+    """A8 — recursive folder size: Σ size under a path prefix
+    (lib.rs:337-348). Prefix 'src1' covers src1, src10..src19."""
+    return (
+        _docs(spark, sf_dir)
+        .where(F.col("source").startswith("src1"))
+        .agg(F.sum("n_chars").alias("total_size"), F.count(F.lit(1)).alias("n_files"))
+    )
+
+
+SQL_RECURSIVE_PREFIX_SIZE = """
+SELECT CAST(SUM(n_chars) AS BIGINT) AS total_size, COUNT(*) AS n_files
+FROM documents WHERE source LIKE 'src1%'
+"""
+
+
+def q_count_distinct_langs(spark, sf_dir):
+    """A10 — count-distinct ('n groups' badge, ResultsView.tsx:182)."""
+    return _docs(spark, sf_dir).agg(
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+
+
+SQL_COUNT_DISTINCT_LANGS = """
+SELECT COUNT(DISTINCT lang) AS n_langs, COUNT(DISTINCT source) AS n_sources
+FROM documents
+"""
+
+
+def q_except_users(spark, sf_dir):
+    """U3 — except: users who clicked but never purchased
+    (useStore.ts:87-89 deselect semantics)."""
+    events = load_table(spark, sf_dir, "events")
+    clickers = events.where(F.col("event_type") == "click").select("user_id")
+    buyers = events.where(F.col("event_type") == "purchase").select("user_id")
+    return clickers.subtract(buyers)  # EXCEPT (distinct) semantics
+
+
+SQL_EXCEPT_USERS = """
+SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+EXCEPT
+SELECT user_id FROM events WHERE event_type = 'purchase'
+"""
+
+
+def q_selected_size(spark, sf_dir):
+    """A5 — selected-size sum over a selection set via broadcast join
+    (ResultsView.tsx:110-123)."""
+    selection = spark.range(0, 100, 7).select(F.col("id").alias("doc_id"))
+    return (
+        _docs(spark, sf_dir)
+        .join(F.broadcast(selection), "doc_id", "inner")
+        .agg(
+            F.sum("n_chars").alias("selected_size"),
+            F.count(F.lit(1)).alias("n_selected"),
+        )
+    )
+
+
+SQL_SELECTED_SIZE = """
+SELECT CAST(SUM(n_chars) AS BIGINT) AS selected_size, COUNT(*) AS n_selected
+FROM documents WHERE doc_id % 7 = 0 AND doc_id < 100
+"""
+
+
 def q_token_count(spark, sf_dir):
     return _docs(spark, sf_dir).select(
         "doc_id", token_count(F.col("text")).alias("n_tokens")
@@ -657,6 +723,10 @@ QUERIES = {
     "folder_rollup": q_folder_rollup,
     "cache_validity_join": q_cache_validity_join,
     "prefix_theta_join": q_prefix_theta_join,
+    "recursive_prefix_size": q_recursive_prefix_size,
+    "count_distinct_langs": q_count_distinct_langs,
+    "except_users": q_except_users,
+    "selected_size": q_selected_size,
     "token_count": q_token_count,
     "bpe_token_count": q_bpe_token_count,
     "quality": q_quality,
@@ -691,6 +761,10 @@ ORACLES = {
     "folder_rollup": SQL_FOLDER_ROLLUP,
     "cache_validity_join": SQL_CACHE_VALIDITY_JOIN,
     "prefix_theta_join": SQL_PREFIX_THETA_JOIN,
+    "recursive_prefix_size": SQL_RECURSIVE_PREFIX_SIZE,
+    "count_distinct_langs": SQL_COUNT_DISTINCT_LANGS,
+    "except_users": SQL_EXCEPT_USERS,
+    "selected_size": SQL_SELECTED_SIZE,
     "token_count": SQL_TOKEN_COUNT,
     "bpe_token_count": SQL_BPE_TOKEN_COUNT,
     "quality": SQL_QUALITY,
