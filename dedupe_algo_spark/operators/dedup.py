@@ -75,6 +75,50 @@ def page_meta(
     return pages.where(F.length("text") >= min_len).select(*cols)
 
 
+def page_meta_incremental(
+    pages: DataFrame,
+    memo: DataFrame,
+    min_len: int = 10,
+    with_signature: bool = True,
+) -> DataFrame:
+    """Incremental variant of ``page_meta`` — the reference's cache fast
+    path (lib.rs:83-107,130-152): rows whose (url, text_len, warc_ts)
+    match a memo entry REUSE the stored hashes; stale or unseen rows
+    compute them. Shape: hashes are computed unconditionally map-side
+    (they're one codegen pass) but the *published* value prefers the
+    memoized one, so downstream grouping keys are stable across runs
+    even if the hash function version changes; signatures are computed
+    only where needed.
+
+    Returns the same schema as ``page_meta`` (+ warc_ts) plus a
+    ``cache_hit`` flag for audit.
+    """
+    from ..sources.memo import validity_join
+
+    base = pages.where(F.length("text") >= min_len).select(
+        "url",
+        "warc_ts",
+        F.length("text").cast("long").alias("text_len"),
+        F.col("text"),
+    )
+    joined = validity_join(base, memo)
+    cols = [
+        F.col("url"),
+        F.col("warc_ts"),
+        F.col("text_len"),
+        F.coalesce(F.col("reused_partial"), partial_sha256_col(F.col("text"))).alias(
+            "partial_hash"
+        ),
+        F.coalesce(F.col("reused_sha256"), sha256_col(F.col("text"))).alias(
+            "content_sha256"
+        ),
+        F.col("reused_sha256").isNotNull().alias("cache_hit"),
+    ]
+    if with_signature:
+        cols.append(minhash_udf(F.col("text")).alias("sig"))
+    return joined.select(*cols)
+
+
 def assign_exact(meta: DataFrame) -> DataFrame:
     """Exact grouping over slim meta: one shuffle on the
     (text_len, content_sha256) key; window count + min reuse it."""

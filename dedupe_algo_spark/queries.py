@@ -191,6 +191,58 @@ FROM (
 """
 
 
+def q_cube_rollup(spark, sf_dir):
+    """A7 generalized — grouping sets over (lang, source): the cube the
+    reference's two-level folder view approximates (SURVEY §2.3 notes A7
+    is grouping-sets-shaped)."""
+    return (
+        _docs(spark, sf_dir)
+        .cube("lang", "source")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("n_chars").alias("total_size"))
+    )
+
+
+SQL_CUBE_ROLLUP = """
+SELECT lang, source, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS total_size
+FROM documents GROUP BY CUBE (lang, source)
+"""
+
+
+def q_region_revenue(spark, sf_dir):
+    """TPC-H Q5-flavored 5-way join: revenue by region — exercises join
+    reordering + broadcast of the small dims."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("r_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+SQL_REGION_REVENUE = """
+SELECT r_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       COUNT(*) AS n_lineitems
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
 def q_cache_validity_join(spark, sf_dir):
     """J1 — memo validity join: reuse hash only when stored size matches
     (lib.rs:97-105). Synthetic memo: even doc_ids, stale unless id%4==0."""
@@ -721,6 +773,8 @@ QUERIES = {
     "group_search": q_group_search,
     "category_rollup": q_category_rollup,
     "folder_rollup": q_folder_rollup,
+    "cube_rollup": q_cube_rollup,
+    "region_revenue": q_region_revenue,
     "cache_validity_join": q_cache_validity_join,
     "prefix_theta_join": q_prefix_theta_join,
     "recursive_prefix_size": q_recursive_prefix_size,
@@ -759,6 +813,8 @@ ORACLES = {
     "group_search": SQL_GROUP_SEARCH,
     "category_rollup": SQL_CATEGORY_ROLLUP,
     "folder_rollup": SQL_FOLDER_ROLLUP,
+    "cube_rollup": SQL_CUBE_ROLLUP,
+    "region_revenue": SQL_REGION_REVENUE,
     "cache_validity_join": SQL_CACHE_VALIDITY_JOIN,
     "prefix_theta_join": SQL_PREFIX_THETA_JOIN,
     "recursive_prefix_size": SQL_RECURSIVE_PREFIX_SIZE,
