@@ -303,6 +303,222 @@ SELECT source, name AS mount_name FROM j WHERE rn = 1
 """
 
 
+def q_partial_hash_clusters(spark, sf_dir):
+    """A2/C1 — pass-2 grouping by (size, partial head+tail hash)
+    (lib.rs:110-115; window semantics scanner.rs:21-48: first 16KB, plus
+    last 16KB when content exceeds 32KB). The driver's documents have no
+    byte-identical texts, so two long variants per doc are synthesized —
+    same head and tail, one middle char mutated — and the grouping must
+    collide them on the partial hash while the full hash still separates
+    them (the reference's pass-2→pass-3 refinement, proven in one query)."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.repeat(F.substring("text", 1, 50), 1000).alias("base")
+    )
+    mutated = F.concat(
+        F.substring("base", 1, 20000),
+        F.lit("X"),
+        F.substring("base", 20002, 2_000_000),
+    )
+    variants = docs.select("doc_id", F.col("base").alias("vtext")).unionByName(
+        docs.select("doc_id", mutated.alias("vtext"))
+    )
+    text = F.col("vtext")
+    n = F.length(text)
+    window = F.when(
+        n > 32768,
+        F.concat(F.substring(text, 1, 16384), F.substring(text, -16384, 16384)),
+    ).otherwise(text)
+    partial = F.when(n > 0, F.md5(window.cast("binary")))
+    return (
+        variants.select(
+            n.alias("v_len"),
+            partial.alias("partial_hash"),
+            F.md5(text.cast("binary")).alias("full_hash"),
+            "doc_id",
+        )
+        .groupBy("v_len", "partial_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.countDistinct("full_hash").alias("n_full"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+        .where(F.col("n_members") >= 2)
+    )
+
+
+SQL_PARTIAL_HASH_CLUSTERS = """
+WITH base AS (
+  SELECT doc_id, repeat(substr(text, 1, 50), 1000) AS base FROM documents
+), variants AS (
+  SELECT doc_id, base AS vtext FROM base
+  UNION ALL
+  SELECT doc_id, substr(base, 1, 20000) || 'X' || substr(base, 20002, 2000000)
+  FROM base
+), hashed AS (
+  SELECT doc_id, LENGTH(vtext) AS v_len,
+         CASE WHEN LENGTH(vtext) > 0 THEN md5(
+           CASE WHEN LENGTH(vtext) > 32768
+                THEN substr(vtext, 1, 16384) ||
+                     substr(vtext, LENGTH(vtext) - 16383, 16384)
+                ELSE vtext END) END AS partial_hash,
+         md5(vtext) AS full_hash
+  FROM variants
+)
+SELECT v_len, partial_hash, COUNT(*) AS n_members,
+       COUNT(DISTINCT full_hash) AS n_full, MIN(doc_id) AS min_doc_id
+FROM hashed GROUP BY 1, 2 HAVING COUNT(*) >= 2
+"""
+
+
+def q_line_parse(spark, sf_dir):
+    """S6/C12/A11 — whitespace-tokenized line parse with numeric casts
+    and percent math (lib.rs:263-302, ScanQueueView.tsx:182): lines are
+    synthesized from documents so the oracle sees identical input."""
+    docs = _docs(spark, sf_dir)
+    lines = docs.select(
+        "doc_id",
+        F.concat_ws(
+            " ", F.col("source"), F.col("n_chars").cast("string"),
+            F.col("doc_id").cast("string"),
+        ).alias("line"),
+    )
+    toks = F.split(F.trim(F.col("line")), r"\s+")
+    return lines.select(
+        "doc_id",
+        F.element_at(toks, 1).alias("name"),
+        (F.element_at(toks, 2).cast("long") * 1024).alias("total_space"),
+        F.element_at(toks, 3).cast("long").alias("used"),
+    ).withColumn(
+        "pct_used",
+        F.when(F.col("total_space") == 0, F.lit(0)).otherwise(
+            F.round(F.col("used") / F.col("total_space") * 100).cast("int")
+        ),
+    )
+
+
+SQL_LINE_PARSE = r"""
+WITH lines AS (
+  SELECT doc_id, concat_ws(' ', source, CAST(n_chars AS VARCHAR),
+                           CAST(doc_id AS VARCHAR)) AS line
+  FROM documents
+), t AS (
+  SELECT doc_id, string_split_regex(TRIM(line), '\s+') AS toks FROM lines
+)
+SELECT doc_id,
+       list_element(toks, 1) AS name,
+       CAST(list_element(toks, 2) AS BIGINT) * 1024 AS total_space,
+       CAST(list_element(toks, 3) AS BIGINT) AS used,
+       CASE WHEN CAST(list_element(toks, 2) AS BIGINT) * 1024 = 0 THEN 0
+            ELSE CAST(ROUND(CAST(list_element(toks, 3) AS BIGINT)
+                 / (CAST(list_element(toks, 2) AS BIGINT) * 1024.0) * 100)
+                 AS INT) END AS pct_used
+FROM t
+"""
+
+
+def q_deletion_impact(spark, sf_dir):
+    """A9/J2 — deletion impact summary: selected keys joined back to the
+    corpus, per-category counts + total size (DeleteConfirmation.tsx:23-58)."""
+    selection = spark.range(0, 500, 5).select(F.col("id").alias("doc_id"))
+    return (
+        _docs(spark, sf_dir)
+        .join(F.broadcast(selection), "doc_id", "inner")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_selected"),
+            F.sum("n_chars").alias("total_size"),
+        )
+    )
+
+
+SQL_DELETION_IMPACT = """
+SELECT lang, COUNT(*) AS n_selected, CAST(SUM(n_chars) AS BIGINT) AS total_size
+FROM documents WHERE doc_id % 5 = 0 AND doc_id < 500 GROUP BY lang
+"""
+
+
+def q_post_delete_refilter(spark, sf_dir):
+    """J5+F7 — after deleting a selection, anti-join it out and re-apply
+    the ≥2-member cluster filter (useStore.ts:116-127)."""
+    docs = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    deleted = docs.where(F.col("doc_id") % 3 == 0).select("doc_id")
+    remaining = docs.join(F.broadcast(deleted), "doc_id", "left_anti")
+    return (
+        remaining.groupBy("n_chars")
+        .agg(F.count(F.lit(1)).alias("n_members"), F.min("doc_id").alias("min_doc_id"))
+        .where(F.col("n_members") >= 2)
+    )
+
+
+SQL_POST_DELETE_REFILTER = """
+SELECT n_chars, COUNT(*) AS n_members, MIN(doc_id) AS min_doc_id
+FROM documents WHERE doc_id % 3 <> 0
+GROUP BY n_chars HAVING COUNT(*) >= 2
+"""
+
+
+def q_listing_order(spark, sf_dir):
+    """O5 — dirs-first, case-insensitive-name ordering materialized as a
+    rank (lib.rs:476-483); synthetic listing from distinct sources."""
+    entries = (
+        _docs(spark, sf_dir)
+        .select(F.col("source").alias("name"))
+        .distinct()
+        .withColumn("is_dir", F.length("name") % 2 == 0)
+    )
+    w = Window.orderBy(F.desc("is_dir"), F.lower("name"), F.col("name"))
+    return entries.withColumn("rn", F.row_number().over(w))
+
+
+SQL_LISTING_ORDER = """
+SELECT name, is_dir,
+       ROW_NUMBER() OVER (ORDER BY is_dir DESC, LOWER(name), name) AS rn
+FROM (SELECT DISTINCT source AS name, LENGTH(source) % 2 = 0 AS is_dir
+      FROM documents)
+"""
+
+
+def q_size_format(spark, sf_dir):
+    """C5/C6/C14 — human-size ladder (utils.ts:8-14), size-class
+    classifier (dataTransform.ts:30-44 shape), epoch→date (C6)."""
+    n = F.col("n_chars")
+    size_h = (
+        F.when(n == 0, F.lit("0 Bytes"))
+        .when(n < 1024, F.concat(F.format_string("%.2f", n.cast("double")), F.lit(" Bytes")))
+        .when(n < 1024**2, F.concat(F.format_string("%.2f", n / 1024.0), F.lit(" KB")))
+        .otherwise(F.concat(F.format_string("%.2f", n / float(1024**2)), F.lit(" MB")))
+    )
+    size_class = (
+        F.when(n < 500, "tiny")
+        .when(n < 2000, "small")
+        .when(n < 8000, "medium")
+        .otherwise("large")
+    )
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        size_h.alias("size_h"),
+        size_class.alias("size_class"),
+        F.date_format(
+            F.from_unixtime(F.col("doc_id") + 1_600_000_000), "yyyy-MM-dd"
+        ).alias("as_of_date"),
+    )
+
+
+SQL_SIZE_FORMAT = """
+SELECT doc_id,
+       CASE WHEN n_chars = 0 THEN '0 Bytes'
+            WHEN n_chars < 1024 THEN printf('%.2f', CAST(n_chars AS DOUBLE)) || ' Bytes'
+            WHEN n_chars < 1048576 THEN printf('%.2f', n_chars / 1024.0) || ' KB'
+            ELSE printf('%.2f', n_chars / 1048576.0) || ' MB' END AS size_h,
+       CASE WHEN n_chars < 500 THEN 'tiny'
+            WHEN n_chars < 2000 THEN 'small'
+            WHEN n_chars < 8000 THEN 'medium'
+            ELSE 'large' END AS size_class,
+       strftime(to_timestamp(doc_id + 1600000000), '%Y-%m-%d') AS as_of_date
+FROM documents
+"""
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------
@@ -777,6 +993,12 @@ QUERIES = {
     "region_revenue": q_region_revenue,
     "cache_validity_join": q_cache_validity_join,
     "prefix_theta_join": q_prefix_theta_join,
+    "partial_hash_clusters": q_partial_hash_clusters,
+    "line_parse": q_line_parse,
+    "deletion_impact": q_deletion_impact,
+    "post_delete_refilter": q_post_delete_refilter,
+    "listing_order": q_listing_order,
+    "size_format": q_size_format,
     "recursive_prefix_size": q_recursive_prefix_size,
     "count_distinct_langs": q_count_distinct_langs,
     "except_users": q_except_users,
@@ -817,6 +1039,12 @@ ORACLES = {
     "region_revenue": SQL_REGION_REVENUE,
     "cache_validity_join": SQL_CACHE_VALIDITY_JOIN,
     "prefix_theta_join": SQL_PREFIX_THETA_JOIN,
+    "partial_hash_clusters": SQL_PARTIAL_HASH_CLUSTERS,
+    "line_parse": SQL_LINE_PARSE,
+    "deletion_impact": SQL_DELETION_IMPACT,
+    "post_delete_refilter": SQL_POST_DELETE_REFILTER,
+    "listing_order": SQL_LISTING_ORDER,
+    "size_format": SQL_SIZE_FORMAT,
     "recursive_prefix_size": SQL_RECURSIVE_PREFIX_SIZE,
     "count_distinct_langs": SQL_COUNT_DISTINCT_LANGS,
     "except_users": SQL_EXCEPT_USERS,

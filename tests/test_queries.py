@@ -21,6 +21,10 @@ SAMPLE = [
     "events_hourly",
     "embedding_topk",
     "lang_id",
+    "partial_hash_clusters",
+    "line_parse",
+    "post_delete_refilter",
+    "size_format",
 ]
 
 
