@@ -1,19 +1,29 @@
 """Two-cluster-size scaling evidence (BASELINE.json north_rule).
 
-A real N→4N executor comparison is impossible in this sandbox; the
-stand-in (sanctioned by BASELINE.md) runs the identical dedup job at
-``local[8]`` and ``local[32]`` on the same materialized input and
-reports throughput at both plus scaling efficiency
-(= speedup / core-ratio). Results are written to BENCH/BASELINE.md.
+The north_rule criterion is "run via spark-submit on a multi-executor
+cluster at N and 4N executors with throughput scaling efficiency >=0.8".
+A real multi-node cluster is impossible in this sandbox; the closest
+faithful stand-in (sanctioned by BASELINE.md) is a **local standalone
+Spark cluster**: one master + one 32-core worker on localhost, and the
+same dedup job submitted twice —
 
-Each measurement runs in a fresh subprocess so the two sessions can't
-share JVM state or cached shuffle files. Each subprocess is pinned with
-``taskset`` to exactly its core budget — otherwise the "8-core" run
-leaks JVM GC/JIT threads and Python UDF workers onto all 32 machine
-cores, which inflates the small-cluster baseline and understates the
-true N→4N efficiency (a real 8-core cluster has no spare cores to leak
-onto). Shuffle partitions scale at 4× cores in both configs so each
-stage has identical load-balancing waves per core.
+    lo:  spark.cores.max=8   -> 2 executors x 4 cores (the "N" cluster)
+    hi:  spark.cores.max=32  -> 8 executors x 4 cores (the "4N" cluster)
+
+Each executor is its own JVM with its own BlockManager, GC, and Python
+UDF workers, so the comparison exercises real task scheduling, network
+shuffle, and per-executor memory — none of which local[N] mode has
+(local mode shares one BlockManager and one heap across all "executors",
+which measurably distorts scaling).
+
+Measurement protocol: the sandbox VM's delivered CPU varies over time
+(hypervisor bursting measured at up to 3.5x between eras on identical
+configs), so single paired runs are meaningless. The harness runs
+lo/hi **interleaved** for SCALING_ROUNDS rounds and takes the per-config
+minimum — min-of-K with interleaving lands both configs in fast eras.
+A pure-CPU pinned-process control measures the machine's own scaling
+ceiling at 8 vs 32 procs (never 4.0x on a shared VM: per-core throughput
+drops under full load), reported alongside raw efficiency.
 """
 
 from __future__ import annotations
@@ -22,21 +32,36 @@ import json
 import os
 import subprocess
 import sys
+import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SPARK_HOME = os.environ.get("SPARK_HOME", "/opt/spark")
+MASTER_URL = "spark://127.0.0.1:7077"
 
 CHILD = r"""
 import json, os, sys, time
 sys.path.insert(0, {repo!r})
 from dedupe_algo_spark.session import get_spark
 spark = get_spark(
-    app_name="scaling", master="local[{cores}]",
+    app_name="scaling-{cores}", master={master!r},
     shuffle_partitions={cores} * 4,
+    extra_conf={{
+        "spark.cores.max": "{cores}",
+        "spark.executor.cores": "4",
+        "spark.executor.memory": "8g",
+        # each executor JVM must size its thread pools (GC, JIT, netty)
+        # for its own slice of the machine, exactly as it would on a
+        # real 4-core cluster node -- without this, 8 executor JVMs each
+        # spawn ~23 GC threads for the 32 visible CPUs and the thread
+        # storm destroys the large-cluster config
+        "spark.executor.extraJavaOptions": "-XX:ActiveProcessorCount=8",
+        "spark.executorEnv.PYTHONPATH": {repo!r},
+    }},
 )
 from dedupe_algo_spark.pipeline import dedup_pipeline
 from dedupe_algo_spark.synth import synth_pages
-# JIT/codegen warmup: run the identical job shape on a tiny input first
-# so the timed run measures steady-state throughput, not JVM compilation
+# JIT/codegen warmup: identical job shape on a tiny input so the timed
+# run measures steady-state throughput, not JVM compilation
 dedup_pipeline(synth_pages(spark, 2000)).clusters.count()
 pages = spark.read.parquet({pages!r})
 t0 = time.time()
@@ -47,83 +72,99 @@ spark.stop()
 """
 
 
+def ensure_cluster() -> None:
+    """Start the standalone master + 32-core worker if not already up."""
+    probe = subprocess.run(["pgrep", "-f", "deploy.master.Master"], capture_output=True)
+    if probe.returncode != 0:
+        subprocess.run(
+            [f"{SPARK_HOME}/sbin/start-master.sh", "--host", "127.0.0.1"],
+            check=True, capture_output=True,
+        )
+        time.sleep(5)
+    probe = subprocess.run(["pgrep", "-f", "deploy.worker.Worker"], capture_output=True)
+    if probe.returncode != 0:
+        subprocess.run(
+            [f"{SPARK_HOME}/sbin/start-worker.sh", MASTER_URL,
+             "--cores", "32", "--memory", "96g"],
+            check=True, capture_output=True,
+        )
+        time.sleep(5)
+
+
 def run(cores: int, pages_path: str) -> dict:
-    code = CHILD.format(repo=REPO, cores=cores, pages=pages_path)
-    cmd = [sys.executable, "-c", code]
-    if os.path.exists("/usr/bin/taskset"):
-        cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
-    out = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
+    code = CHILD.format(repo=REPO, cores=cores, pages=pages_path, master=MASTER_URL)
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, timeout=3600
+    )
     lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
     if not lines:
         raise RuntimeError(out.stderr[-2000:])
     return json.loads(lines[-1])
 
 
-def _spin(n: int) -> float:
+def _spin(n: int) -> int:
     x = 0
     for i in range(n):
         x += i * i
     return x
 
 
-def hardware_control(cores: int, quantum: int = 3_000_000) -> float:
-    """Aggregate pure-CPU throughput (ops/sec) of ``cores`` pinned
-    processes. This measures what the *machine* actually delivers at
-    each parallelism level: on shared VMs, per-core throughput drops
-    under full load (turbo/steal), so a 4x-core run can never reach a
-    4x speedup even for embarrassingly parallel work. The control lets
-    the pipeline's efficiency be read against the machine's own
-    ceiling, which is what an N-vs-4N *cluster* comparison (the real
-    north_rule criterion) would not suffer from."""
+def hardware_control(procs: int, quantum: int = 3_000_000) -> float:
+    """Aggregate pure-CPU throughput (ops/sec) of ``procs`` pinned
+    processes — what the *machine* delivers at each parallelism level.
+    On shared VMs per-core throughput drops under full load, so even
+    ideal software cannot reach a 4.0x speedup at 4x procs here; a real
+    N->4N cluster adds whole nodes and has no such ceiling."""
     import multiprocessing as mp
-    import time
 
-    ctx = mp.get_context("spawn")
-    os.sched_setaffinity(0, set(range(cores)))
+    os.sched_setaffinity(0, set(range(procs)))
     try:
-        with ctx.Pool(cores) as pool:
-            pool.map(_spin, [quantum] * cores)  # warm the pool
+        with mp.Pool(procs) as pool:
+            pool.map(_spin, [quantum] * procs)  # warm the pool
             t0 = time.time()
-            pool.map(_spin, [quantum] * cores * 4)
+            pool.map(_spin, [quantum] * procs * 4)
             dt = time.time() - t0
     finally:
         os.sched_setaffinity(0, set(range(os.cpu_count() or 1)))
-    return cores * 4 * quantum / dt
+    return procs * 4 * quantum / dt
 
 
 def main() -> None:
     n_pages = int(os.environ.get("SCALING_PAGES", "1000000"))
-    # materialize input once
+    rounds = int(os.environ.get("SCALING_ROUNDS", "3"))
     sys.path.insert(0, REPO)
-    from dedupe_algo_spark.session import get_spark
-    from dedupe_algo_spark.synth import synth_pages
 
     pages_path = os.path.join(REPO, ".bench_cache", f"pages_{n_pages}")
     if not os.path.exists(os.path.join(pages_path, "_SUCCESS")):
+        from dedupe_algo_spark.session import get_spark
+        from dedupe_algo_spark.synth import synth_pages
+
         spark = get_spark(app_name="gen", master="local[32]")
         synth_pages(spark, n_pages).write.mode("overwrite").parquet(pages_path)
         spark.stop()
 
-    # hardware ceiling control — pure-CPU, no Spark, same pinning
+    ensure_cluster()
+
     ctl_lo = hardware_control(8)
     ctl_hi = hardware_control(32)
     ctl_speedup = ctl_hi / ctl_lo
 
-    # best-of-2 per config: the sandbox VM shows run-to-run steal noise
-    # (identical configs measured up to 1.8x apart); min is the standard
-    # benching answer and applies symmetrically to both configs
-    best = int(os.environ.get("SCALING_RUNS", "2"))
-    lo = min((run(8, pages_path) for _ in range(best)), key=lambda r: r["sec"])
-    hi = min((run(32, pages_path) for _ in range(best)), key=lambda r: r["sec"])
+    los, his = [], []
+    for _ in range(rounds):
+        his.append(run(32, pages_path))
+        los.append(run(8, pages_path))
+    lo = min(los, key=lambda r: r["sec"])
+    hi = min(his, key=lambda r: r["sec"])
     tput_lo = n_pages / lo["sec"]
     tput_hi = n_pages / hi["sec"]
     speedup = tput_hi / tput_lo
-    eff = speedup / (32 / 8)
+    eff = speedup / 4
     eff_norm = speedup / ctl_speedup
     result = {
         "n_pages": n_pages,
-        "local8": {"sec": lo["sec"], "pages_per_sec": round(tput_lo, 1)},
-        "local32": {"sec": hi["sec"], "pages_per_sec": round(tput_hi, 1)},
+        "executors_2x4core": {"sec": lo["sec"], "pages_per_sec": round(tput_lo, 1)},
+        "executors_8x4core": {"sec": hi["sec"], "pages_per_sec": round(tput_hi, 1)},
+        "all_runs": {"lo": [r["sec"] for r in los], "hi": [r["sec"] for r in his]},
         "speedup": round(speedup, 3),
         "scaling_efficiency": round(eff, 3),
         "hw_control_speedup": round(ctl_speedup, 3),
@@ -137,29 +178,36 @@ def main() -> None:
         f.write(
             "# BENCH — scaling evidence (north_rule stand-in)\n\n"
             "Same dedup job (full exact+near pipeline, synthetic pages with\n"
-            "planted duplicates) on the same materialized parquet input at two\n"
-            "parallelism levels — the sandbox stand-in for N vs 4N executors.\n"
-            "Each config is CPU-pinned (taskset) to exactly its core budget\n"
-            "so the small config cannot leak GC/UDF work onto spare cores;\n"
-            "best of 2 runs per config (VM steal noise).\n\n"
+            "planted duplicates) on the same materialized parquet input,\n"
+            "submitted to a **local standalone Spark cluster** (one master,\n"
+            "one 32-core worker) at two cluster sizes — the sandbox stand-in\n"
+            "for spark-submit at N vs 4N executors:\n\n"
+            "- lo = `spark.cores.max=8`  -> **2 executors x 4 cores** (N)\n"
+            "- hi = `spark.cores.max=32` -> **8 executors x 4 cores** (4N)\n\n"
+            "Each executor is its own JVM (own BlockManager, GC, Python\n"
+            "workers), unlike local[N] mode. Runs are interleaved hi/lo for\n"
+            f"{rounds} rounds, min per config (the VM's delivered CPU varies\n"
+            "up to ~3.5x between eras; interleaved min-of-K is the only\n"
+            "stable protocol — all raw runs listed below).\n\n"
             f"| config | wall-clock (s) | pages/sec |\n|---|---|---|\n"
-            f"| local[8] | {lo['sec']} | {round(tput_lo,1)} |\n"
-            f"| local[32] | {hi['sec']} | {round(tput_hi,1)} |\n\n"
+            f"| 2 executors x 4 cores (N) | {lo['sec']} | {round(tput_lo,1)} |\n"
+            f"| 8 executors x 4 cores (4N) | {hi['sec']} | {round(tput_hi,1)} |\n\n"
             f"- input: {n_pages:,} pages (deterministic synth, seed 42)\n"
-            f"- speedup 8→32 cores: **{round(speedup,3)}×** (core ratio 4×)\n"
+            f"- all lo runs (s): {[r['sec'] for r in los]}\n"
+            f"- all hi runs (s): {[r['sec'] for r in his]}\n"
+            f"- speedup N→4N: **{round(speedup,3)}×** (executor ratio 4×)\n"
             f"- **raw scaling efficiency: {round(eff,3)}** (target ≥ 0.8)\n\n"
             "## Hardware ceiling control\n\n"
-            "A pure-CPU control (32 pinned Python processes, no Spark, no\n"
-            "I/O, embarrassingly parallel) measures what this VM actually\n"
-            "delivers when all cores load up — per-core throughput drops\n"
-            "under full load (hypervisor steal / frequency), so even ideal\n"
-            "software cannot reach 4.0x here. A real N->4N *cluster*\n"
-            "comparison (the actual north_rule criterion) adds whole nodes\n"
-            "and does not suffer this ceiling.\n\n"
-            f"- control speedup 8→32 pinned procs: "
-            f"**{round(ctl_speedup,3)}×** (= the machine's ceiling)\n"
-            f"- **pipeline efficiency vs machine ceiling: "
-            f"{round(eff_norm,3)}** (target ≥ 0.8)\n"
+            "A pure-CPU control (pinned Python processes, no Spark, no I/O,\n"
+            "embarrassingly parallel) measures what this VM delivers at 8 vs\n"
+            "32 busy cores — per-core throughput drops under full machine\n"
+            "load (hypervisor steal / frequency), so even ideal software\n"
+            "cannot reach 4.0x on this box. A real N→4N *cluster* adds whole\n"
+            "nodes and does not hit this ceiling.\n\n"
+            f"- control speedup 8→32 pinned procs: **{round(ctl_speedup,3)}×**"
+            " (the machine's ceiling)\n"
+            f"- **pipeline efficiency vs machine ceiling: {round(eff_norm,3)}**"
+            " (target ≥ 0.8)\n"
         )
 
 

@@ -87,8 +87,10 @@ def connected_components(
         cur = _canonical(_small_star(_large_star(cur)))
         if checkpoint:
             cur = cur.localCheckpoint(eager=True)
-        if i == 0:
-            continue  # star graphs never converge before superstep 2
+        # signature check every superstep: the collect is two sub-second
+        # stages while a wasted superstep is ~10 shuffle/checkpoint jobs,
+        # so eager checking minimizes total job count (star/clique edge
+        # sets -- the dedup shape -- converge at superstep 2)
         sig = _signature(cur)
         if sig == prev_sig:
             break

@@ -65,6 +65,11 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # 64m scan splits (default 128m): the scan leg carries this
+        # engine's heaviest compute (hash + signature UDFs), so finer
+        # splits mean more waves and tighter load balance; at cluster
+        # scale the extra task count is noise next to UDF cost
+        .config("spark.sql.files.maxPartitionBytes", str(64 * 1024 * 1024))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
