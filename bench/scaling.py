@@ -72,8 +72,7 @@ spark.stop()
 """
 
 
-def ensure_cluster() -> None:
-    """Start the standalone master + 32-core worker if not already up."""
+def ensure_master() -> None:
     probe = subprocess.run(["pgrep", "-f", "deploy.master.Master"], capture_output=True)
     if probe.returncode != 0:
         subprocess.run(
@@ -81,17 +80,39 @@ def ensure_cluster() -> None:
             check=True, capture_output=True,
         )
         time.sleep(5)
-    probe = subprocess.run(["pgrep", "-f", "deploy.worker.Worker"], capture_output=True)
-    if probe.returncode != 0:
-        subprocess.run(
-            [f"{SPARK_HOME}/sbin/start-worker.sh", MASTER_URL,
-             "--cores", "32", "--memory", "96g"],
-            check=True, capture_output=True,
-        )
-        time.sleep(5)
+
+
+def restart_worker(cores: int) -> None:
+    """(Re)start the standalone worker **pinned to ``cores`` CPUs**.
+
+    This is the load-bearing honesty device of the whole harness: the
+    worker process is "the cluster hardware", and executors + their
+    Python UDF workers inherit its CPU affinity. Without pinning,
+    ``spark.cores.max=8`` caps only JVM task slots — the 8 tasks' Python
+    workers, the executor GC, and netty all spill onto the other 24
+    machine cores, so the "small cluster" silently consumes ~2x its
+    budget and the measured N→4N speedup collapses. A real 8-core
+    cluster node has no spare cores to leak onto."""
+    subprocess.run([f"{SPARK_HOME}/sbin/stop-worker.sh"], capture_output=True)
+    time.sleep(2)
+    subprocess.run(
+        [f"{SPARK_HOME}/sbin/start-worker.sh", MASTER_URL,
+         "--cores", str(cores), "--memory", "96g"],
+        check=True, capture_output=True,
+    )
+    time.sleep(5)
+    # pin AFTER start: spark-daemon.sh's spawn chain drops a taskset
+    # wrapper, but executors fork from the worker later and inherit
+    # whatever affinity the worker holds at that moment
+    pid = subprocess.run(
+        ["pgrep", "-f", "deploy.worker.Worker"], capture_output=True, text=True
+    ).stdout.split()
+    for p in pid:
+        subprocess.run(["taskset", "-pc", f"0-{cores - 1}", p], capture_output=True)
 
 
 def run(cores: int, pages_path: str) -> dict:
+    restart_worker(cores)
     code = CHILD.format(repo=REPO, cores=cores, pages=pages_path, master=MASTER_URL)
     out = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True, timeout=3600
@@ -143,7 +164,7 @@ def main() -> None:
         synth_pages(spark, n_pages).write.mode("overwrite").parquet(pages_path)
         spark.stop()
 
-    ensure_cluster()
+    ensure_master()
 
     ctl_lo = hardware_control(8)
     ctl_hi = hardware_control(32)

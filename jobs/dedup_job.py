@@ -1,0 +1,68 @@
+"""spark-submit entry point for the dedup pipeline (north_rule contract).
+
+Run on any cluster as:
+
+    spark-submit --master <master> \
+        --py-files dedupe_algo_spark.zip \
+        jobs/dedup_job.py \
+        --input /path/to/pages_parquet \
+        --output /path/to/clusters_out \
+        [--threshold 0.8] [--min-len 10] [--no-near] \
+        [--checkpoint-dir /path/to/ckpt --run-id run1]
+
+The script only uses the SparkSession given to it by spark-submit (no
+master hard-coded), reads the pages table (url, warc_ts, html, text,
+lang), runs the exact+near dedup cascade, and writes the flat
+(url, cluster_id, match_kind) assignment as parquet. With
+--checkpoint-dir it runs stage-checkpointed and resumes from the last
+committed stage on re-submit (runner.CheckpointedRun).
+
+Locally, package the library with:
+    cd /root/repo && zip -r /tmp/dedupe_algo_spark.zip dedupe_algo_spark
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main() -> None:
+    p = argparse.ArgumentParser(description="web-scale dedup over pages parquet")
+    p.add_argument("--input", required=True, help="pages parquet path")
+    p.add_argument("--output", required=True, help="clusters parquet output path")
+    p.add_argument("--threshold", type=float, default=0.80)
+    p.add_argument("--min-len", type=int, default=10)
+    p.add_argument("--no-near", action="store_true", help="exact duplicates only")
+    p.add_argument("--checkpoint-dir", default=None)
+    p.add_argument("--run-id", default=None)
+    args = p.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.builder.appName("dedupe-algo-spark").getOrCreate()
+
+    from dedupe_algo_spark.pipeline import dedup_pipeline
+
+    pages = spark.read.parquet(args.input)
+    if args.checkpoint_dir:
+        from dedupe_algo_spark.runner import CheckpointedRun
+
+        ckpt = CheckpointedRun(spark, args.checkpoint_dir, run_id=args.run_id)
+        stage = ckpt.stage
+    else:
+        stage = None
+    result = dedup_pipeline(
+        pages,
+        min_len=args.min_len,
+        threshold=args.threshold,
+        include_near=not args.no_near,
+        stage=stage,
+    )
+    result.clusters.write.mode("overwrite").parquet(args.output)
+    n = spark.read.parquet(args.output).count()
+    print(f"dedup_job: wrote {n} cluster assignments to {args.output}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
