@@ -2,10 +2,12 @@
 
 Generalizes the reference's cheap pass-1 key (group-by-size, lib.rs:54-58)
 to content-aware blocking per BASELINE.json north_star ("SimHash band via
-vectorized Arrow UDFs"). Token hashing uses ``pandas.util.hash_array``
-(SipHash in Cython — deterministic, vectorized); the 64 bit-majorities are
-computed with ``np.unpackbits`` matrix ops, so there is no per-token
-Python loop.
+vectorized Arrow UDFs"). The 64-bit token hash is two independent 32-bit
+polynomial chains (prime moduli) — plain modular arithmetic that any SQL
+engine reproduces bit-for-bit (DuckDB oracle: queries.SQL_SIMHASH), unlike
+an engine-private SipHash. The 64 bit-majorities are computed with
+``np.unpackbits`` matrix ops, so the per-doc work is one small token loop
+plus numpy matrix reductions.
 """
 
 from __future__ import annotations
@@ -21,12 +23,27 @@ from pyspark.sql.types import LongType
 SIMHASH_BITS = 64
 DEFAULT_BANDS = 4  # 4 bands × 16 bits
 
+# Dual 32-bit polynomial token-hash chains (SQL-reproducible).
+TH_P1, TH_B1 = 4294967291, 1000003  # 2^32 - 5
+TH_P2, TH_B2 = 4294967279, 1000033  # 2^32 - 17
+
+
+def _token_hash64(tok: str) -> int:
+    h1 = h2 = 0
+    for c in tok:
+        o = ord(c)
+        h1 = (h1 * TH_B1 + o) % TH_P1
+        h2 = (h2 * TH_B2 + o) % TH_P2
+    return (h1 << 32) | h2
+
 
 def _token_hashes(text: str) -> np.ndarray:
     toks = text.split()
     if not toks:
         return np.zeros(0, dtype=np.uint64)
-    return pd.util.hash_array(np.asarray(toks, dtype=object))
+    return np.fromiter(
+        (_token_hash64(t) for t in toks), dtype=np.uint64, count=len(toks)
+    )
 
 
 def simhash64(text: str | None) -> int | None:
@@ -55,7 +72,9 @@ def simhash_bands(simhash: Column, n_bands: int = DEFAULT_BANDS) -> Column:
     bands = [
         F.concat(
             F.lit(f"s{k}:"),
-            F.hex(F.shiftrightunsigned(simhash, k * width).bitwiseAND(F.lit(mask))),
+            F.shiftrightunsigned(simhash, k * width)
+            .bitwiseAND(F.lit(mask))
+            .cast("string"),
         )
         for k in range(n_bands)
     ]

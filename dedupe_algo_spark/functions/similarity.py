@@ -104,10 +104,12 @@ def _jaro(a: str, b: str) -> float:
     m = len(a_match)
     if m == 0:
         return 0.0
-    bm = np.array(sorted(b_match_idx))
-    b_order = np.array(b_match_idx)
-    t = int(np.sum(b_order != np.array(sorted(b_order)))) / 2
-    _ = bm
+    # transpositions: matched a-chars in a-order vs matched b-chars in
+    # b-order, halved count of differing positions (comparing characters,
+    # not match indices — indices overcount when matched chars repeat)
+    a_chars = aw[np.array(a_match)]
+    b_chars = bw[np.sort(np.array(b_match_idx))]
+    t = int(np.sum(a_chars != b_chars)) / 2
     return (m / la + m / lb + (m - t) / m) / 3
 
 

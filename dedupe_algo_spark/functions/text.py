@@ -97,26 +97,40 @@ def lang_id_heuristic(text: Column) -> Column:
     return expr
 
 
+# Dual polynomial (Rabin-Karp) fingerprint chains over codepoints. Two
+# independent 31-bit prime-modulus chains combine into one 62-bit value
+# — and every step is plain modular integer arithmetic, so any SQL
+# engine (the DuckDB oracle twin in queries.SQL_DOC_FINGERPRINT) can
+# reproduce it bit-for-bit, unlike an engine-private SipHash.
+FP_P1, FP_B1 = 2147483647, 31  # 2^31 - 1
+FP_P2, FP_B2 = 2147483629, 131  # 2^31 - 19
+
+
 @pandas_udf(LongType())
 def fingerprint_udf(texts: pd.Series) -> pd.Series:
-    """Document fingerprint: 64-bit rolling (polynomial) hash over the
-    byte stream — winnowing-style content fingerprint, Arrow-batched."""
-    B = np.uint64(1000003)
+    """Document fingerprint: 62-bit rolling (polynomial) hash over the
+    codepoint stream — winnowing-style content fingerprint, Arrow-batched.
+    Vectorized per row via precomputed power tables (one modmul + sum per
+    character, no per-char Python loop)."""
+    maxlen = max((len(t) for t in texts if t is not None), default=0)
+    pows1 = np.empty(max(maxlen, 1), dtype=np.int64)
+    pows2 = np.empty(max(maxlen, 1), dtype=np.int64)
+    p1 = p2 = 1
+    for i in range(max(maxlen, 1)):
+        pows1[i], pows2[i] = p1, p2
+        p1 = (p1 * FP_B1) % FP_P1
+        p2 = (p2 * FP_B2) % FP_P2
 
     def fp(t: str | None) -> int | None:
         if t is None:
             return None
-        data = np.frombuffer(t.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
-        h = np.uint64(0xCBF29CE484222325)
-        # vectorized Horner: h = ((h*B)+b) mod 2^64, computed via cumulative powers
-        # loop-free approximation: fold in chunks to bound the power table
-        for chunk in np.array_split(data, max(1, len(data) // 4096)):
-            powers = np.empty(len(chunk), dtype=np.uint64)
-            powers[0] = np.uint64(1)
-            if len(chunk) > 1:
-                np.multiply.accumulate(np.full(len(chunk) - 1, B, dtype=np.uint64), out=powers[1:])
-            h = h * (B ** np.uint64(len(chunk))) + np.sum(chunk[::-1] * powers, dtype=np.uint64)
-        v = int(h)
-        return v - (1 << 64) if v >= 1 << 63 else v
+        n = len(t)
+        if n == 0:
+            return 0
+        # codepoints < 2^21, powers < 2^31 -> products < 2^52: int64-safe
+        codes = np.fromiter(map(ord, t), dtype=np.int64, count=n)
+        h1 = int(np.sum((codes * pows1[:n][::-1]) % FP_P1) % FP_P1)
+        h2 = int(np.sum((codes * pows2[:n][::-1]) % FP_P2) % FP_P2)
+        return (h1 << 31) + h2
 
     return texts.map(fp)

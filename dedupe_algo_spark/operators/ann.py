@@ -147,23 +147,34 @@ def embedding_near_dupes(
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (dedup family, task spec):
     LSH-bucket self-join + built-in cosine ≥ threshold.
-    → (id_a, id_b, cosine), id_a < id_b."""
+    → (id_a, id_b, cosine), id_a < id_b.
+
+    The bucket self-join carries ONLY (bucket, id): the exploded bucket
+    rows never duplicate the vector payload ×n_tables through the
+    shuffle. Vectors re-join pair-side after pair dedup — the same
+    slim-join shape as scoring.confirm_pairs — so the wide column moves
+    once per *surviving pair side*, not once per bucket row."""
     if dim is None:
         first = vectors.select(F.size(vec_col).alias("d")).first()
         dim = int(first["d"])
     bucketer = hyperplane_buckets(dim, n_bits, n_tables)
     b = vectors.select(
-        F.col(id_col), F.col(vec_col), F.explode(bucketer(F.col(vec_col))).alias("bucket")
+        F.col(id_col), F.explode(bucketer(F.col(vec_col))).alias("bucket")
     )
-    left = b.select(F.col("bucket"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
-    right = b.select(F.col("bucket"), F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    left = b.select(F.col("bucket"), F.col(id_col).alias("id_a"))
+    right = b.select(F.col("bucket"), F.col(id_col).alias("id_b"))
     pairs = (
         left.join(right, "bucket")
         .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    va = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    vb = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
     return (
-        pairs.select(
+        pairs.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
             "id_a",
             "id_b",
             F.round(cosine_sim(F.col("_va"), F.col("_vb")), 6).alias("cosine"),

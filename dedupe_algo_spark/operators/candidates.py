@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.minhash import minhash_bands, minhash_bands_col, minhash_udf
+from ..functions.minhash import minhash_bands_col, minhash_udf
 from ..functions.simhash import simhash64_udf, simhash_bands
 from .blocking import block_key
 
@@ -52,40 +52,37 @@ def bucket_table(
 ) -> DataFrame:
     """→ (bucket_key, url). ``working`` needs (url, text) columns.
 
-    Signatures are computed once per page (map-side, Arrow-batched) and
-    exploded into bucket rows — no shuffle until the self-join.
-
-    The input is re-spread to full parallelism first: upstream joins at
-    small scale get AQE-coalesced to one partition, which would serialize
-    the CPU-heavy signature UDFs onto a single core (at production scale
-    the repartition is equally correct — signature compute wants even
-    CPU spread, and the following self-join reshuffles anyway).
+    Every path projects its (bucket_key, url) rows map-side directly on
+    the scan partitions — signature UDFs first, banding JVM-side via
+    ``bucket_table_from_sigs`` — so no Exchange below the self-join ever
+    carries the text column (the text-never-shuffles invariant, asserted
+    by test_plans via plans.exchange_columns). A single-path call keeps
+    its native key type (minhash band keys stay slim longs); multi-path
+    calls cast to string for the union.
     """
-    n_parts = max(
-        working.sparkSession.sparkContext.defaultParallelism,
-        working.rdd.getNumPartitions(),
-    )
-    working = working.repartition(n_parts)
     paths = []
+    if use_minhash:
+        sigs = working.select("url", minhash_udf(F.col("text")).alias("sig"))
+        paths.append(bucket_table_from_sigs(sigs))
     if use_cheap_key:
         paths.append(
             working.select(
                 block_key(F.col("text"), F.col("url")).alias("bucket_key"), "url"
             )
         )
-    if use_minhash:
-        sigs = working.select(
-            "url", minhash_bands(minhash_udf(F.col("text"))).alias("bands")
-        )
-        paths.append(
-            sigs.select(F.explode("bands").alias("bucket_key"), "url")
-        )
     if use_simhash:
-        sh = working.select("url", simhash_bands(simhash64_udf(F.col("text"))).alias("bands"))
-        paths.append(sh.select(F.explode("bands").alias("bucket_key"), "url"))
-    out = paths[0]
-    for p in paths[1:]:
-        out = out.unionByName(p)
+        sh = working.select("url", simhash64_udf(F.col("text")).alias("simhash"))
+        paths.append(
+            sh.select(
+                F.explode(simhash_bands(F.col("simhash"))).alias("bucket_key"), "url"
+            )
+        )
+    if len(paths) == 1:
+        return paths[0]
+    out = None
+    for p in paths:
+        p = p.select(F.col("bucket_key").cast("string").alias("bucket_key"), "url")
+        out = p if out is None else out.unionByName(p)
     return out
 
 

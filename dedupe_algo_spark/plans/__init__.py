@@ -48,6 +48,28 @@ def has_broadcast_join(df: DataFrame) -> bool:
     return "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
 
 
+def exchange_columns(df: DataFrame) -> set[str]:
+    """Union of column names carried by every Exchange (shuffle) node —
+    the "what actually moves" check (e.g. assert text never shuffles).
+    Parses each Exchange's ``Input [n]: [...]`` row from the formatted
+    plan."""
+    import re
+
+    lines = formatted_plan(df).splitlines()
+    cols: set[str] = set()
+    for i, line in enumerate(lines):
+        if re.match(r"\(\d+\) Exchange", line.strip()):
+            for j in range(i + 1, min(i + 4, len(lines))):
+                m = re.match(r"Input \[\d+\]: \[(.*)\]", lines[j].strip())
+                if m:
+                    for c in m.group(1).split(","):
+                        name = c.strip().split("#")[0]
+                        if name:
+                            cols.add(name)
+                    break
+    return cols
+
+
 def scan_columns(df: DataFrame) -> set[str]:
     """Columns the parquet scan actually reads (column-pruning check)."""
     import re

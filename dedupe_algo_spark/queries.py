@@ -133,7 +133,7 @@ SELECT CAST(SUM(n_chars * (n - 1)) AS BIGINT) AS reclaimable_bytes FROM (
 def q_group_search(spark, sf_dir):
     """F8/W3 — keep whole cluster if ANY member matches the query
     (ResultsView.tsx:52-62)."""
-    clusters = prune = q_singleton_prune_full(spark, sf_dir)
+    clusters = q_singleton_prune_full(spark, sf_dir)
     found = views.group_search(
         clusters, "spark", cluster_col="n_chars", path_col="text"
     )
@@ -482,11 +482,16 @@ def q_size_format(spark, sf_dir):
     """C5/C6/C14 — human-size ladder (utils.ts:8-14), size-class
     classifier (dataTransform.ts:30-44 shape), epoch→date (C6)."""
     n = F.col("n_chars")
+    # Explicit ROUND(x, 2) before formatting: Spark's format_string uses
+    # Java HALF_UP but DuckDB printf rounds half-to-even, so a bare
+    # printf('%.2f', 1152/1024.0) diverges ('1.13' vs '1.12'). Both
+    # engines' ROUND(...,2) round half away from zero for positives, and
+    # the rounded double is never a formatting tie.
     size_h = (
         F.when(n == 0, F.lit("0 Bytes"))
         .when(n < 1024, F.concat(F.format_string("%.2f", n.cast("double")), F.lit(" Bytes")))
-        .when(n < 1024**2, F.concat(F.format_string("%.2f", n / 1024.0), F.lit(" KB")))
-        .otherwise(F.concat(F.format_string("%.2f", n / float(1024**2)), F.lit(" MB")))
+        .when(n < 1024**2, F.concat(F.format_string("%.2f", F.round(n / 1024.0, 2)), F.lit(" KB")))
+        .otherwise(F.concat(F.format_string("%.2f", F.round(n / float(1024**2), 2)), F.lit(" MB")))
     )
     size_class = (
         F.when(n < 500, "tiny")
@@ -508,13 +513,14 @@ SQL_SIZE_FORMAT = """
 SELECT doc_id,
        CASE WHEN n_chars = 0 THEN '0 Bytes'
             WHEN n_chars < 1024 THEN printf('%.2f', CAST(n_chars AS DOUBLE)) || ' Bytes'
-            WHEN n_chars < 1048576 THEN printf('%.2f', n_chars / 1024.0) || ' KB'
-            ELSE printf('%.2f', n_chars / 1048576.0) || ' MB' END AS size_h,
+            WHEN n_chars < 1048576 THEN printf('%.2f', ROUND(n_chars / 1024.0, 2)) || ' KB'
+            ELSE printf('%.2f', ROUND(n_chars / 1048576.0, 2)) || ' MB' END AS size_h,
        CASE WHEN n_chars < 500 THEN 'tiny'
             WHEN n_chars < 2000 THEN 'small'
             WHEN n_chars < 8000 THEN 'medium'
             ELSE 'large' END AS size_class,
-       strftime(to_timestamp(doc_id + 1600000000), '%Y-%m-%d') AS as_of_date
+       strftime(to_timestamp(doc_id + 1600000000) AT TIME ZONE 'UTC',
+                '%Y-%m-%d') AS as_of_date
 FROM documents
 """
 
@@ -947,7 +953,9 @@ def q_minhash_dup_pairs(spark, sf_dir):
 
 
 def q_simhash_signatures(spark, sf_dir):
-    """SimHash signatures + band keys on documents (UDF path)."""
+    """SimHash signatures + band keys on documents (UDF path; the dual
+    polynomial token hash is modular arithmetic, so the full signature —
+    majorities, packing, banding — has an exact DuckDB oracle)."""
     from .functions.simhash import simhash64_udf, simhash_bands
 
     docs = _docs(spark, sf_dir)
@@ -955,13 +963,71 @@ def q_simhash_signatures(spark, sf_dir):
     return sh.select("doc_id", "simhash", F.explode(simhash_bands(F.col("simhash"))).alias("band"))
 
 
+SQL_SIMHASH_SIGNATURES = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+  FROM documents
+), th AS (
+  SELECT doc_id,
+         list_reduce(list_prepend(CAST(0 AS HUGEINT), cs),
+                     (a, b) -> (a * 1000003 + b) % 4294967291) * 4294967296
+         + list_reduce(list_prepend(CAST(0 AS HUGEINT), cs),
+                       (a, b) -> (a * 1000033 + b) % 4294967279) AS h
+  FROM (
+    SELECT doc_id, list_transform(range(1, length(tok) + 1),
+                                  i -> CAST(ord(substr(tok, i, 1)) AS HUGEINT)) AS cs
+    FROM toks WHERE tok <> ''
+  )
+), bits AS (
+  SELECT doc_id, unnest(range(0, 64)) AS b, h FROM th
+), maj AS (
+  SELECT doc_id, b,
+         CASE WHEN 2 * SUM((h // CAST(power(2, b) AS HUGEINT)) % 2) >= COUNT(*)
+              THEN 1 ELSE 0 END AS bit
+  FROM bits GROUP BY doc_id, b
+), packed AS (
+  SELECT doc_id, SUM(bit * CAST(power(2, b) AS HUGEINT)) AS u64
+  FROM maj GROUP BY doc_id
+), signed AS (
+  SELECT d.doc_id,
+         COALESCE(p.u64, 0) AS u64,
+         CAST(CASE WHEN COALESCE(p.u64, 0) >= 9223372036854775808
+                   THEN COALESCE(p.u64, 0) - 18446744073709551616
+                   ELSE COALESCE(p.u64, 0) END AS BIGINT) AS simhash
+  FROM documents d LEFT JOIN packed p ON d.doc_id = p.doc_id
+)
+SELECT doc_id, simhash,
+       's' || CAST(k AS VARCHAR) || ':' ||
+       CAST((u64 // CAST(power(2, k * 16) AS HUGEINT)) % 65536 AS VARCHAR) AS band
+FROM signed CROSS JOIN (SELECT unnest(range(0, 4)) AS k) ks
+"""
+
+
 def q_doc_fingerprint(spark, sf_dir):
-    """Rolling-hash document fingerprint (UDF path)."""
+    """Rolling-hash document fingerprint (UDF path; the dual polynomial
+    chains are modular arithmetic, reproduced exactly by the oracle)."""
     from .functions.text import fingerprint_udf
 
     return _docs(spark, sf_dir).select(
         "doc_id", fingerprint_udf(F.col("text")).alias("fingerprint")
     )
+
+
+SQL_DOC_FINGERPRINT = """
+WITH codes AS (
+  SELECT doc_id,
+         list_transform(range(1, length(text) + 1),
+                        i -> CAST(ord(substr(text, i, 1)) AS HUGEINT)) AS cs
+  FROM documents
+)
+SELECT doc_id,
+       CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT), cs),
+                        (a, b) -> (a * 31 + b) % 2147483647) * 2147483648
+            + list_reduce(list_prepend(CAST(0 AS HUGEINT), cs),
+                          (a, b) -> (a * 131 + b) % 2147483629)
+            AS BIGINT) AS fingerprint
+FROM codes
+"""
 
 
 def q_embedding_lsh_pairs(spark, sf_dir):
@@ -974,10 +1040,38 @@ def q_embedding_lsh_pairs(spark, sf_dir):
 
 def q_media_features(spark, sf_dir):
     """Multimodal plumbing: binary payloads → mapInPandas features
-    (decode stubbed deterministically — no codecs in this container)."""
-    from .multimodal import extract_features, synth_media
+    (decode stubbed deterministically — no codecs in this container).
+    Media rows derive from ``documents`` (payload = UTF-8 text bytes) so
+    the 16-bin codepoint histogram has a DuckDB oracle; the feature
+    leaves as a scalar CSV string so every output column is hashable."""
+    from .multimodal import doc_media, extract_features_csv
 
-    return extract_features(synth_media(spark, 300), fake=True)
+    return extract_features_csv(doc_media(_docs(spark, sf_dir)))
+
+
+SQL_MEDIA_FEATURES = """
+WITH chars AS (
+  SELECT doc_id, unnest(range(1, length(text) + 1)) AS i, text FROM documents
+), codes AS (
+  SELECT doc_id, LEAST(ord(substr(text, i, 1)), 255) // 16 AS bin FROM chars
+), bins AS (
+  SELECT doc_id, bin, COUNT(*) AS c FROM codes GROUP BY 1, 2
+), grid AS (
+  SELECT doc_id, unnest(range(0, 16)) AS bin FROM documents
+), hist AS (
+  SELECT g.doc_id, g.bin, COALESCE(b.c, 0) AS c
+  FROM grid g LEFT JOIN bins b ON g.doc_id = b.doc_id AND g.bin = b.bin
+), feat AS (
+  SELECT doc_id, string_agg(CAST(c AS VARCHAR), ',' ORDER BY bin) AS feature_csv
+  FROM hist GROUP BY doc_id
+)
+SELECT d.doc_id AS media_id,
+       CASE d.doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+            ELSE 'video' END AS kind,
+       f.feature_csv,
+       octet_length(encode(d.text)) AS n_bytes
+FROM documents d JOIN feat f ON d.doc_id = f.doc_id
+"""
 
 
 QUERIES = {
@@ -1063,4 +1157,7 @@ ORACLES = {
     "events_hourly": SQL_EVENTS_HOURLY,
     "embedding_topk": SQL_EMBEDDING_TOPK,
     "embedding_allpairs_sim": SQL_EMBEDDING_ALLPAIRS_SIM,
+    "media_features": SQL_MEDIA_FEATURES,
+    "doc_fingerprint": SQL_DOC_FINGERPRINT,
+    "simhash_signatures": SQL_SIMHASH_SIGNATURES,
 }

@@ -112,3 +112,15 @@ MEDIA_FEATURES_SCHEMA = StructType(
         StructField("n_bytes", LongType(), nullable=False),
     ]
 )
+
+# Scalar-encoded twin of MEDIA_FEATURES_SCHEMA: the 16-bin histogram as a
+# comma-joined string, so downstream comparators that sort/hash rows
+# (e.g. the driver's canonicalizer) see only hashable scalars.
+MEDIA_FEATURES_CSV_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), nullable=False),
+        StructField("kind", StringType(), nullable=False),
+        StructField("feature_csv", StringType(), nullable=False),
+        StructField("n_bytes", LongType(), nullable=False),
+    ]
+)

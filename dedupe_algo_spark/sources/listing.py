@@ -102,28 +102,40 @@ class DeletionReport(Row):
 
 
 def delete_urls(
-    spark: SparkSession, table_path: str, urls: list[str]
+    spark: SparkSession, table_path: str, urls: "list[str] | DataFrame"
 ) -> dict:
     """S10 — delete rows by key from the parquet-backed table with
     per-key error capture (lib.rs:200-259 semantics): keys not present
     are failures; the rewrite is atomic (write-then-swap), success/fail
-    counts + error strings returned."""
+    counts + error strings returned.
+
+    The selection is a DataFrame (a list of keys is wrapped into one);
+    membership is decided with semi/anti joins — no key set is ever
+    collected to the driver or inlined into the plan as a literal, so a
+    10^9-row selection against the pages table works. Only the
+    *not-found* keys come back (bounded by the selection, and only
+    because the report contract carries their error strings). On Iceberg
+    the rewrite is ``DELETE FROM t WHERE url IN (SELECT url FROM sel)``;
+    the parquet stand-in rewrites the table excluding matched keys."""
     import shutil
     import uuid
 
     df = spark.read.parquet(table_path)
-    present = {
-        r["url"]
-        for r in df.where(F.col("url").isin(urls)).select("url").collect()
-    }
-    errors = [f"not found: {u}" for u in urls if u not in present]
-    kept = df.where(~F.col("url").isin(list(present)))
+    sel = (
+        urls
+        if isinstance(urls, DataFrame)
+        else spark.createDataFrame([(u,) for u in urls], "url string")
+    ).select("url").distinct()
+    missing = sel.join(df.select("url"), "url", "left_anti")
+    errors = [f"not found: {r['url']}" for r in missing.collect()]
+    n_selected = sel.count()
+    kept = df.join(sel, "url", "left_anti")
     tmp = f"{table_path}.tmp-{uuid.uuid4().hex[:8]}"
     kept.write.mode("overwrite").parquet(tmp)
     shutil.rmtree(table_path)
     os.rename(tmp, table_path)
     return {
-        "success_count": len(present),
+        "success_count": n_selected - len(errors),
         "fail_count": len(errors),
         "errors": errors,
     }

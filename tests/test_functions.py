@@ -105,3 +105,13 @@ def test_jaro_winkler_known_values():
     assert _jaro_winkler("DWAYNE", "DUANE") == pytest.approx(0.8400, abs=1e-2)
     assert _jaro_winkler("abc", "abc") == 1.0
     assert _jaro_winkler("abc", "xyz") == 0.0
+
+
+def test_jaro_transpositions_compare_chars_not_indices():
+    from dedupe_algo_spark.functions.similarity import _jaro
+
+    # classic: 4 matches, 1 transposition over DIXON/DICKSONX
+    assert _jaro("DIXON", "DICKSONX") == pytest.approx(0.7667, abs=1e-3)
+    # repeated characters: matched-index disorder must not be counted
+    # when the characters at those positions are equal
+    assert _jaro("aabab", "abaab") == pytest.approx((1 + 1 + 4 / 5) / 3, abs=1e-9)

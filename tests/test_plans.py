@@ -12,6 +12,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from dedupe_algo_spark.plans import (
+    exchange_columns,
     has_broadcast_join,
     has_whole_stage_codegen,
     pushed_filters,
@@ -60,7 +61,17 @@ def test_hash_projection_stays_in_codegen(spark, pages_1k):
     assert has_whole_stage_codegen(df)
 
 
-def test_small_dims_broadcast(spark):
+def test_bucket_table_never_shuffles_text(spark, pages_1k):
+    # the text-never-shuffles invariant for the standalone bucket_table
+    # path (the flagship pipeline uses bucket_table_from_sigs directly):
+    # every Exchange below the candidate self-join must carry only slim
+    # (bucket_key, url) rows — all signature work is map-side.
+    from dedupe_algo_spark.operators.candidates import bucket_table, candidate_pairs
+
+    pairs = candidate_pairs(bucket_table(pages_1k.select("url", "text")))
+    moved = exchange_columns(pairs)
+    assert "text" not in moved, moved
+    assert "sig" not in moved, moved
     from dedupe_algo_spark.queries import q_prefix_theta_join
 
     assert has_broadcast_join(q_prefix_theta_join(spark, SF_DIR))

@@ -25,6 +25,9 @@ SAMPLE = [
     "line_parse",
     "post_delete_refilter",
     "size_format",
+    "media_features",
+    "doc_fingerprint",
+    "simhash_signatures",
 ]
 
 
@@ -53,6 +56,30 @@ def test_query_matches_oracle(spark, duck, name):
     assert sorted(sdf.columns) == sorted(odf.columns)
     assert len(sdf) == len(odf)
     assert _norm(sdf) == _norm(odf)
+
+
+def test_size_format_rounding_ties(spark, tmp_path):
+    """n_chars % 256 == 128 above 1 KB makes x/1024 an exact .xx5 tie:
+    Java HALF_UP and C printf half-to-even would disagree without the
+    explicit ROUND on both sides (none of the driver testdata exercises
+    the KB/MB branches, so this fixture does)."""
+    pd.DataFrame(
+        {"doc_id": [0, 1, 2, 3], "n_chars": [1152, 2176, 1179648, 7]}
+    ).to_parquet(tmp_path / "documents.parquet")
+    sdf = (
+        QUERIES["size_format"](spark, str(tmp_path))
+        .toPandas()
+        .set_index("doc_id")["size_h"]
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{tmp_path / 'documents.parquet'}'"
+    )
+    odf = con.execute(ORACLES["size_format"]).df().set_index("doc_id")["size_h"]
+    expected = {0: "1.13 KB", 1: "2.13 KB", 2: "1.13 MB", 3: "7.00 Bytes"}
+    for k, v in expected.items():
+        assert sdf[k] == v, (k, sdf[k])
+        assert odf[k] == v, (k, odf[k])
 
 
 def test_rows_only_queries_run(spark):
