@@ -114,12 +114,42 @@ def restart_worker(cores: int) -> None:
     time.sleep(5)
     # pin AFTER start: spark-daemon.sh's spawn chain drops a taskset
     # wrapper, but executors fork from the worker later and inherit
-    # whatever affinity the worker holds at that moment
-    pid = subprocess.run(
-        ["pgrep", "-f", "deploy.worker.Worker"], capture_output=True, text=True
-    ).stdout.split()
-    for p in pid:
-        subprocess.run(["taskset", "-pc", f"0-{cores - 1}", p], capture_output=True)
+    # whatever affinity the worker holds at that moment. The pin is
+    # load-bearing (an unpinned "8-core" worker leaks Python/GC work
+    # onto all 32 cores and invalidates the N-vs-4N comparison), so:
+    # retry the pgrep until the worker registers, check taskset's exit
+    # code, and verify the resulting mask from /proc/<pid>/status.
+    pids: list[str] = []
+    for _ in range(20):
+        pids = subprocess.run(
+            ["pgrep", "-f", "deploy.worker.Worker"], capture_output=True, text=True
+        ).stdout.split()
+        if pids:
+            break
+        time.sleep(1)
+    if not pids:
+        raise RuntimeError("standalone worker never appeared; cannot pin")
+    want = set(range(cores))
+    for p in pids:
+        subprocess.run(
+            ["taskset", "-pc", f"0-{cores - 1}", p], check=True, capture_output=True
+        )
+        with open(f"/proc/{p}/status") as fh:
+            status = fh.read()
+        line = next(
+            l for l in status.splitlines() if l.startswith("Cpus_allowed_list")
+        )
+        got = set()
+        for part in line.split(":", 1)[1].strip().split(","):
+            if "-" in part:
+                a, b = part.split("-")
+                got.update(range(int(a), int(b) + 1))
+            else:
+                got.add(int(part))
+        if got != want:
+            raise RuntimeError(
+                f"worker {p} affinity {sorted(got)} != requested {sorted(want)}"
+            )
 
 
 def run(cores: int, pages_path: str) -> dict:

@@ -11,7 +11,7 @@ from __future__ import annotations
 from functools import reduce
 from operator import or_
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # F1 — path-prefix blacklist (scanner.rs:80-85): system prefixes → ours,
@@ -91,6 +91,33 @@ def system_name_filter(name: Column) -> Column:
     return ~lowered.isin(
         ["$recycle.bin", ".spotlight-v100", ".trashes", "system volume information"]
     ) & ~name.rlike(r"^found\.[0-9]+$")
+
+
+def basename(path: Column) -> Column:
+    """C4 — last path segment (``split('/').pop()``,
+    ClusterResultsView.tsx:101)."""
+    return F.substring_index(path, "/", -1)
+
+
+def dirname(path: Column) -> Column:
+    """C4 — everything before the last '/' (``slice(0,-1).join('/')``,
+    dataTransform.ts:67); '' when the path has no separator, matching the
+    reference's join of an empty slice."""
+    return F.when(
+        path.contains("/"), F.regexp_replace(path, r"/[^/]*$", "")
+    ).otherwise(F.lit(""))
+
+
+def name_contains(name: Column, query: str) -> Column:
+    """F9 — case-insensitive substring filter on an entry name
+    (FileExplorerView.tsx:321-323)."""
+    return F.lower(name).contains(query.lower())
+
+
+def removable_only(drives: DataFrame) -> DataFrame:
+    """F11 — keep removable drives only (Sidebar.tsx:108-112:
+    ``drives.filter(d => d.is_removable)``)."""
+    return drives.where(F.col("is_removable"))
 
 
 def extension_category(url: Column) -> Column:

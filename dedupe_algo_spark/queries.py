@@ -191,6 +191,47 @@ FROM (
 """
 
 
+def q_dirname_rollup(spark, sf_dir):
+    """A7 + C4 — folder rollup over a *derived* dirname (the reference
+    groups by ``dirname(path)``, dataTransform.ts:61-67): paths are built
+    from (source, lang, doc_id), then the named basename/dirname helpers
+    split them back."""
+    from .operators.filters import basename, dirname
+
+    docs = _docs(spark, sf_dir).select(
+        F.concat_ws(
+            "/", "source", "lang", F.col("doc_id").cast("string")
+        ).alias("path"),
+        "n_chars",
+    )
+    return (
+        docs.select(
+            dirname(F.col("path")).alias("folder"),
+            basename(F.col("path")).alias("leaf"),
+            "n_chars",
+        )
+        .groupBy("folder")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("n_chars").alias("total_size"),
+            F.max("leaf").alias("max_leaf"),
+        )
+    )
+
+
+SQL_DIRNAME_ROLLUP = """
+WITH t AS (
+  SELECT source || '/' || lang || '/' || CAST(doc_id AS VARCHAR) AS path, n_chars
+  FROM documents
+)
+SELECT regexp_replace(path, '/[^/]*$', '') AS folder,
+       COUNT(*) AS n_files,
+       CAST(SUM(n_chars) AS BIGINT) AS total_size,
+       MAX(regexp_extract(path, '([^/]*)$', 1)) AS max_leaf
+FROM t GROUP BY 1
+"""
+
+
 def q_cube_rollup(spark, sf_dir):
     """A7 generalized — grouping sets over (lang, source): the cube the
     reference's two-level folder view approximates (SURVEY §2.3 notes A7
@@ -1083,6 +1124,7 @@ QUERIES = {
     "group_search": q_group_search,
     "category_rollup": q_category_rollup,
     "folder_rollup": q_folder_rollup,
+    "dirname_rollup": q_dirname_rollup,
     "cube_rollup": q_cube_rollup,
     "region_revenue": q_region_revenue,
     "cache_validity_join": q_cache_validity_join,
@@ -1129,6 +1171,7 @@ ORACLES = {
     "group_search": SQL_GROUP_SEARCH,
     "category_rollup": SQL_CATEGORY_ROLLUP,
     "folder_rollup": SQL_FOLDER_ROLLUP,
+    "dirname_rollup": SQL_DIRNAME_ROLLUP,
     "cube_rollup": SQL_CUBE_ROLLUP,
     "region_revenue": SQL_REGION_REVENUE,
     "cache_validity_join": SQL_CACHE_VALIDITY_JOIN,

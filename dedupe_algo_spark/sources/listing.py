@@ -54,6 +54,33 @@ def parse_df_output(spark: SparkSession, lines_path: str) -> DataFrame:
     )
 
 
+SYSTEM_NODE_NAMES = ["Home", "Desktop", "Documents", "Downloads", "Pictures", "Music"]
+
+
+def system_nodes(spark: SparkSession, home: str = "/home/user") -> DataFrame:
+    """S7 — the static well-known-roots dimension (``get_system_nodes``,
+    lib.rs:304-335): Home/Desktop/Documents/... rows with their paths.
+    A tiny dimension table, meant to be broadcast."""
+    rows = [("Home", home)] + [
+        (n, f"{home}/{n}") for n in SYSTEM_NODE_NAMES if n != "Home"
+    ]
+    return spark.createDataFrame(rows, "name string, path string")
+
+
+def enrich_system_nodes(nodes: DataFrame, drives: DataFrame) -> DataFrame:
+    """S7 — attach disk stats to each system node via the longest-prefix
+    mount join (the reference enriches each root with its disk's
+    total/available space, lib.rs:316-330; join semantics = J4)."""
+    from ..operators.views import longest_prefix_join
+
+    picked = longest_prefix_join(
+        nodes, drives.select("mount_point", "total_space", "available_space")
+    )
+    return picked.select(
+        "name", "path", "mount_point", "total_space", "available_space"
+    )
+
+
 def list_directory(spark: SparkSession, path: str) -> DataFrame:
     """S8 — one-level FileEntry listing with the system-name ignore
     filter and dirs-first case-insensitive ordering (lib.rs:431-486,

@@ -31,26 +31,51 @@ HASHES = ["partial_hash", "content_sha256"]
 
 
 class HashMemo:
-    """Parquet-backed memo with MERGE-upsert semantics."""
+    """Parquet-backed memo with MERGE-upsert semantics, sharded by
+    ``hash(url) % n_shards`` so an upsert rewrites only the shards its
+    keys fall in — O(updates)-sized I/O, not O(memo). On Iceberg the
+    same statement is a ``MERGE INTO`` against a table partitioned the
+    same way (partition-level commit = our per-shard directory swap)."""
 
-    def __init__(self, spark: SparkSession, path: str):
+    def __init__(self, spark: SparkSession, path: str, n_shards: int = 16):
         self.spark = spark
         self.path = path
+        self.n_shards = n_shards
+
+    def _sharded(self, df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            "shard",
+            F.pmod(F.xxhash64(MEMO_KEY), F.lit(self.n_shards)).cast("int"),
+        )
 
     def read(self) -> DataFrame:
         if os.path.exists(self.path):
-            return self.spark.read.parquet(self.path)
+            return self.spark.read.parquet(self.path).select(
+                *MEMO_SCHEMA.fieldNames()
+            )
         return self.spark.createDataFrame([], MEMO_SCHEMA)
 
     def upsert(self, updates: DataFrame) -> None:
         """S4 — ``INSERT ... ON CONFLICT(url) DO UPDATE`` with COALESCE
         keep-old semantics (cache.rs:60-77): new row wins on (len, ts);
-        a null incoming hash never clobbers a stored one. Single atomic
-        swap = the reference's one-transaction batch."""
-        cur = self.read()
-        u = updates.select(*MEMO_SCHEMA.fieldNames())
+        a null incoming hash never clobbers a stored one. Only the
+        touched shards are read (partition pruning on the shard column)
+        and rewritten; untouched shards are never opened."""
+        u = self._sharded(updates.select(*MEMO_SCHEMA.fieldNames()))
+        if not os.path.exists(self.path):
+            u.write.partitionBy("shard").parquet(self.path)
+            return
+        touched = sorted(
+            r["shard"] for r in u.select("shard").distinct().collect()
+        )
+        cur = (
+            self.spark.read.parquet(self.path)
+            .where(F.col("shard").isin(touched))
+            .select(*MEMO_SCHEMA.fieldNames())
+        )
         merged = (
-            u.alias("n")
+            u.drop("shard")
+            .alias("n")
             .join(cur.alias("o"), MEMO_KEY, "full_outer")
             .select(
                 F.col(MEMO_KEY),
@@ -65,10 +90,15 @@ class HashMemo:
             )
         )
         tmp = f"{self.path}.tmp-{uuid.uuid4().hex[:8]}"
-        merged.write.mode("overwrite").parquet(tmp)
-        if os.path.exists(self.path):
-            shutil.rmtree(self.path)
-        os.rename(tmp, self.path)
+        self._sharded(merged).write.partitionBy("shard").mode("overwrite").parquet(tmp)
+        for k in touched:
+            src = os.path.join(tmp, f"shard={k}")
+            dst = os.path.join(self.path, f"shard={k}")
+            if os.path.exists(dst):
+                shutil.rmtree(dst)
+            if os.path.exists(src):
+                os.rename(src, dst)
+        shutil.rmtree(tmp)
 
     def clear(self) -> None:
         """S5 — DELETE FROM scan_cache (cache.rs:79-84)."""

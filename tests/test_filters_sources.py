@@ -76,6 +76,53 @@ def test_extension_category(spark):
     assert got == ["Images", "Documents", "Others"]
 
 
+def test_basename_dirname(spark):
+    df = spark.createDataFrame(
+        [("a/b/c.txt",), ("solo",), ("/rooted",)], "p string"
+    )
+    got = df.select(
+        filters.dirname(F.col("p")).alias("d"), filters.basename(F.col("p")).alias("b")
+    ).collect()
+    assert [(r["d"], r["b"]) for r in got] == [
+        ("a/b", "c.txt"),
+        ("", "solo"),  # no separator -> '' like the reference's empty slice
+        ("", "rooted"),
+    ]
+
+
+def test_name_contains(spark):
+    df = spark.createDataFrame([("Report.PDF",), ("notes.txt",)], "name string")
+    out = df.where(filters.name_contains(F.col("name"), "pdf")).collect()
+    assert [r["name"] for r in out] == ["Report.PDF"]
+
+
+def test_removable_filter_and_system_nodes(spark, tmp_path):
+    from dedupe_algo_spark.sources.listing import (
+        enrich_system_nodes,
+        parse_df_output,
+        system_nodes,
+    )
+
+    text = (
+        "Filesystem 1024-blocks Used Available Capacity Mounted on\n"
+        "/dev/disk3s1 1000 10 990 1% /\n"
+        "/dev/disk5s1 2000 1 1999 1% /Volumes/USB\n"
+    )
+    p = tmp_path / "df.txt"
+    p.write_text(text)
+    drives = parse_df_output(spark, str(p))
+    # F11 — removable drives only
+    rem = filters.removable_only(drives).collect()
+    assert [r["mount_point"] for r in rem] == ["/Volumes/USB"]
+    # S7 — static roots dimension + longest-prefix disk enrichment (J4)
+    nodes = system_nodes(spark, home="/home/user")
+    assert nodes.count() == 6
+    enriched = {r["name"]: r for r in enrich_system_nodes(nodes, drives).collect()}
+    assert enriched["Desktop"]["path"] == "/home/user/Desktop"
+    assert enriched["Desktop"]["mount_point"] == "/"
+    assert enriched["Desktop"]["total_space"] == 1000 * 1024
+
+
 def test_bytes_human(spark):
     df = spark.createDataFrame([(0,), (512,), (2048,), (3 * 1024**2,)], "n long")
     got = [r["h"] for r in df.select(bytes_human(F.col("n")).alias("h")).collect()]

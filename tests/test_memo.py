@@ -60,6 +60,30 @@ def test_upsert_inserts_and_updates(spark, tmp_path):
     assert rows["u1"]["content_sha256"] == "sx"  # non-null new wins
 
 
+def test_upsert_touches_only_affected_shards(spark, tmp_path):
+    import os
+
+    path = str(tmp_path / "memo")
+    memo = HashMemo(spark, path, n_shards=8)
+    seed = [(f"u{i}", i, T1, f"p{i}", f"s{i}") for i in range(64)]
+    memo.upsert(_memo_df(spark, seed))
+
+    def listing(shard_dir):
+        return sorted(os.listdir(os.path.join(path, shard_dir)))
+
+    shards = sorted(d for d in os.listdir(path) if d.startswith("shard="))
+    assert len(shards) > 1  # keys actually spread
+    before = {d: listing(d) for d in shards}
+    memo.upsert(_memo_df(spark, [("u1", 1, T2, "px", None)]))
+    after = {d: listing(d) for d in shards}
+    changed = [d for d in shards if before[d] != after[d]]
+    assert len(changed) == 1  # one key -> exactly one shard rewritten
+    rows = {r["url"]: r for r in memo.read().collect()}
+    assert len(rows) == 64
+    assert rows["u1"]["partial_hash"] == "px"
+    assert rows["u1"]["content_sha256"] == "s1"  # COALESCE kept across shard rewrite
+
+
 def test_clear(spark, tmp_path):
     memo = HashMemo(spark, str(tmp_path / "memo"))
     memo.upsert(_memo_df(spark, [("u1", 1, T1, "p", "s")]))

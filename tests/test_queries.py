@@ -88,6 +88,21 @@ def test_rows_only_queries_run(spark):
         assert df.count() >= 0, name
 
 
+def test_table_format_dialect_switch(spark, monkeypatch):
+    """DEDUPE_TABLE_FORMAT=iceberg must route load_table through the
+    session catalog (namespace.table) instead of the parquet path — the
+    sandbox has no Iceberg jar, so the catalog lookup failing on the
+    *table identifier* is the proof of routing."""
+    from dedupe_algo_spark.sources import tables
+
+    monkeypatch.setenv(tables.TABLE_FORMAT_ENV, "iceberg")
+    monkeypatch.setenv(tables.ICEBERG_NAMESPACE_ENV, "icedb")
+    with pytest.raises(Exception, match="icedb.*documents|TABLE_OR_VIEW_NOT_FOUND"):
+        tables.load_table(spark, SF_DIR, "documents").collect()
+    monkeypatch.setenv(tables.TABLE_FORMAT_ENV, "parquet")
+    assert tables.load_table(spark, SF_DIR, "documents").count() > 0
+
+
 def test_entry_smoke(spark):
     import sys
 
