@@ -63,6 +63,48 @@ def _small_star(edges: DataFrame) -> DataFrame:
     )
 
 
+# Below this many canonical edges the contracted rep-graph is solved
+# driver-side: a union-find over ≤1M string pairs is ~1s of driver work,
+# while every distributed superstep costs ~10 shuffle/checkpoint jobs of
+# fixed latency that no executor count can shrink. The distributed
+# large-star/small-star path stays the algorithm of record for graphs
+# that cannot fit (10^12-doc corpora can carry billions of rep edges).
+SMALL_GRAPH_EDGES = 1_000_000
+
+
+def _local_cc(edges: DataFrame) -> DataFrame:
+    """Driver union-find fast path — identical output contract to the
+    distributed path: (url, component=lexicographic min of component)."""
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in edges.collect():
+        a, b = r["src"], r["dst"]
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comp_min: dict[str, str] = {}
+    for v in parent:
+        r = find(v)
+        if r not in comp_min or v < comp_min[r]:
+            comp_min[r] = v
+    rows = [(v, comp_min[find(v)]) for v in sorted(parent)]
+    return edges.sparkSession.createDataFrame(
+        rows, "url string, component string"
+    )
+
+
 def _signature(edges: DataFrame) -> tuple[int, int]:
     row = edges.agg(
         F.count(F.lit(1)).alias("n"),
@@ -72,16 +114,25 @@ def _signature(edges: DataFrame) -> tuple[int, int]:
 
 
 def connected_components(
-    edges: DataFrame, max_iter: int = 25, checkpoint: bool = True
+    edges: DataFrame,
+    max_iter: int = 25,
+    checkpoint: bool = True,
+    small_graph_edges: int = SMALL_GRAPH_EDGES,
 ) -> DataFrame:
     """→ (url, component) assignment for every node appearing in edges.
 
     ``component`` is the lexicographic min url of the component. Nodes
     not present in any edge are singletons and simply absent here.
+
+    Graphs whose canonical edge set is ≤ ``small_graph_edges`` are
+    solved with a driver-side union-find (same output, ~1 job instead of
+    ~10 per superstep); pass 0 to force the distributed path.
     """
     cur = _canonical(edges.select(F.col(edges.columns[0]).alias("src"), F.col(edges.columns[1]).alias("dst")))
     if checkpoint:
         cur = cur.localCheckpoint(eager=True)
+    if small_graph_edges and cur.count() <= small_graph_edges:
+        return _local_cc(cur)
     prev_sig = None
     for i in range(max_iter):
         cur = _canonical(_small_star(_large_star(cur)))
