@@ -89,13 +89,22 @@ def bucket_table(
 def candidate_pairs(
     buckets: DataFrame,
     max_bucket: int = DEFAULT_MAX_BUCKET,
+    with_counts: bool = False,
 ) -> DataFrame:
-    """→ distinct (url_a, url_b), url_a < url_b.
+    """→ distinct (url_a, url_b), url_a < url_b — plus ``n_shared`` (the
+    number of buckets the pair collided in) when ``with_counts``.
 
     Hot buckets (> ``max_bucket`` members) are excluded — at web scale
     these are non-discriminating keys whose pair blow-up is quadratic
     junk. The bucket-size prune reuses the bucket_key shuffle via a
     window count (same trick as singleton pruning, F7).
+
+    ``n_shared`` is the free similarity estimate: with b bands of r rows,
+    a pair of Jaccard J collides per band with probability J^r, so the
+    collision count is Binomial(b, J^r) — thresholding it gates on J
+    using ONLY the shuffle the self-join already paid for, no signature
+    joins (the standard LSH-at-scale formulation; cf. spark.ml
+    MinHashLSH, which gates on ≥1 collision before exact distance).
     """
     from pyspark.sql import Window
 
@@ -105,12 +114,12 @@ def candidate_pairs(
     )
     left = sized.select("bucket_key", F.col("url").alias("url_a"))
     right = sized.select("bucket_key", F.col("url").alias("url_b"))
-    return (
-        left.join(right, "bucket_key")
-        .where(F.col("url_a") < F.col("url_b"))
-        .select("url_a", "url_b")
-        .distinct()
-    )
+    pairs = left.join(right, "bucket_key").where(F.col("url_a") < F.col("url_b"))
+    if with_counts:
+        return pairs.groupBy("url_a", "url_b").agg(
+            F.count(F.lit(1)).alias("n_shared")
+        )
+    return pairs.select("url_a", "url_b").distinct()
 
 
 def dropped_buckets(buckets: DataFrame, max_bucket: int = DEFAULT_MAX_BUCKET) -> DataFrame:

@@ -9,8 +9,9 @@ Spark:
       → exact grouping on (len, sha256)               (1 slim shuffle)
       → collapse to one representative per text       (scale lever)
       → JVM xxhash64 LSH bands → (long,url) self-join (pass-1 generalized)
-      → tier-1 MinHash-Jaccard estimate (sig join, pair-side broadcast)
-      → tier-2 exact token-Jaccard confirm (text re-read, pair-side
+      → tier-1 gate = band-collision count (binomial in Jaccard; rides
+        the self-join's shuffle, no signature joins)
+      → tier-2 exact token-Jaccard confirm (text re-read, candidate urls
         broadcast — text STILL never shuffles)
       → exact star-edges ∪ near match-edges
       → large-star/small-star connected components
@@ -39,7 +40,9 @@ from .operators.cluster import connected_components
 from .operators.dedup import assign_exact, page_meta
 from .operators.scoring import (
     DEFAULT_ESTIMATE_GATE,
+    DEFAULT_MIN_BAND_MATCHES,
     DEFAULT_THRESHOLD,
+    band_gate,
     confirm_pairs,
     estimate_pairs,
 )
@@ -59,6 +62,7 @@ def dedup_pipeline(
     min_len: int = 10,
     threshold: float = DEFAULT_THRESHOLD,
     estimate_gate: float = DEFAULT_ESTIMATE_GATE,
+    min_band_matches: int = DEFAULT_MIN_BAND_MATCHES,
     max_bucket: int = DEFAULT_MAX_BUCKET,
     use_pandas_udf_hash: bool = False,
     include_near: bool = True,
@@ -117,13 +121,22 @@ def dedup_pipeline(
         )
 
         def near():
+            # Estimate tier = LSH band-collision count: the binomial
+            # collision count over the self-join's own shuffle replaces
+            # the two full-signature joins (each shuffles |reps|×1KB of
+            # sigs — the job's second-largest exchange at 4M pages).
             pairs = candidate_pairs(
-                bucket_table_from_sigs(rep_sigs), max_bucket=max_bucket
+                bucket_table_from_sigs(rep_sigs),
+                max_bucket=max_bucket,
+                with_counts=True,
             )
-            cands = estimate_pairs(pairs, rep_sigs, gate=estimate_gate)
+            cands = band_gate(pairs, min_matches=min_band_matches).select(
+                "url_a", "url_b"
+            )
             if exact_confirm:
                 return confirm_pairs(cands, pages, threshold=threshold)
-            return cands.select(
+            est = estimate_pairs(cands, rep_sigs, gate=estimate_gate)
+            return est.select(
                 "url_a", "url_b", F.col("est_score").alias("score")
             ).where(F.col("score") >= threshold)
 
