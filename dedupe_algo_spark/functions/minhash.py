@@ -96,6 +96,35 @@ def minhash_udf(texts: pd.Series) -> pd.Series:
     return pd.Series(_batch_signatures(texts.values), index=texts.index)
 
 
+_BAND_FOLD = np.uint64(0x9E3779B97F4A7C15)  # odd multiplier, uint64 wrap
+
+
+def minhash_band_keys(text: str | None, k: int = 3) -> np.ndarray | None:
+    """OPH signature folded straight into its LSH_BANDS band keys
+    (multiplicative fold over each band's rows, seeded by the band
+    index). Equal key ⇔ equal band rows up to a ~2^-64 collision —
+    the same banding behavior as hashing the full signature, but the
+    row that leaves the UDF is 32 longs (~256B) instead of 128 (~1KB):
+    everything downstream of the scan (exact-grouping shuffle, bucket
+    explode) moves 4× fewer signature bytes."""
+    sig = minhash_signature(text, k)
+    if sig is None:
+        return None
+    rows = NUM_PERM // LSH_BANDS
+    m = sig.view(np.uint64).reshape(LSH_BANDS, rows)
+    keys = np.arange(LSH_BANDS, dtype=np.uint64)
+    for j in range(rows):
+        keys = keys * _BAND_FOLD + m[:, j]
+    return keys.astype(np.int64)
+
+
+@pandas_udf(ArrayType(LongType()))
+def minhash_band_keys_udf(texts: pd.Series) -> pd.Series:
+    return pd.Series(
+        [minhash_band_keys(t) for t in texts.values], index=texts.index
+    )
+
+
 @pandas_udf(ArrayType(StringType()))
 def minhash_bands(signatures: pd.Series) -> pd.Series:
     """Band keys ``'m{band}:{hash-of-rows}'`` — one per LSH band. Explode

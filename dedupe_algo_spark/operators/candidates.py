@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.minhash import minhash_bands_col, minhash_udf
+from ..functions.minhash import minhash_band_keys_udf, minhash_bands_col
 from ..functions.simhash import simhash64_udf, simhash_bands
 from .blocking import block_key
 
@@ -42,6 +42,13 @@ def bucket_table_from_sigs(sigs: DataFrame) -> DataFrame:
     return sigs.select(
         F.explode(minhash_bands_col(F.col("sig"))).alias("bucket_key"), "url"
     )
+
+
+def bucket_table_from_bands(bands: DataFrame) -> DataFrame:
+    """→ (bucket_key:long, url) from a precomputed (url, bands) table —
+    the band keys were already folded in the signature UDF
+    (minhash_band_keys_udf), so bucketing is a bare explode."""
+    return bands.select(F.explode("bands").alias("bucket_key"), "url")
 
 
 def bucket_table(
@@ -62,8 +69,10 @@ def bucket_table(
     """
     paths = []
     if use_minhash:
-        sigs = working.select("url", minhash_udf(F.col("text")).alias("sig"))
-        paths.append(bucket_table_from_sigs(sigs))
+        bands = working.select(
+            "url", minhash_band_keys_udf(F.col("text")).alias("bands")
+        )
+        paths.append(bucket_table_from_bands(bands))
     if use_cheap_key:
         paths.append(
             working.select(

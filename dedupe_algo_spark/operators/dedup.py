@@ -10,11 +10,11 @@ avoid *reading file bytes* for non-candidates (partial hash reads 32KB,
 full hash reads everything). In Spark the text is already in the row:
 one scan pass computes every per-row artifact map-side —
 
-    (url, text_len, partial_hash, content_sha256, minhash signature)
+    (url, text_len, partial_hash, content_sha256, LSH band keys)
 
 — and ``text`` itself is dropped before the first shuffle. That is the
 100TB-defining property of this design: **text bytes never shuffle**;
-only the ~100-byte meta row (plus the 1KB signature on the near path)
+only the ~100-byte meta row (plus ~256B of band keys on the near path)
 moves between executors, and the expensive column is read exactly once.
 
 The cascade's pruning semantics survive as grouping structure:
@@ -44,7 +44,7 @@ from ..functions.hashing import (
     sha256_col,
     sha256_udf,
 )
-from ..functions.minhash import minhash_udf
+from ..functions.minhash import minhash_band_keys_udf, minhash_udf
 
 
 def page_meta(
@@ -53,9 +53,16 @@ def page_meta(
     use_pandas_udf: bool = False,
     with_signature: bool = True,
     with_ts: bool = False,
+    signature: str = "bands",
 ) -> DataFrame:
     """One-pass map-side projection of everything dedup needs, with the
-    text column dropped at the end of the pass. Zero shuffles."""
+    text column dropped at the end of the pass. Zero shuffles.
+
+    ``signature="bands"`` (default) carries only the 32 LSH band keys
+    (~256B/row) — all the near-dup path needs when gating on band
+    collisions — so every shuffle downstream of the scan moves 4× fewer
+    signature bytes than the full 128-perm ``signature="sig"`` form
+    (which remains for callers that score MinHash-Jaccard estimates)."""
     partial = (
         partial_sha256_udf(F.col("text"))
         if use_pandas_udf
@@ -71,7 +78,10 @@ def page_meta(
     if with_ts:
         cols.insert(1, F.col("warc_ts"))
     if with_signature:
-        cols.append(minhash_udf(F.col("text")).alias("sig"))
+        if signature == "sig":
+            cols.append(minhash_udf(F.col("text")).alias("sig"))
+        else:
+            cols.append(minhash_band_keys_udf(F.col("text")).alias("bands"))
     return pages.where(F.length("text") >= min_len).select(*cols)
 
 

@@ -4,7 +4,7 @@ Reference lifecycle (SURVEY.md §3.1, lib.rs:30-182) re-designed for
 Spark:
 
     pages (scan, read ONCE)
-      → page_meta: map-side (url, len, partial, sha256, minhash sig);
+      → page_meta: map-side (url, len, partial, sha256, LSH band keys);
         text dropped before any shuffle               (passes 1-3 compute)
       → exact grouping on (len, sha256)               (1 slim shuffle)
       → collapse to one representative per text       (scale lever)
@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 
 from .operators.candidates import (
     DEFAULT_MAX_BUCKET,
-    bucket_table_from_sigs,
+    bucket_table_from_bands,
     candidate_pairs,
 )
 from .operators.cluster import connected_components
@@ -81,6 +81,11 @@ def dedup_pipeline(
     if stage is None:
         stage = lambda name, fn: fn()  # noqa: E731 — identity hook
 
+    # Bands-only signatures unless the no-confirm path needs the full
+    # 128-perm sig for its numeric MinHash-Jaccard estimate: band keys
+    # are 32 longs/row vs 128, so the exact-grouping shuffle and the
+    # rep-signature slice move 4× fewer signature bytes.
+    sig_mode = "sig" if (include_near and not exact_confirm) else "bands"
     meta = stage(
         "page_meta",
         lambda: page_meta(
@@ -88,6 +93,7 @@ def dedup_pipeline(
             min_len=min_len,
             use_pandas_udf=use_pandas_udf_hash,
             with_signature=include_near,
+            signature=sig_mode,
         ),
     ).persist()
 
@@ -116,8 +122,8 @@ def dedup_pipeline(
     )
 
     if include_near:
-        rep_sigs = assigned.where(F.col("url") == F.col("rep_url")).select(
-            "url", "sig"
+        rep_keys = assigned.where(F.col("url") == F.col("rep_url")).select(
+            "url", sig_mode if sig_mode == "sig" else "bands"
         )
 
         def near():
@@ -125,17 +131,21 @@ def dedup_pipeline(
             # collision count over the self-join's own shuffle replaces
             # the two full-signature joins (each shuffles |reps|×1KB of
             # sigs — the job's second-largest exchange at 4M pages).
+            if sig_mode == "sig":
+                from .operators.candidates import bucket_table_from_sigs
+
+                buckets = bucket_table_from_sigs(rep_keys)
+            else:
+                buckets = bucket_table_from_bands(rep_keys)
             pairs = candidate_pairs(
-                bucket_table_from_sigs(rep_sigs),
-                max_bucket=max_bucket,
-                with_counts=True,
+                buckets, max_bucket=max_bucket, with_counts=True
             )
             cands = band_gate(pairs, min_matches=min_band_matches).select(
                 "url_a", "url_b"
             )
             if exact_confirm:
                 return confirm_pairs(cands, pages, threshold=threshold)
-            est = estimate_pairs(cands, rep_sigs, gate=estimate_gate)
+            est = estimate_pairs(cands, rep_keys, gate=estimate_gate)
             return est.select(
                 "url_a", "url_b", F.col("est_score").alias("score")
             ).where(F.col("score") >= threshold)

@@ -57,6 +57,33 @@ def test_minhash_estimates_jaccard():
     assert estimate_jaccard(sig_a, sig_a) == 1.0
 
 
+def test_minhash_band_keys_fold():
+    from dedupe_algo_spark.functions.minhash import (
+        LSH_BANDS,
+        minhash_band_keys,
+        minhash_signature,
+    )
+    import numpy as np
+
+    a = " ".join(f"tok{i}" for i in range(200))
+    near = " ".join(f"tok{i}" for i in range(195)) + " zz zz zz zz zz"
+    far = " ".join(f"other{i}" for i in range(200))
+    ka, ka2, kn, kf = (
+        minhash_band_keys(t) for t in (a, a, near, far)
+    )
+    assert len(ka) == LSH_BANDS
+    assert (ka == ka2).all()  # deterministic
+    # band key equality must mirror band-row equality of the signature
+    sa = minhash_signature(a).reshape(LSH_BANDS, -1)
+    sn = minhash_signature(near).reshape(LSH_BANDS, -1)
+    rows_equal = (sa == sn).all(axis=1)
+    assert ((ka == kn) == rows_equal).all()
+    assert (ka == kn).sum() >= 2  # near-dup collides in several bands
+    assert (ka == kf).sum() == 0  # unrelated text collides in none
+    # band index seeds the fold: identical rows in different bands differ
+    assert len(np.unique(ka)) == LSH_BANDS
+
+
 def test_pair_udfs_on_dataframe(spark):
     from dedupe_algo_spark.functions.similarity import (
         levenshtein_sim_col,

@@ -72,6 +72,7 @@ def test_bucket_table_never_shuffles_text(spark, pages_1k):
     moved = exchange_columns(pairs)
     assert "text" not in moved, moved
     assert "sig" not in moved, moved
+    assert "bands" not in moved, moved
     from dedupe_algo_spark.queries import q_prefix_theta_join
 
     assert has_broadcast_join(q_prefix_theta_join(spark, SF_DIR))
