@@ -177,6 +177,17 @@ def dedup_pipeline(
     comp = rep_comp.select(
         F.col("url").alias("rep_url"), F.col("component")
     )
+    # The component map is RDD-backed (driver union-find) or a small
+    # checkpointed aggregate — either way Catalyst has no size stats and
+    # plants a sort-merge join that shuffles the whole assigned table
+    # (measured 3.6GB at 4M pages) against a ~MB map. Count it (one tiny
+    # job over a materialized frame) and broadcast when it fits; at
+    # 10^12 rows a billion-row component map correctly falls back to the
+    # shuffle join.
+    from .operators.scoring import BROADCAST_URL_LIMIT
+
+    if comp.count() <= BROADCAST_URL_LIMIT:
+        comp = F.broadcast(comp)
     clusters = (
         assigned.select("url", "rep_url", "cluster_size")
         .join(comp, "rep_url", "left")
