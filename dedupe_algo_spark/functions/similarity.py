@@ -22,15 +22,39 @@ LEV_CAP = 512  # cap quadratic edit-distance work per pair
 @pandas_udf(DoubleType())
 def pair_jaccard_udf(text_a: pd.Series, text_b: pd.Series) -> pd.Series:
     """Exact token-set Jaccard per pair (the confirm-stage score for
-    near-dups; cheap because blocking already pruned the pair count)."""
+    near-dups; cheap because blocking already pruned the pair count).
+
+    Memory-lean formulation — this stage profiled as allocation-bound,
+    not compute-bound (per-pair Python sets ran 4× slower per pair on a
+    fully loaded 32-core box than on 8 busy cores, pinned to the flat
+    memory-bandwidth ceiling): each *distinct* text in the Arrow batch
+    is tokenized once into a sorted unique uint64 hash array (each url
+    recurs in ~degree pairs), and per-pair intersection runs in C via
+    ``np.intersect1d``. 64-bit token hashing changes the score only on
+    a ~2^-64-per-token hash collision."""
+    cache: dict[str, np.ndarray] = {}
+
+    def tok_hashes(s: str) -> np.ndarray:
+        arr = cache.get(s)
+        if arr is None:
+            toks = s.split()
+            arr = (
+                np.unique(pd.util.hash_array(np.asarray(toks, dtype=object)))
+                if toks
+                else np.empty(0, dtype=np.uint64)
+            )
+            cache[s] = arr
+        return arr
+
     out = np.empty(len(text_a), dtype=np.float64)
     for i, (a, b) in enumerate(zip(text_a.values, text_b.values)):
         if a is None or b is None:
             out[i] = np.nan
             continue
-        sa, sb = set(a.split()), set(b.split())
-        u = len(sa | sb)
-        out[i] = (len(sa & sb) / u) if u else 1.0
+        ha, hb = tok_hashes(a), tok_hashes(b)
+        inter = np.intersect1d(ha, hb, assume_unique=True).size
+        u = ha.size + hb.size - inter
+        out[i] = (inter / u) if u else 1.0
     return pd.Series(out)
 
 

@@ -13,6 +13,7 @@ from pyspark.sql.types import (
     ArrayType,
     BinaryType,
     BooleanType,
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -86,7 +87,7 @@ EDGES_SCHEMA = StructType(
     [
         StructField("url_a", StringType(), nullable=False),
         StructField("url_b", StringType(), nullable=False),
-        StructField("score", StringType(), nullable=True),
+        StructField("score", DoubleType(), nullable=True),
     ]
 )
 
