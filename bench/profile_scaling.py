@@ -123,6 +123,13 @@ def parse_eventlog(app_id: str, t0_ms: int = 0) -> dict:
                 st["run_s"] += tm.get("Executor Run Time", 0) / 1e3
                 st["cpu_s"] += tm.get("Executor CPU Time", 0) / 1e9
                 st["gc_s"] += tm.get("JVM GC Time", 0) / 1e3
+                st["sw_gb"] = st.get("sw_gb", 0.0) + (
+                    (tm.get("Shuffle Write Metrics") or {}).get("Shuffle Bytes Written", 0)
+                ) / 2**30
+                srm = tm.get("Shuffle Read Metrics") or {}
+                st["sr_gb"] = st.get("sr_gb", 0.0) + (
+                    srm.get("Remote Bytes Read", 0) + srm.get("Local Bytes Read", 0)
+                ) / 2**30
             elif k == "SparkListenerJobStart":
                 jobs.append({"start": ev.get("Submission Time"), "end": None})
             elif k == "SparkListenerJobEnd" and jobs:
@@ -176,11 +183,13 @@ def report(tag: str, res: dict, prof: dict) -> None:
         )
         for sid, s in prof["stages"].items()
     )[::-1]
-    print(f"{'dur_s':>7} {'tasks':>5} {'run_s':>8} {'cpu_s':>8} {'gc_s':>6}  name")
+    print(f"{'dur_s':>7} {'tasks':>5} {'run_s':>8} {'cpu_s':>8} {'gc_s':>6} "
+          f"{'sw_GB':>6} {'sr_GB':>6}  name")
     for dur, sid, s in rows[:28]:
         print(
             f"{dur:7.1f} {s['tasks']:5d} {s['run_s']:8.1f} {s['cpu_s']:8.1f} "
-            f"{s['gc_s']:6.1f}  [{sid}] {s.get('name', '?')}"
+            f"{s['gc_s']:6.1f} {s.get('sw_gb', 0):6.1f} {s.get('sr_gb', 0):6.1f}"
+            f"  [{sid}] {s.get('name', '?')}"
         )
 
 

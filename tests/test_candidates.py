@@ -1,0 +1,61 @@
+"""Candidate generation + scoring gates: bucket-size pruning, band
+collision counts, the band gate, and the confirm stage's
+text-never-shuffles property."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dedupe_algo_spark.operators.candidates import candidate_pairs
+from dedupe_algo_spark.operators.scoring import band_gate, confirm_pairs
+
+
+def _buckets(spark, rows):
+    return spark.createDataFrame(rows, "bucket_key long, url string")
+
+
+def test_candidate_pairs_with_counts_and_caps(spark):
+    rows = (
+        [(1, u) for u in ("a", "b", "c")]  # bucket 1: 3 members
+        + [(2, u) for u in ("a", "b")]  # bucket 2: a,b collide again
+        + [(3, "x")]  # singleton bucket: no pairs
+        + [(4, f"h{i}") for i in range(10)]  # hot bucket, capped below
+    )
+    pairs = {
+        (r["url_a"], r["url_b"]): r["n_shared"]
+        for r in candidate_pairs(
+            _buckets(spark, rows), max_bucket=5, with_counts=True
+        ).collect()
+    }
+    # hot bucket (10 > 5) contributes nothing; singleton contributes nothing
+    assert pairs == {("a", "b"): 2, ("a", "c"): 1, ("b", "c"): 1}
+
+
+def test_band_gate_thresholds_collision_count(spark):
+    rows = [(1, "a"), (1, "b"), (2, "a"), (2, "b"), (3, "a"), (3, "c")]
+    counted = candidate_pairs(_buckets(spark, rows), with_counts=True)
+    gated = {
+        (r["url_a"], r["url_b"]) for r in band_gate(counted, min_matches=2).collect()
+    }
+    assert gated == {("a", "b")}  # (a,c) collided in only one bucket
+
+
+def test_distinct_mode_unchanged(spark):
+    rows = [(1, "a"), (1, "b"), (2, "a"), (2, "b")]
+    out = candidate_pairs(_buckets(spark, rows)).collect()
+    assert [(r["url_a"], r["url_b"]) for r in out] == [("a", "b")]
+
+
+def test_confirm_pairs_never_shuffles_table_text(spark, pages_1k):
+    """The pages table's text column must not ride any Exchange: the
+    candidate-url set broadcasts into the semi-join, and only the carved
+    slice's renamed _ta/_tb columns move pair-side."""
+    from dedupe_algo_spark.plans import exchange_columns
+
+    urls = [r["url"] for r in pages_1k.select("url").limit(2).collect()]
+    pairs = spark.createDataFrame([(urls[0], urls[1])], "url_a string, url_b string")
+    scored = confirm_pairs(pairs, pages_1k, threshold=0.0)
+    moved = exchange_columns(scored)
+    assert "text" not in moved, moved
+    rows = scored.collect()
+    assert len(rows) == 1 and 0.0 <= rows[0]["score"] <= 1.0
