@@ -46,6 +46,32 @@ def test_distinct_mode_unchanged(spark):
     assert [(r["url_a"], r["url_b"]) for r in out] == [("a", "b")]
 
 
+def test_confirm_jvm_and_pandas_paths_identical(spark, pages_1k):
+    """The codegen confirm (array_intersect over pre-tokenized slices)
+    and the pandas-UDF confirm must produce the same pairs with the
+    same exact scores."""
+    from dedupe_algo_spark.operators.candidates import (
+        bucket_table_from_bands,
+        candidate_pairs,
+    )
+    from dedupe_algo_spark.operators.dedup import assign_exact, page_meta
+
+    assigned = assign_exact(page_meta(pages_1k))
+    rep = assigned.where(F.col("url") == F.col("rep_url")).select("url", "bands")
+    cands = band_gate(
+        candidate_pairs(bucket_table_from_bands(rep), with_counts=True)
+    ).select("url_a", "url_b")
+    jvm = {
+        (r["url_a"], r["url_b"]): round(r["score"], 9)
+        for r in confirm_pairs(cands, pages_1k, 0.5, jvm_tokens=True).collect()
+    }
+    pd_ = {
+        (r["url_a"], r["url_b"]): round(r["score"], 9)
+        for r in confirm_pairs(cands, pages_1k, 0.5, jvm_tokens=False).collect()
+    }
+    assert jvm and jvm == pd_
+
+
 def test_confirm_pairs_never_shuffles_table_text(spark, pages_1k):
     """The pages table's text column must not ride any Exchange: the
     candidate-url set broadcasts into the semi-join, and only the carved
