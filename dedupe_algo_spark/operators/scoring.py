@@ -39,6 +39,11 @@ DEFAULT_MIN_BAND_MATCHES = 2
 # into the millions; above this, fall back to the shuffled semi-join.
 BROADCAST_URL_LIMIT = 4_000_000
 
+# Java regex whose split boundaries equal Python str.split()'s on every
+# input: (?U)\s is the Unicode White_Space property; Python isspace()
+# additionally counts the U+001C-001F file/group/record/unit separators.
+TOKEN_SPLIT_RE = r"(?U)[\s\x1c-\x1f]+"
+
 
 def band_gate(
     pairs_with_counts: DataFrame, min_matches: int = DEFAULT_MIN_BAND_MATCHES
@@ -89,7 +94,13 @@ def confirm_pairs(
     distinct-token array during the carve-out, and the per-pair Jaccard
     is ``array_intersect``/``size`` — whole-stage codegen, zero Python
     in the confirm stage. The pandas-UDF path remains switchable; both
-    produce identical scores (same token sets, exact rational values).
+    produce identical scores (same token sets, exact rational values)
+    on ANY input: the JVM tokenizer is ``TOKEN_SPLIT_RE`` below, whose
+    character class exactly reproduces Python ``str.split()`` (Unicode
+    White_Space via ``(?U)\\s`` plus the U+001C–001F separators Python's
+    ``isspace`` adds) — web text is full of U+00A0/U+2009 etc., so an
+    ASCII-only ``\\s+`` would flip threshold decisions between the two
+    paths and against the MinHash shingler (Python split).
     """
     cand = candidates.select("url_a", "url_b").persist()
     n_pairs = cand.count()
@@ -103,7 +114,7 @@ def confirm_pairs(
     sliced = pages.join(urls, "url", "left_semi")
     if jvm_tokens:
         toks = F.array_distinct(
-            F.array_remove(F.split(F.trim(F.col("text")), r"\s+"), "")
+            F.array_remove(F.split(F.col("text"), TOKEN_SPLIT_RE), "")
         )
         slice_ = sliced.select("url", toks.alias("_toks")).persist()
         ta = slice_.select(F.col("url").alias("url_a"), F.col("_toks").alias("_ta"))

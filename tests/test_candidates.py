@@ -72,6 +72,37 @@ def test_confirm_jvm_and_pandas_paths_identical(spark, pages_1k):
     assert jvm and jvm == pd_
 
 
+def test_confirm_tokenizer_unicode_parity(spark):
+    """JVM and pandas confirm paths must agree on non-ASCII whitespace:
+    Java's bare \\s+ is ASCII-only while Python str.split() is Unicode,
+    so HTML-derived text (U+00A0 nbsp, U+2009 thin space, U+3000
+    ideographic space, U+0085 NEL, U+001C file separator) would flip
+    threshold decisions between the switchable paths."""
+    texts = [
+        ("u1", "foo bar baz"),
+        ("u2", "foo bar baz"),
+        ("u3", "foo　barbaz qux"),
+        ("u4", "foo\x1cbar\x1dbaz\x1equx\x1fzap"),
+        ("u5", " foo bar baz  "),
+    ]
+    pages = spark.createDataFrame(texts, "url string, text string")
+    pairs = spark.createDataFrame(
+        [("u1", "u2"), ("u1", "u3"), ("u2", "u5"), ("u3", "u4"), ("u1", "u5")],
+        "url_a string, url_b string",
+    )
+    jvm = {
+        (r["url_a"], r["url_b"]): r["score"]
+        for r in confirm_pairs(pairs, pages, 0.0, jvm_tokens=True).collect()
+    }
+    pd_ = {
+        (r["url_a"], r["url_b"]): r["score"]
+        for r in confirm_pairs(pairs, pages, 0.0, jvm_tokens=False).collect()
+    }
+    assert jvm == pd_
+    # ground truth: u1/u2/u5 all tokenize to {foo, bar, baz}
+    assert jvm[("u1", "u2")] == 1.0 and jvm[("u2", "u5")] == 1.0
+
+
 def test_confirm_pairs_never_shuffles_table_text(spark, pages_1k):
     """The pages table's text column must not ride any Exchange: the
     candidate-url set broadcasts into the semi-join, and only the carved
