@@ -82,23 +82,35 @@ def _hyperplanes(dim: int, n_bits: int, n_tables: int) -> np.ndarray:
 
 def hyperplane_buckets(dim: int, n_bits: int = 12, n_tables: int = 4):
     """Returns an Arrow-batched UDF mapping a vector to its ``n_tables``
-    LSH bucket keys (sign pattern under random hyperplanes)."""
+    LSH bucket keys (sign pattern under random hyperplanes).
+
+    The whole Arrow batch is hashed with ONE stacked matmul —
+    ``(N, dim) @ (dim, n_tables*n_bits)`` — then a bit-weight dot per
+    table; Python touches each row only to format the key strings.
+    (A per-row ``planes[t] @ x`` loop dispatches N×n_tables tiny BLAS
+    calls — the per-row-Python anti-pattern at 10^9 embeddings.)"""
     planes = _hyperplanes(dim, n_bits, n_tables)
+    # (dim, n_tables*n_bits) — one GEMM per batch covers every table
+    flat = planes.reshape(n_tables * n_bits, dim).T.copy()
     weights = (1 << np.arange(n_bits, dtype=np.int64))
 
     @pandas_udf(ArrayType(StringType()))
     def buckets(vecs: pd.Series) -> pd.Series:
-        def one(v) -> list[str] | None:
-            if v is None:
-                return None
-            x = np.asarray(v, dtype=np.float32)
-            out = []
-            for t in range(planes.shape[0]):
-                bits = (planes[t] @ x > 0).astype(np.int64)
-                out.append(f"t{t}:{int(bits @ weights):x}")
-            return out
-
-        return vecs.map(one)
+        mask = vecs.notna().to_numpy()
+        out = np.empty(len(vecs), dtype=object)
+        if mask.any():
+            x = np.vstack(
+                [np.asarray(v, dtype=np.float32) for v in vecs[mask]]
+            )
+            bits = (x @ flat > 0).reshape(len(x), n_tables, n_bits)
+            codes = bits.astype(np.int64) @ weights  # (N, n_tables)
+            keys = np.empty(len(codes), dtype=object)
+            keys[:] = [
+                [f"t{t}:{int(c):x}" for t, c in enumerate(row)]
+                for row in codes
+            ]
+            out[mask] = keys
+        return pd.Series(out)
 
     return buckets
 

@@ -74,7 +74,13 @@ SMALL_GRAPH_EDGES = 1_000_000
 
 def _local_cc(edges: DataFrame) -> DataFrame:
     """Driver union-find fast path — identical output contract to the
-    distributed path: (url, component=lexicographic min of component)."""
+    distributed path: (url, component=lexicographic min of component).
+
+    Edges stream to the driver as plain 2-tuples via ``toLocalIterator``
+    (one partition pinned at a time), never as a collected list of Row
+    objects — at the 1M-edge threshold the Row form is several hundred
+    MB of driver heap; the streamed form holds only the union-find dict
+    plus one partition's Arrow batch."""
     parent: dict[str, str] = {}
 
     def find(x: str) -> str:
@@ -85,8 +91,7 @@ def _local_cc(edges: DataFrame) -> DataFrame:
             parent[x], x = root, parent[x]
         return root
 
-    for r in edges.collect():
-        a, b = r["src"], r["dst"]
+    for a, b in edges.select("src", "dst").toLocalIterator():
         if a not in parent:
             parent[a] = a
         if b not in parent:
@@ -100,8 +105,12 @@ def _local_cc(edges: DataFrame) -> DataFrame:
         if r not in comp_min or v < comp_min[r]:
             comp_min[r] = v
     rows = [(v, comp_min[find(v)]) for v in sorted(parent)]
+    # plain tuples through parallelize — half the per-row driver footprint
+    # of createDataFrame(list-of-Rows) and the ship to executors is chunked
+    sc = edges.sparkSession.sparkContext
+    n_slices = max(1, len(rows) // 50_000)
     return edges.sparkSession.createDataFrame(
-        rows, "url string, component string"
+        sc.parallelize(rows, numSlices=n_slices), "url string, component string"
     )
 
 

@@ -128,6 +128,12 @@ class DeletionReport(Row):
     pass
 
 
+# Error strings returned by delete_urls are a sample, never the full
+# miss set: an unbounded selection of misses would otherwise OOM the
+# driver (the counts are always exact — they come from joins).
+MAX_DELETE_ERRORS = 1000
+
+
 def delete_urls(
     spark: SparkSession, table_path: str, urls: "list[str] | DataFrame"
 ) -> dict:
@@ -139,11 +145,14 @@ def delete_urls(
     The selection is a DataFrame (a list of keys is wrapped into one);
     membership is decided with semi/anti joins — no key set is ever
     collected to the driver or inlined into the plan as a literal, so a
-    10^9-row selection against the pages table works. Only the
-    *not-found* keys come back (bounded by the selection, and only
-    because the report contract carries their error strings). On Iceberg
-    the rewrite is ``DELETE FROM t WHERE url IN (SELECT url FROM sel)``;
-    the parquet stand-in rewrites the table excluding matched keys."""
+    10^9-row selection against the pages table works. Semantics are
+    **per distinct key** (the set form of the reference's per-entry loop,
+    lib.rs:200-259): a key listed twice counts once in success/fail and
+    yields at most one error. ``fail_count`` is exact (an anti-join
+    count); ``errors`` carries at most ``MAX_DELETE_ERRORS`` sample
+    strings, in no guaranteed order. On Iceberg the rewrite is
+    ``DELETE FROM t WHERE url IN (SELECT url FROM sel)``; the parquet
+    stand-in rewrites the table excluding matched keys."""
     import shutil
     import uuid
 
@@ -154,7 +163,11 @@ def delete_urls(
         else spark.createDataFrame([(u,) for u in urls], "url string")
     ).select("url").distinct()
     missing = sel.join(df.select("url"), "url", "left_anti")
-    errors = [f"not found: {r['url']}" for r in missing.collect()]
+    n_missing = missing.count()
+    errors = [
+        f"not found: {r['url']}"
+        for r in missing.limit(MAX_DELETE_ERRORS).collect()
+    ]
     n_selected = sel.count()
     kept = df.join(sel, "url", "left_anti")
     tmp = f"{table_path}.tmp-{uuid.uuid4().hex[:8]}"
@@ -162,7 +175,7 @@ def delete_urls(
     shutil.rmtree(table_path)
     os.rename(tmp, table_path)
     return {
-        "success_count": n_selected - len(errors),
-        "fail_count": len(errors),
+        "success_count": n_selected - n_missing,
+        "fail_count": n_missing,
         "errors": errors,
     }

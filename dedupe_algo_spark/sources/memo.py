@@ -7,15 +7,16 @@ Reference: SQLite ``scan_cache`` keyed by path, validated by
 
 Ours: a parquet-backed table (Iceberg ``MERGE INTO`` in a catalog-enabled
 deployment — the runtime here has no Iceberg jar, so the same MERGE
-semantics are implemented as join + coalesce + atomic directory swap;
-the interface is storage-agnostic). The validity join (J1) reuses a
-memoized hash only when BOTH text_len and warc_ts match
+semantics are implemented as join + coalesce + a manifest-committed
+shard swap; the interface is storage-agnostic). The validity join (J1)
+reuses a memoized hash only when BOTH text_len and warc_ts match
 (lib.rs:97-105,142-147); the upsert never overwrites a non-null hash
 with null (cache.rs:69-70).
 """
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 import uuid
@@ -29,18 +30,66 @@ MEMO_KEY = "url"
 VALIDITY = ["text_len", "warc_ts"]
 HASHES = ["partial_hash", "content_sha256"]
 
+MANIFEST = "MANIFEST.json"
+
 
 class HashMemo:
     """Parquet-backed memo with MERGE-upsert semantics, sharded by
     ``hash(url) % n_shards`` so an upsert rewrites only the shards its
-    keys fall in — O(updates)-sized I/O, not O(memo). On Iceberg the
+    keys fall in — O(updates)-sized I/O, not O(memo).
+
+    Commit protocol (single-writer, like the reference's SQLite): new
+    shard versions are staged as ``shard-<k>-<txn>`` directories, then
+    ONE atomic ``os.replace`` of ``MANIFEST.json`` flips every touched
+    shard at once — a crash anywhere leaves the previous manifest (and
+    therefore the previous state) fully intact; unreferenced directories
+    are garbage, collected by the next successful upsert. On Iceberg the
     same statement is a ``MERGE INTO`` against a table partitioned the
-    same way (partition-level commit = our per-shard directory swap)."""
+    same way (the manifest swap = the snapshot commit).
+
+    Legacy layouts (a pre-manifest flat or ``shard=k``-partitioned
+    parquet dir) are detected and migrated in place on first upsert:
+    every shard is treated as touched once, after which the memo is
+    manifested."""
 
     def __init__(self, spark: SparkSession, path: str, n_shards: int = 16):
         self.spark = spark
         self.path = path
         self.n_shards = n_shards
+
+    # -- layout ---------------------------------------------------------
+
+    def _manifest_path(self) -> str:
+        return os.path.join(self.path, MANIFEST)
+
+    def _load_manifest(self) -> dict | None:
+        try:
+            with open(self._manifest_path()) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return None
+
+    def _commit_manifest(self, manifest: dict) -> None:
+        tmp = self._manifest_path() + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self._manifest_path())  # the atomic commit point
+
+    def _gc(self, manifest: dict) -> None:
+        """Remove everything under ``path`` not referenced by the
+        committed manifest (replaced shard versions, crash orphans,
+        migrated legacy files)."""
+        keep = set(manifest["shards"].values()) | {MANIFEST}
+        for entry in os.listdir(self.path):
+            if entry in keep:
+                continue
+            full = os.path.join(self.path, entry)
+            if os.path.isdir(full):
+                shutil.rmtree(full, ignore_errors=True)
+            else:
+                os.remove(full)
 
     def _sharded(self, df: DataFrame) -> DataFrame:
         return df.withColumn(
@@ -48,31 +97,59 @@ class HashMemo:
             F.pmod(F.xxhash64(MEMO_KEY), F.lit(self.n_shards)).cast("int"),
         )
 
-    def read(self) -> DataFrame:
-        if os.path.exists(self.path):
-            return self.spark.read.parquet(self.path).select(
+    # -- reads ----------------------------------------------------------
+
+    def _empty(self) -> DataFrame:
+        return self.spark.createDataFrame([], MEMO_SCHEMA)
+
+    def read(self, shards: "list[int] | None" = None) -> DataFrame:
+        manifest = self._load_manifest()
+        if manifest is not None:
+            dirs = [
+                os.path.join(self.path, d)
+                for k, d in manifest["shards"].items()
+                if shards is None or int(k) in shards
+            ]
+            if not dirs:
+                return self._empty()
+            return self.spark.read.parquet(*dirs).select(
                 *MEMO_SCHEMA.fieldNames()
             )
-        return self.spark.createDataFrame([], MEMO_SCHEMA)
+        if os.path.exists(self.path):  # legacy flat / shard= layout
+            df = self.spark.read.parquet(self.path).select(
+                *MEMO_SCHEMA.fieldNames()
+            )
+            if shards is not None:
+                df = self._sharded(df).where(F.col("shard").isin(shards)).drop(
+                    "shard"
+                )
+            return df
+        return self._empty()
+
+    # -- upsert ---------------------------------------------------------
 
     def upsert(self, updates: DataFrame) -> None:
         """S4 — ``INSERT ... ON CONFLICT(url) DO UPDATE`` with COALESCE
         keep-old semantics (cache.rs:60-77): new row wins on (len, ts);
         a null incoming hash never clobbers a stored one. Only the
-        touched shards are read (partition pruning on the shard column)
-        and rewritten; untouched shards are never opened."""
+        touched shards are read and rewritten; untouched shards are
+        never opened, and the swap of all touched shards is one atomic
+        manifest replace."""
         u = self._sharded(updates.select(*MEMO_SCHEMA.fieldNames()))
-        if not os.path.exists(self.path):
-            u.write.partitionBy("shard").parquet(self.path)
-            return
-        touched = sorted(
-            r["shard"] for r in u.select("shard").distinct().collect()
-        )
-        cur = (
-            self.spark.read.parquet(self.path)
-            .where(F.col("shard").isin(touched))
-            .select(*MEMO_SCHEMA.fieldNames())
-        )
+        manifest = self._load_manifest()
+        legacy = manifest is None and os.path.exists(self.path)
+        if manifest is not None:
+            self.n_shards = int(manifest.get("n_shards", self.n_shards))
+        else:
+            manifest = {"n_shards": self.n_shards, "shards": {}}
+        if legacy:
+            # one full rewrite migrates the pre-manifest layout
+            touched = list(range(self.n_shards))
+        else:
+            touched = sorted(
+                r["shard"] for r in u.select("shard").distinct().collect()
+            )
+        cur = self.read(shards=touched)
         merged = (
             u.drop("shard")
             .alias("n")
@@ -89,16 +166,23 @@ class HashMemo:
                 ).alias("content_sha256"),
             )
         )
-        tmp = f"{self.path}.tmp-{uuid.uuid4().hex[:8]}"
+        txn = uuid.uuid4().hex[:8]
+        tmp = f"{self.path}.tmp-{txn}"
         self._sharded(merged).write.partitionBy("shard").mode("overwrite").parquet(tmp)
+        os.makedirs(self.path, exist_ok=True)
+        new_shards = dict(manifest["shards"])
         for k in touched:
             src = os.path.join(tmp, f"shard={k}")
-            dst = os.path.join(self.path, f"shard={k}")
-            if os.path.exists(dst):
-                shutil.rmtree(dst)
+            staged = f"shard-{k}-{txn}"
             if os.path.exists(src):
-                os.rename(src, dst)
-        shutil.rmtree(tmp)
+                os.rename(src, os.path.join(self.path, staged))
+                new_shards[str(k)] = staged
+            else:
+                new_shards.pop(str(k), None)  # shard emptied out
+        manifest = {"n_shards": self.n_shards, "shards": new_shards}
+        self._commit_manifest(manifest)
+        self._gc(manifest)
+        shutil.rmtree(tmp, ignore_errors=True)
 
     def clear(self) -> None:
         """S5 — DELETE FROM scan_cache (cache.rs:79-84)."""

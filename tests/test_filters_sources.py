@@ -191,3 +191,22 @@ def test_delete_urls_report_and_refilter(spark, tmp_path):
     remaining = spark.read.parquet(table)
     assert remaining.count() == 98
     assert remaining.where(F.col("url").isin(targets)).count() == 0
+
+
+def test_delete_urls_error_sample_is_bounded(spark, tmp_path):
+    """An oversized miss selection must not flood the driver: fail_count
+    stays exact while the error strings are a bounded sample."""
+    from dedupe_algo_spark.sources.listing import MAX_DELETE_ERRORS, delete_urls
+    from dedupe_algo_spark.synth import synth_pages
+
+    table = str(tmp_path / "pages")
+    synth_pages(spark, 50).write.parquet(table)
+    n_miss = MAX_DELETE_ERRORS + 500
+    misses = spark.range(n_miss).select(
+        F.concat(F.lit("https://missing.example/"), F.col("id")).alias("url")
+    )
+    report = delete_urls(spark, table, misses)
+    assert report["success_count"] == 0
+    assert report["fail_count"] == n_miss  # exact, from the anti-join count
+    assert len(report["errors"]) == MAX_DELETE_ERRORS  # bounded sample
+    assert spark.read.parquet(table).count() == 50

@@ -61,27 +61,65 @@ def test_upsert_inserts_and_updates(spark, tmp_path):
 
 
 def test_upsert_touches_only_affected_shards(spark, tmp_path):
-    import os
-
     path = str(tmp_path / "memo")
     memo = HashMemo(spark, path, n_shards=8)
     seed = [(f"u{i}", i, T1, f"p{i}", f"s{i}") for i in range(64)]
     memo.upsert(_memo_df(spark, seed))
 
-    def listing(shard_dir):
-        return sorted(os.listdir(os.path.join(path, shard_dir)))
-
-    shards = sorted(d for d in os.listdir(path) if d.startswith("shard="))
-    assert len(shards) > 1  # keys actually spread
-    before = {d: listing(d) for d in shards}
+    before = memo._load_manifest()["shards"]
+    assert len(before) > 1  # keys actually spread
     memo.upsert(_memo_df(spark, [("u1", 1, T2, "px", None)]))
-    after = {d: listing(d) for d in shards}
-    changed = [d for d in shards if before[d] != after[d]]
-    assert len(changed) == 1  # one key -> exactly one shard rewritten
+    after = memo._load_manifest()["shards"]
+    changed = [k for k in after if before.get(k) != after[k]]
+    assert len(changed) == 1  # one key -> exactly one shard version bumped
     rows = {r["url"]: r for r in memo.read().collect()}
     assert len(rows) == 64
     assert rows["u1"]["partial_hash"] == "px"
     assert rows["u1"]["content_sha256"] == "s1"  # COALESCE kept across shard rewrite
+
+
+def test_crashed_upsert_leaves_state_intact(spark, tmp_path, monkeypatch):
+    """Staging is invisible until the single manifest replace: an upsert
+    that dies after writing every staged shard but before the commit
+    leaves reads on the old state, and the next successful upsert lands
+    the new rows and collects the orphans."""
+    import os
+
+    path = str(tmp_path / "memo")
+    memo = HashMemo(spark, path, n_shards=4)
+    memo.upsert(_memo_df(spark, [(f"u{i}", i, T1, f"p{i}", f"s{i}") for i in range(16)]))
+
+    def boom(manifest):
+        raise RuntimeError("crash before commit")
+
+    monkeypatch.setattr(memo, "_commit_manifest", boom)
+    with pytest.raises(RuntimeError):
+        memo.upsert(_memo_df(spark, [("u1", 1, T2, "px", None)]))
+    monkeypatch.undo()
+    rows = {r["url"]: r for r in memo.read().collect()}
+    assert len(rows) == 16 and rows["u1"]["warc_ts"] == T1  # old state
+    orphans = [d for d in os.listdir(path) if d.startswith("shard-")]
+    assert len(orphans) > len(memo._load_manifest()["shards"])  # staged junk
+
+    memo.upsert(_memo_df(spark, [("u1", 1, T2, "px", None)]))
+    rows = {r["url"]: r for r in memo.read().collect()}
+    assert rows["u1"]["warc_ts"] == T2 and rows["u1"]["content_sha256"] == "s1"
+    live = set(memo._load_manifest()["shards"].values())
+    on_disk = {d for d in os.listdir(path) if d.startswith("shard-")}
+    assert on_disk == live  # orphans collected
+
+
+def test_legacy_unsharded_layout_migrates(spark, tmp_path):
+    """An upsert against a pre-manifest flat parquet memo must adopt it
+    (full one-time rewrite), not fail on the missing shard column."""
+    path = str(tmp_path / "memo")
+    _memo_df(spark, [("u1", 1, T1, "p1", "s1"), ("u2", 2, T1, "p2", "s2")]).write.parquet(path)
+    memo = HashMemo(spark, path, n_shards=4)
+    memo.upsert(_memo_df(spark, [("u1", 1, T2, None, None), ("u3", 3, T1, "p3", "s3")]))
+    rows = {r["url"]: r for r in memo.read().collect()}
+    assert set(rows) == {"u1", "u2", "u3"}
+    assert rows["u1"]["content_sha256"] == "s1" and rows["u1"]["warc_ts"] == T2
+    assert memo._load_manifest() is not None  # now manifested
 
 
 def test_clear(spark, tmp_path):

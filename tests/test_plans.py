@@ -63,8 +63,9 @@ def test_hash_projection_stays_in_codegen(spark, pages_1k):
 
 def test_bucket_table_never_shuffles_text(spark, pages_1k):
     # the text-never-shuffles invariant for the standalone bucket_table
-    # path (the flagship pipeline uses bucket_table_from_sigs directly):
-    # every Exchange below the candidate self-join must carry only slim
+    # path (the flagship pipeline uses bucket_table_from_bands on
+    # band-key columns computed map-side in page_meta): every Exchange
+    # below the candidate self-join must carry only slim
     # (bucket_key, url) rows — all signature work is map-side.
     from dedupe_algo_spark.operators.candidates import bucket_table, candidate_pairs
 
@@ -73,6 +74,11 @@ def test_bucket_table_never_shuffles_text(spark, pages_1k):
     assert "text" not in moved, moved
     assert "sig" not in moved, moved
     assert "bands" not in moved, moved
+
+
+def test_small_dims_broadcast(spark):
+    # small dimension sides must broadcast, not shuffle (J4's
+    # longest-prefix theta join over the tiny system-nodes dim)
     from dedupe_algo_spark.queries import q_prefix_theta_join
 
     assert has_broadcast_join(q_prefix_theta_join(spark, SF_DIR))
