@@ -62,6 +62,7 @@ def main() -> None:
     n_clustered = res.clusters.count()
     dedup_sec = time.time() - t0
     timings["dedup_pipeline"] = round(dedup_sec, 3)
+    res.unpersist()  # the suite below should run without pipeline caches
 
     # --- exact-only cascade (the reference's start_scan analog) ---
     t0 = time.time()

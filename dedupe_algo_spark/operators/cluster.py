@@ -127,6 +127,7 @@ def connected_components(
     max_iter: int = 25,
     checkpoint: bool = True,
     small_graph_edges: int = SMALL_GRAPH_EDGES,
+    tracker=None,
 ) -> DataFrame:
     """→ (url, component) assignment for every node appearing in edges.
 
@@ -136,17 +137,43 @@ def connected_components(
     Graphs whose canonical edge set is ≤ ``small_graph_edges`` are
     solved with a driver-side union-find (same output, ~1 job instead of
     ~10 per superstep); pass 0 to force the distributed path.
+
+    Checkpoint hygiene: each superstep's eager ``localCheckpoint``
+    supersedes its parent, which is unpersisted immediately — only ONE
+    superstep's blocks are ever live. The final checkpoint backs the
+    returned DataFrame; its RDD ids are registered on ``tracker``
+    (a :class:`~dedupe_algo_spark.tracking.PersistTracker`) if given, so
+    the caller can release it after consuming the assignment.
     """
+    from ..tracking import persistent_rdd_ids, unpersist_rdd_ids
+
+    spark = edges.sparkSession
+    live: set[int] = set()  # RDD ids of the current (newest) checkpoint
+    before = persistent_rdd_ids(spark) if checkpoint else set()
+
+    def _ckpt(df: DataFrame) -> DataFrame:
+        nonlocal live, before
+        out = df.localCheckpoint(eager=True)
+        now = persistent_rdd_ids(spark)
+        unpersist_rdd_ids(spark, live)  # parent superstep is superseded
+        live = now - before
+        before = now
+        return out
+
     cur = _canonical(edges.select(F.col(edges.columns[0]).alias("src"), F.col(edges.columns[1]).alias("dst")))
     if checkpoint:
-        cur = cur.localCheckpoint(eager=True)
+        cur = _ckpt(cur)
     if small_graph_edges and cur.count() <= small_graph_edges:
-        return _local_cc(cur)
+        out = _local_cc(cur)
+        # the union-find consumed the edges; the canonical checkpoint is
+        # dead weight (the result is parallelize-backed, independent)
+        unpersist_rdd_ids(spark, live)
+        return out
     prev_sig = None
     for i in range(max_iter):
         cur = _canonical(_small_star(_large_star(cur)))
         if checkpoint:
-            cur = cur.localCheckpoint(eager=True)
+            cur = _ckpt(cur)
         # signature check every superstep: the collect is two sub-second
         # stages while a wasted superstep is ~10 shuffle/checkpoint jobs,
         # so eager checking minimizes total job count (star/clique edge
@@ -155,6 +182,8 @@ def connected_components(
         if sig == prev_sig:
             break
         prev_sig = sig
+    if tracker is not None and live:
+        tracker.adopt_ids(spark, live)
     # fixpoint: every edge is (member, root). Roots map to themselves.
     members = cur.select(F.col("src").alias("url"), F.col("dst").alias("component"))
     roots = cur.select(F.col("dst").alias("url"), F.col("dst").alias("component")).distinct()

@@ -75,7 +75,11 @@ def estimate_pairs(pairs: DataFrame, sigs: DataFrame, gate: float) -> DataFrame:
 
 
 def confirm_pairs(
-    candidates: DataFrame, pages: DataFrame, threshold: float, jvm_tokens: bool = True
+    candidates: DataFrame,
+    pages: DataFrame,
+    threshold: float,
+    jvm_tokens: bool = True,
+    tracker=None,
 ) -> DataFrame:
     """Exact token-Jaccard confirm on estimate survivors.
     → (url_a, url_b, score).
@@ -101,8 +105,14 @@ def confirm_pairs(
     ``isspace`` adds) — web text is full of U+00A0/U+2009 etc., so an
     ASCII-only ``\\s+`` would flip threshold decisions between the two
     paths and against the MinHash shingler (Python split).
+
+    ``tracker`` (a :class:`~dedupe_algo_spark.tracking.PersistTracker`)
+    registers the two persisted intermediates (pair list, text slice)
+    for release once the caller has consumed the scores — without it a
+    long-lived session accumulates block-manager memory per call.
     """
-    cand = candidates.select("url_a", "url_b").persist()
+    _persist = tracker.persist if tracker is not None else (lambda df: df.persist())
+    cand = _persist(candidates.select("url_a", "url_b"))
     n_pairs = cand.count()
     urls = (
         cand.select(F.col("url_a").alias("url"))
@@ -116,7 +126,7 @@ def confirm_pairs(
         toks = F.array_distinct(
             F.array_remove(F.split(F.col("text"), TOKEN_SPLIT_RE), "")
         )
-        slice_ = sliced.select("url", toks.alias("_toks")).persist()
+        slice_ = _persist(sliced.select("url", toks.alias("_toks")))
         ta = slice_.select(F.col("url").alias("url_a"), F.col("_toks").alias("_ta"))
         tb = slice_.select(F.col("url").alias("url_b"), F.col("_toks").alias("_tb"))
         inter = F.size(F.array_intersect(F.col("_ta"), F.col("_tb")))
@@ -126,7 +136,7 @@ def confirm_pairs(
         )
         scored = cand.join(ta, "url_a").join(tb, "url_b").withColumn("score", score)
     else:
-        slice_ = sliced.select("url", "text").persist()
+        slice_ = _persist(sliced.select("url", "text"))
         ta = slice_.select(F.col("url").alias("url_a"), F.col("text").alias("_ta"))
         tb = slice_.select(F.col("url").alias("url_b"), F.col("text").alias("_tb"))
         scored = (

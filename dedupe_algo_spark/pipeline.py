@@ -50,11 +50,21 @@ from .operators.scoring import (
 
 @dataclass
 class DedupResult:
-    """Flat cluster assignment + the intermediate tables tests/audit use."""
+    """Flat cluster assignment + the intermediate tables tests/audit use.
+
+    ``unpersist()`` releases every intermediate the pipeline persisted
+    (caches and CC checkpoints) — call it once the outputs are consumed
+    or committed; afterwards re-reading the result DataFrames recomputes
+    from source."""
 
     clusters: DataFrame  # (url, cluster_id, match_kind)
     exact: DataFrame  # (url, text_len, content_sha256, cluster_id, cluster_size)
     edges: DataFrame  # (url_a, url_b, score)
+    tracker: "PersistTracker | None" = None
+
+    def unpersist(self, blocking: bool = False) -> None:
+        if self.tracker is not None:
+            self.tracker.release(blocking)
 
 
 def dedup_pipeline(
@@ -71,36 +81,45 @@ def dedup_pipeline(
 ) -> DedupResult:
     """Full dedup: exact + near duplicates → transitive clusters.
 
-    ``stage(name, thunk) -> DataFrame`` is an optional checkpoint hook
-    (see runner.CheckpointedRun.stage): each named stage commits its
-    output and a resumed run reads committed snapshots instead of
-    recomputing. ``exact_confirm=False`` skips tier-2 (signature
-    estimate only — cheaper, slightly softer precision near the
-    threshold).
+    ``stage(name, thunk) -> DataFrame`` is a checkpoint/lineage hook:
+    ``None`` (the default) uses :func:`~dedupe_algo_spark.sources.audit
+    .audit_stage_hook` — per north_rule every stage writes lineage rows
+    to the audit table even in a plain un-checkpointed run; pass
+    ``runner.CheckpointedRun.stage`` for resumable stage commits on top,
+    or ``lambda name, fn: fn()`` to opt out entirely.
+    ``exact_confirm=False`` skips tier-2 (signature estimate only —
+    cheaper, slightly softer precision near the threshold).
     """
+    from .tracking import PersistTracker
+
+    tracker = PersistTracker()
     if stage is None:
-        stage = lambda name, fn: fn()  # noqa: E731 — identity hook
+        from .sources.audit import audit_stage_hook
+
+        stage = audit_stage_hook(pages.sparkSession, tracker=tracker)
 
     # Bands-only signatures unless the no-confirm path needs the full
     # 128-perm sig for its numeric MinHash-Jaccard estimate: band keys
     # are 32 longs/row vs 128, so the exact-grouping shuffle and the
     # rep-signature slice move 4× fewer signature bytes.
     sig_mode = "sig" if (include_near and not exact_confirm) else "bands"
-    meta = stage(
-        "page_meta",
-        lambda: page_meta(
-            pages,
-            min_len=min_len,
-            use_pandas_udf=use_pandas_udf_hash,
-            with_signature=include_near,
-            signature=sig_mode,
-        ),
-    ).persist()
+    meta = tracker.persist(
+        stage(
+            "page_meta",
+            lambda: page_meta(
+                pages,
+                min_len=min_len,
+                use_pandas_udf=use_pandas_udf_hash,
+                with_signature=include_near,
+                signature=sig_mode,
+            ),
+        )
+    )
 
     # persisted: the exact-grouping window feeds four consumers (dup
     # view, star edges, rep signatures, final cluster join) — without
     # this the 200MB window shuffle re-runs per consumer
-    assigned = assign_exact(meta).persist()
+    assigned = tracker.persist(assign_exact(meta))
     exact_dups = assigned.where(F.col("cluster_size") >= 2).select(
         "url",
         "text_len",
@@ -144,7 +163,9 @@ def dedup_pipeline(
                 "url_a", "url_b"
             )
             if exact_confirm:
-                return confirm_pairs(cands, pages, threshold=threshold)
+                return confirm_pairs(
+                    cands, pages, threshold=threshold, tracker=tracker
+                )
             est = estimate_pairs(cands, rep_keys, gate=estimate_gate)
             return est.select(
                 "url_a", "url_b", F.col("est_score").alias("score")
@@ -163,7 +184,8 @@ def dedup_pipeline(
             lambda: connected_components(
                 near_edges.select(
                     F.col("url_a").alias("src"), F.col("url_b").alias("dst")
-                )
+                ),
+                tracker=tracker,
             ),
         )
     else:
@@ -171,7 +193,8 @@ def dedup_pipeline(
         rep_comp = connected_components(
             exact_edges.limit(0).select(
                 F.col("url_a").alias("src"), F.col("url_b").alias("dst")
-            )
+            ),
+            tracker=tracker,
         )
 
     comp = rep_comp.select(
@@ -200,7 +223,9 @@ def dedup_pipeline(
             .alias("match_kind"),
         )
     )
-    return DedupResult(clusters=clusters, exact=exact_dups, edges=all_edges)
+    return DedupResult(
+        clusters=clusters, exact=exact_dups, edges=all_edges, tracker=tracker
+    )
 
 
 def pairwise_confusion(clusters: DataFrame, labels: DataFrame) -> DataFrame:

@@ -70,4 +70,7 @@ def run_dedup_checkpointed(
     run = CheckpointedRun(spark, workdir, run_id)
     result = dedup_pipeline(pages, stage=run.stage, **pipeline_kwargs)
     clusters = run.stage("clusters", lambda: result.clusters)
+    # every stage is committed to parquet now — the in-memory
+    # intermediates are dead weight in a long-lived session
+    result.unpersist()
     return clusters, run

@@ -51,6 +51,62 @@ def partition_counts(
     )
 
 
+DEFAULT_AUDIT_DIR_ENV = "DEDUPE_AUDIT_DIR"
+
+
+def default_audit_dir() -> str:
+    return os.environ.get(
+        DEFAULT_AUDIT_DIR_ENV,
+        os.path.join(os.getcwd(), "spark-warehouse", "dedupe_audit"),
+    )
+
+
+def audit_stage_hook(spark: SparkSession, tracker=None, audit=None, run_id=None):
+    """The default ``stage`` hook for ``dedup_pipeline``: every stage
+    writes lineage rows (north_rule — lineage is not opt-in). Each stage
+    output is persisted (registered on ``tracker`` when given), counted
+    per-partition ONCE driver-side (the action that materializes the
+    cache — later consumers hit the cache, so the audit pass adds no
+    recompute), and its rows+elapsed appended to the audit table at
+    ``$DEDUPE_AUDIT_DIR`` (default ``./spark-warehouse/dedupe_audit``).
+
+    Contrast ``runner.CheckpointedRun.stage``, which additionally
+    commits each stage's output to a resumable parquet snapshot."""
+    log = audit or AuditLog(spark, default_audit_dir())
+    rid = run_id or new_run_id()
+
+    def stage(name: str, fn) -> DataFrame:
+        t0 = time.time()
+        df = fn()
+        if tracker is not None:
+            tracker.persist(df)
+        else:
+            df.persist()
+        counts = (
+            df.withColumn("_pid", F.spark_partition_id())
+            .groupBy("_pid")
+            .agg(F.count(F.lit(1)).alias("row_count"))
+            .collect()
+        )
+        elapsed_ms = int((time.time() - t0) * 1000)
+        rows = [
+            (rid, name, int(r["_pid"]), None, int(r["row_count"]), None, elapsed_ms)
+            for r in counts
+        ] or [(rid, name, 0, None, 0, None, elapsed_ms)]
+        log.append(
+            spark.createDataFrame(
+                rows,
+                "run_id string, stage string, partition_id int, block_id string,"
+                " row_count long, pair_count long, elapsed_ms long",
+            ).withColumn("committed_at", F.current_timestamp())
+        )
+        return df
+
+    stage.run_id = rid
+    stage.audit = log
+    return stage
+
+
 class AuditLog:
     """Append-only parquet audit table (Iceberg append in a catalog
     deployment)."""

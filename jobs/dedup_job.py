@@ -59,6 +59,7 @@ def main() -> None:
         stage=stage,
     )
     result.clusters.write.mode("overwrite").parquet(args.output)
+    result.unpersist()
     n = spark.read.parquet(args.output).count()
     print(f"dedup_job: wrote {n} cluster assignments to {args.output}")
     spark.stop()

@@ -53,3 +53,39 @@ def test_self_loops_ignored(spark, _cc):
 def test_component_id_is_lexicographic_min(spark, _cc):
     m = _cc(spark, [("z", "m"), ("m", "b"), ("q", "z")])
     assert set(m.values()) == {"b"}
+
+
+def test_threshold_boundary_both_paths_identical(spark):
+    """Stress the small_graph_edges boundary on a realistic dedup-shaped
+    graph (stars, chains, cliques, cross links): the same edge set run
+    just OVER the threshold (distributed path forced) and under it
+    (driver union-find) must produce identical labels."""
+    import random
+
+    rng = random.Random(7)
+    edges = []
+    for c in range(120):  # exact-dup stars
+        hub = f"https://s{c:03d}.example/p0"
+        edges += [(hub, f"https://s{c:03d}.example/p{i}") for i in range(1, 6)]
+    for c in range(20):  # near-dup chains
+        n = [f"https://chain{c:02d}.example/v{i}" for i in range(30)]
+        edges += list(zip(n, n[1:]))
+    for c in range(5):  # small cliques (mirror clusters)
+        n = [f"https://cliq{c}.example/m{i}" for i in range(8)]
+        edges += [(a, b) for a in n for b in n if a < b]
+    for _ in range(200):  # random extra links inside existing components
+        a, b = rng.sample(range(len(edges)), 2)
+        edges.append((edges[a][0], edges[b][1]))
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    from dedupe_algo_spark.operators.cluster import _canonical
+
+    n_canon = _canonical(df).count()
+    dist = {
+        (r["url"], r["component"])
+        for r in connected_components(df, small_graph_edges=n_canon - 1).collect()
+    }
+    fast = {
+        (r["url"], r["component"])
+        for r in connected_components(df, small_graph_edges=n_canon).collect()
+    }
+    assert dist == fast and len(dist) > 1000

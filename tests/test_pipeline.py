@@ -79,3 +79,36 @@ def test_checkpoint_resume_equals_cold_run(spark, pages_1k, tmp_path):
     audit = run1.audit.read().toPandas()
     assert set(run1.computed) <= set(audit["stage"])
     assert (audit["row_count"] >= 0).all()
+
+
+def test_default_run_writes_audit_lineage(spark, pages_1k, tmp_path, monkeypatch):
+    """north_rule: lineage is NOT opt-in — a plain dedup_pipeline run
+    (no checkpoint dir, no explicit hook) must leave per-stage audit
+    rows."""
+    from dedupe_algo_spark.sources.audit import AuditLog
+
+    audit_dir = str(tmp_path / "audit")
+    monkeypatch.setenv("DEDUPE_AUDIT_DIR", audit_dir)
+    res = dedup_pipeline(pages_1k)
+    res.clusters.count()
+    audit = AuditLog(spark, audit_dir).read().toPandas()
+    assert {"page_meta", "near_edges", "components"} <= set(audit["stage"])
+    assert (audit["row_count"] >= 0).all()
+    assert audit["run_id"].nunique() == 1
+    res.unpersist()
+
+
+def test_unpersist_releases_all_pipeline_blocks(spark, pages_1k):
+    """VERDICT round-2 item 5: after consuming the result and calling
+    unpersist(), no pipeline-created persisted RDDs (caches OR CC
+    localCheckpoint blocks) may remain in the block manager."""
+    from dedupe_algo_spark.tracking import persistent_rdd_ids
+
+    pages_1k.count()  # fixture cache materialized before the snapshot
+    before = persistent_rdd_ids(spark)
+    res = dedup_pipeline(pages_1k)
+    assert res.clusters.count() > 0
+    assert res.edges.count() >= 0
+    assert persistent_rdd_ids(spark) - before  # pipeline did persist things
+    res.unpersist()
+    assert persistent_rdd_ids(spark) - before == set()
