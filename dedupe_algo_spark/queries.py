@@ -927,12 +927,63 @@ SELECT query_id, vec_id, cosine, rank FROM r WHERE rank <= 5
 """
 
 
+def _planted_embeddings(spark, sf_dir, n_base: int = 60, scale: float = 0.1):
+    """Base embedding slice ∪ planted near-duplicate twins.
+
+    The driver's embeddings are near-orthogonal random vectors (max
+    pairwise cosine ≈ 0.47), so any ≥0.8 similarity check over the raw
+    table is vacuously empty. Twin ``vec_id+1000`` of each base vector
+    is ``v + 0.1·v_next`` (cosine ≈ 0.995 to its base, ≤ ~0.5 to
+    everything else) — elementwise double arithmetic both Spark and the
+    DuckDB oracle reproduce bit-for-bit, giving the similarity queries
+    a non-empty, exactly-checkable answer set."""
+    emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < n_base)
+    base = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    nxt = base.select(
+        (F.col("vec_id") - 1).alias("vec_id"), F.col("embedding").alias("_pert")
+    )
+    planted = base.join(nxt, "vec_id").select(
+        (F.col("vec_id") + 1000).alias("vec_id"),
+        F.zip_with(
+            "embedding", "_pert", lambda a, b: a + F.lit(scale) * b
+        ).alias("embedding"),
+    )
+    return base.unionByName(planted)
+
+
+# Shared by the exhaustive and LSH twins below (LSH at (8 bits, 8
+# tables) deterministically finds every planted pair at cosine ≈0.995 —
+# per-pair miss probability ≈8e-6 — and the ≥0.8 filter kills every
+# false candidate, so both queries have the SAME answer set and the
+# exhaustive oracle doubles as an exact LSH-recall gate).
+_SQL_PLANTED_PAIRS = """
+WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+  FROM embeddings WHERE vec_id < 60
+), planted AS (
+  SELECT a.vec_id + 1000 AS vec_id,
+         list_transform(range(1, len(a.emb) + 1),
+                        i -> a.emb[i] + 0.1 * b.emb[i]) AS emb
+  FROM base a JOIN base b ON b.vec_id = a.vec_id + 1
+), allv AS (
+  SELECT * FROM base UNION ALL SELECT * FROM planted
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_cosine_similarity(a.emb, b.emb), 6) AS cosine
+FROM allv a JOIN allv b ON a.vec_id < b.vec_id
+WHERE ROUND(list_cosine_similarity(a.emb, b.emb), 6) >= 0.8
+"""
+
+
 def q_embedding_allpairs_sim(spark, sf_dir):
-    """Exact all-pairs cosine ≥0.8 on a vec_id<100 slice — the exhaustive
-    twin the LSH path is validated against."""
-    emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 100)
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("_va"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("_vb"))
+    """Exact all-pairs cosine ≥0.8 over base ∪ planted near-dup twins —
+    the exhaustive twin the LSH path is validated against (59 pairs at
+    the driver data, not the 0 rows a raw-table threshold yields)."""
+    allv = _planted_embeddings(spark, sf_dir)
+    a = allv.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("_va"))
+    b = allv.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("_vb"))
     return (
         a.crossJoin(b)
         .where(F.col("id_a") < F.col("id_b"))
@@ -945,15 +996,7 @@ def q_embedding_allpairs_sim(spark, sf_dir):
     )
 
 
-SQL_EMBEDDING_ALLPAIRS_SIM = """
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                    CAST(b.embedding AS DOUBLE[])), 6) AS cosine
-FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE a.vec_id < 100 AND b.vec_id < 100
-  AND ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                   CAST(b.embedding AS DOUBLE[])), 6) >= 0.8
-"""
+SQL_EMBEDDING_ALLPAIRS_SIM = _SQL_PLANTED_PAIRS
 
 
 # ---------------------------------------------------------------------------
@@ -977,6 +1020,61 @@ def q_pages_dedup_clusters(spark, sf_dir):
     n = max(500, int(200_000 * _sf_of(sf_dir) / 0.1))
     pages = synth_pages(spark, n)
     return dedup_pipeline(pages).clusters
+
+
+def q_dedup_cluster_stats(spark, sf_dir):
+    """Derived deterministic check for the flagship rows-only query:
+    the full pipeline at a FIXED n=20,000 pages (independent of sf_dir,
+    so the precomputed oracle constants hold at any scale dir), rolled
+    up to per-match-kind url/cluster counts. The synthetic corpus
+    plants exactly 1,000 exact clusters (3,206 member urls) and 1,000
+    near clusters (3,000 urls) at this n; the pipeline is deterministic
+    and permutation-invariant (pinned by test_pipeline), so these
+    counts are exact planted truth, not a tolerance band."""
+    from .pipeline import dedup_pipeline
+    from .synth import synth_pages
+
+    res = dedup_pipeline(synth_pages(spark, 20_000))
+    return res.clusters.groupBy("match_kind").agg(
+        F.count(F.lit(1)).alias("n_urls"),
+        F.countDistinct("cluster_id").alias("n_clusters"),
+    )
+
+
+SQL_DEDUP_CLUSTER_STATS = """
+SELECT * FROM (VALUES
+  ('exact', CAST(3206 AS BIGINT), CAST(1000 AS BIGINT)),
+  ('near',  CAST(3000 AS BIGINT), CAST(1000 AS BIGINT))
+) AS t(match_kind, n_urls, n_clusters)
+"""
+
+
+def q_minhash_pair_stats(spark, sf_dir):
+    """Derived deterministic check for `minhash_dup_pairs`: the same
+    MinHash-LSH candidate + exact-Jaccard-confirm pipeline at a FIXED
+    n=2,000 pages, reduced to a confirmed-pair score histogram. The
+    planted corpus yields exactly 1,461 pairs in the 1.0 bin (exact
+    dups + ≤1-edit nears) and 12 in the 0.9 bin; the full pair list is
+    the rows-only query, this rollup is its precomputed-truth twin."""
+    from .operators.candidates import bucket_table, candidate_pairs
+    from .operators.scoring import score_pairs
+    from .synth import synth_pages
+
+    pages = synth_pages(spark, 2_000).select("url", "text")
+    pairs = candidate_pairs(bucket_table(pages, use_cheap_key=False))
+    return (
+        score_pairs(pairs, pages)
+        .groupBy(F.round("score", 1).alias("score_bin"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+SQL_MINHASH_PAIR_STATS = """
+SELECT * FROM (VALUES
+  (CAST(0.9 AS DOUBLE), CAST(12 AS BIGINT)),
+  (CAST(1.0 AS DOUBLE), CAST(1461 AS BIGINT))
+) AS t(score_bin, n_pairs)
+"""
 
 
 def q_minhash_dup_pairs(spark, sf_dir):
@@ -1072,11 +1170,18 @@ FROM codes
 
 
 def q_embedding_lsh_pairs(spark, sf_dir):
-    """LSH-bucketed embedding near-dup pairs (approximate scale path)."""
+    """LSH-bucketed embedding near-dup pairs (approximate scale path)
+    over base ∪ planted twins. Oracle = the exhaustive all-pairs SQL:
+    on this data LSH recall is exactly 1.0 and the cosine filter kills
+    every false candidate, so a hash-match against the brute-force
+    answer set IS the recall check (a missed pair breaks it)."""
     from .operators.ann import embedding_near_dupes
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    return embedding_near_dupes(emb, threshold=0.8, n_bits=8, n_tables=8)
+    allv = _planted_embeddings(spark, sf_dir)
+    return embedding_near_dupes(allv, threshold=0.8, n_bits=8, n_tables=8)
+
+
+SQL_EMBEDDING_LSH_PAIRS = _SQL_PLANTED_PAIRS
 
 
 def q_media_features(spark, sf_dir):
@@ -1153,12 +1258,16 @@ QUERIES = {
     "events_hourly": q_events_hourly,
     "embedding_topk": q_embedding_topk,
     "embedding_allpairs_sim": q_embedding_allpairs_sim,
-    # rows-only (UDF pipelines; tests/ carry the correctness gate)
+    # derived deterministic twins of the rows-only queries below
+    "dedup_cluster_stats": q_dedup_cluster_stats,
+    "minhash_pair_stats": q_minhash_pair_stats,
+    "embedding_lsh_pairs": q_embedding_lsh_pairs,
+    # rows-only (UDF pipelines; tests/ + the stat twins above carry the
+    # correctness gate)
     "pages_dedup_clusters": q_pages_dedup_clusters,
     "minhash_dup_pairs": q_minhash_dup_pairs,
     "simhash_signatures": q_simhash_signatures,
     "doc_fingerprint": q_doc_fingerprint,
-    "embedding_lsh_pairs": q_embedding_lsh_pairs,
     "media_features": q_media_features,
 }
 
@@ -1200,6 +1309,9 @@ ORACLES = {
     "events_hourly": SQL_EVENTS_HOURLY,
     "embedding_topk": SQL_EMBEDDING_TOPK,
     "embedding_allpairs_sim": SQL_EMBEDDING_ALLPAIRS_SIM,
+    "embedding_lsh_pairs": SQL_EMBEDDING_LSH_PAIRS,
+    "dedup_cluster_stats": SQL_DEDUP_CLUSTER_STATS,
+    "minhash_pair_stats": SQL_MINHASH_PAIR_STATS,
     "media_features": SQL_MEDIA_FEATURES,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "simhash_signatures": SQL_SIMHASH_SIGNATURES,

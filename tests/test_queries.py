@@ -28,6 +28,9 @@ SAMPLE = [
     "media_features",
     "doc_fingerprint",
     "simhash_signatures",
+    "embedding_allpairs_sim",
+    "embedding_lsh_pairs",
+    "minhash_pair_stats",
 ]
 
 
