@@ -111,24 +111,39 @@ def candidate_pairs(
     ``n_shared`` is the free similarity estimate: with b bands of r rows,
     a pair of Jaccard J collides per band with probability J^r, so the
     collision count is Binomial(b, J^r) — thresholding it gates on J
-    using ONLY the shuffle the self-join already paid for, no signature
+    using ONLY the shuffle the bucketing already paid for, no signature
     joins (the standard LSH-at-scale formulation; cf. spark.ml
     MinHashLSH, which gates on ≥1 collision before exact distance).
-    """
-    from pyspark.sql import Window
 
-    w = Window.partitionBy("bucket_key")
-    sized = buckets.withColumn("_n", F.count(F.lit(1)).over(w)).where(
-        (F.col("_n") >= 2) & (F.col("_n") <= max_bucket)
+    Shape note: the naive within-bucket SELF-JOIN shuffles the bucket
+    table TWICE (left and right sides each materialize their Exchange;
+    AQE + cached parents defeat ReuseExchange — measured 2×2.5GB at 4M
+    pages). Instead the bucket table shuffles ONCE into
+    ``collect_list`` groups and the i<j pairs expand JVM-side from each
+    bucket's member array (bounded at ``max_bucket``, so the per-group
+    expansion is bounded and the hot-key blow-up the cap exists for
+    cannot materialize)."""
+    g = (
+        buckets.groupBy("bucket_key")
+        .agg(F.collect_list("url").alias("_us"))
+        .where((F.size("_us") >= 2) & (F.size("_us") <= max_bucket))
     )
-    left = sized.select("bucket_key", F.col("url").alias("url_a"))
-    right = sized.select("bucket_key", F.col("url").alias("url_b"))
-    pairs = left.join(right, "bucket_key").where(F.col("url_a") < F.col("url_b"))
+    # all i<j member pairs, normalized to url_a < url_b — pure codegen
+    pair_array = F.expr(
+        "flatten(transform(_us, (a, i) ->"
+        " transform(slice(_us, i + 2, size(_us) - i - 1), b ->"
+        " struct(least(a, b) AS url_a, greatest(a, b) AS url_b))))"
+    )
+    pairs = (
+        g.select(F.explode(pair_array).alias("_p"))
+        .select("_p.url_a", "_p.url_b")
+        .where(F.col("url_a") != F.col("url_b"))
+    )
     if with_counts:
         return pairs.groupBy("url_a", "url_b").agg(
             F.count(F.lit(1)).alias("n_shared")
         )
-    return pairs.select("url_a", "url_b").distinct()
+    return pairs.distinct()
 
 
 def dropped_buckets(buckets: DataFrame, max_bucket: int = DEFAULT_MAX_BUCKET) -> DataFrame:

@@ -72,15 +72,22 @@ def _small_star(edges: DataFrame) -> DataFrame:
 SMALL_GRAPH_EDGES = 1_000_000
 
 
-def _local_cc(edges: DataFrame) -> DataFrame:
+def _local_cc(edges: DataFrame, limit: int | None = None) -> "DataFrame | None":
     """Driver union-find fast path — identical output contract to the
     distributed path: (url, component=lexicographic min of component).
 
     Edges stream to the driver as plain 2-tuples via ``toLocalIterator``
-    (one partition pinned at a time), never as a collected list of Row
-    objects — at the 1M-edge threshold the Row form is several hundred
-    MB of driver heap; the streamed form holds only the union-find dict
-    plus one partition's Arrow batch."""
+    over ONE coalesced partition (one job, no per-partition barrier),
+    never as a collected list of Row objects — at the 1M-edge threshold
+    the Row form is several hundred MB of driver heap; the streamed
+    form holds only the union-find dict plus the Arrow batches.
+
+    ``limit`` folds the is-it-small-enough decision into the same
+    stream: if more than ``limit`` edges arrive, the attempt aborts and
+    returns None (caller falls back to the distributed path) — no
+    separate count job on the common path. The returned DataFrame
+    carries ``_dedupe_known_rows`` so callers can make broadcast
+    decisions without another counting job."""
     parent: dict[str, str] = {}
 
     def find(x: str) -> str:
@@ -91,7 +98,11 @@ def _local_cc(edges: DataFrame) -> DataFrame:
             parent[x], x = root, parent[x]
         return root
 
-    for a, b in edges.select("src", "dst").toLocalIterator():
+    n = 0
+    for a, b in edges.select("src", "dst").coalesce(1).toLocalIterator():
+        n += 1
+        if limit is not None and n > limit:
+            return None
         if a not in parent:
             parent[a] = a
         if b not in parent:
@@ -109,9 +120,11 @@ def _local_cc(edges: DataFrame) -> DataFrame:
     # of createDataFrame(list-of-Rows) and the ship to executors is chunked
     sc = edges.sparkSession.sparkContext
     n_slices = max(1, len(rows) // 50_000)
-    return edges.sparkSession.createDataFrame(
+    out = edges.sparkSession.createDataFrame(
         sc.parallelize(rows, numSlices=n_slices), "url string, component string"
     )
+    out._dedupe_known_rows = len(rows)
+    return out
 
 
 def _signature(edges: DataFrame) -> tuple[int, int]:
@@ -163,12 +176,15 @@ def connected_components(
     cur = _canonical(edges.select(F.col(edges.columns[0]).alias("src"), F.col(edges.columns[1]).alias("dst")))
     if checkpoint:
         cur = _ckpt(cur)
-    if small_graph_edges and cur.count() <= small_graph_edges:
-        out = _local_cc(cur)
-        # the union-find consumed the edges; the canonical checkpoint is
-        # dead weight (the result is parallelize-backed, independent)
-        unpersist_rdd_ids(spark, live)
-        return out
+    if small_graph_edges:
+        # stream-and-abort: the size decision rides the union-find's own
+        # edge stream (no separate count job); None ⇒ graph too big
+        out = _local_cc(cur, limit=small_graph_edges)
+        if out is not None:
+            # the union-find consumed the edges; the canonical checkpoint
+            # is dead weight (the result is parallelize-backed, independent)
+            unpersist_rdd_ids(spark, live)
+            return out
     prev_sig = None
     for i in range(max_iter):
         cur = _canonical(_small_star(_large_star(cur)))

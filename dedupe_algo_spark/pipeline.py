@@ -54,8 +54,10 @@ class DedupResult:
 
     ``unpersist()`` releases every intermediate the pipeline persisted
     (caches and CC checkpoints) — call it once the outputs are consumed
-    or committed; afterwards re-reading the result DataFrames recomputes
-    from source."""
+    or committed. Afterwards re-reading the result DataFrames recomputes
+    from source — except after a distributed-CC run (graphs over the
+    union-find threshold), whose freed localCheckpoint lineage cannot
+    recompute: treat the result as consumed-and-done once released."""
 
     clusters: DataFrame  # (url, cluster_id, match_kind)
     exact: DataFrame  # (url, text_len, content_sha256, cluster_id, cluster_size)
@@ -203,13 +205,21 @@ def dedup_pipeline(
     # The component map is RDD-backed (driver union-find) or a small
     # checkpointed aggregate — either way Catalyst has no size stats and
     # plants a sort-merge join that shuffles the whole assigned table
-    # (measured 3.6GB at 4M pages) against a ~MB map. Count it (one tiny
-    # job over a materialized frame) and broadcast when it fits; at
-    # 10^12 rows a billion-row component map correctly falls back to the
+    # (measured 3.6GB at 4M pages) against a ~MB map. Its size is
+    # usually already known — the union-find counted its rows while
+    # building them, and the audit hook counted the stage — so the
+    # broadcast decision costs zero extra jobs on the common path; only
+    # a checkpointed-runner distributed-CC run pays one count. At 10^12
+    # rows a billion-row component map correctly falls back to the
     # shuffle join.
     from .operators.scoring import BROADCAST_URL_LIMIT
 
-    if comp.count() <= BROADCAST_URL_LIMIT:
+    n_comp = getattr(rep_comp, "_dedupe_known_rows", None)
+    if n_comp is None:
+        n_comp = getattr(rep_comp, "_stage_row_count", None)
+    if n_comp is None:
+        n_comp = comp.count()
+    if n_comp <= BROADCAST_URL_LIMIT:
         comp = F.broadcast(comp)
     clusters = (
         assigned.select("url", "rep_url", "cluster_size")
@@ -223,6 +233,11 @@ def dedup_pipeline(
             .alias("match_kind"),
         )
     )
+    # deferred lineage: one batched count-and-append over the (already
+    # materialized) stage caches — see audit_stage_hook
+    flush = getattr(stage, "flush", None)
+    if flush is not None:
+        flush()
     return DedupResult(
         clusters=clusters, exact=exact_dups, edges=all_edges, tracker=tracker
     )
