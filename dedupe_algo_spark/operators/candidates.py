@@ -24,7 +24,7 @@ near-dup generalization needs a within-block self-join (SURVEY.md §2.4:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.minhash import minhash_band_keys_udf, minhash_bands_col
@@ -99,6 +99,7 @@ def candidate_pairs(
     buckets: DataFrame,
     max_bucket: int = DEFAULT_MAX_BUCKET,
     with_counts: bool = False,
+    tracker=None,
 ) -> DataFrame:
     """→ distinct (url_a, url_b), url_a < url_b — plus ``n_shared`` (the
     number of buckets the pair collided in) when ``with_counts``.
@@ -115,35 +116,45 @@ def candidate_pairs(
     joins (the standard LSH-at-scale formulation; cf. spark.ml
     MinHashLSH, which gates on ≥1 collision before exact distance).
 
-    Shape note: the naive within-bucket SELF-JOIN shuffles the bucket
-    table TWICE (left and right sides each materialize their Exchange;
-    AQE + cached parents defeat ReuseExchange — measured 2×2.5GB at 4M
-    pages). Instead the bucket table shuffles ONCE into
-    ``collect_list`` groups and the i<j pairs expand JVM-side from each
-    bucket's member array (bounded at ``max_bucket``, so the per-group
-    expansion is bounded and the hot-key blow-up the cap exists for
-    cannot materialize)."""
-    g = (
-        buckets.groupBy("bucket_key")
-        .agg(F.collect_list("url").alias("_us"))
-        .where((F.size("_us") >= 2) & (F.size("_us") <= max_bucket))
+    Shape note — measured at 4M pages on the standalone harness:
+
+    * a plain within-bucket self-join materializes the bucket-table
+      Exchange TWICE (AQE + cached parents defeat ReuseExchange;
+      2×2.5GB, ~27s at 32 cores);
+    * a ``groupBy(bucket_key).agg(collect_list)`` + i<j array expansion
+      halves the shuffle bytes but is ~3× SLOWER: partial collect_list
+      is an ObjectHashAggregate that falls back to sort-based
+      aggregation on the ~32·|reps| exploded rows, and the quadratic
+      ``slice``-based pair expression allocates O(k²) structs per
+      bucket before the explode (55s+23s for the same leg);
+    * the shape used here: window-count prune, then **persist the
+      window output** (hash-partitioned AND sorted on bucket_key) and
+      self-join the cache against itself. The cached partitioning and
+      ordering satisfy both SMJ children, so the join adds NO exchange
+      and NO sort — candidate generation pays exactly ONE shuffle of
+      the slim (bucket_key, url) table, plus the pair-count exchange.
+
+    Pass ``tracker`` (a :class:`~dedupe_algo_spark.tracking
+    .PersistTracker`) to enable the cache-reuse shape; without it (ad
+    hoc calls, tests) nothing is persisted and the join falls back to
+    rematerializing its Exchange per side — correct, just not the
+    flagship plan."""
+    w = Window.partitionBy("bucket_key")
+    sized = (
+        buckets.withColumn("_n", F.count(F.lit(1)).over(w))
+        .where((F.col("_n") >= 2) & (F.col("_n") <= max_bucket))
+        .select("bucket_key", "url")
     )
-    # all i<j member pairs, normalized to url_a < url_b — pure codegen
-    pair_array = F.expr(
-        "flatten(transform(_us, (a, i) ->"
-        " transform(slice(_us, i + 2, size(_us) - i - 1), b ->"
-        " struct(least(a, b) AS url_a, greatest(a, b) AS url_b))))"
-    )
-    pairs = (
-        g.select(F.explode(pair_array).alias("_p"))
-        .select("_p.url_a", "_p.url_b")
-        .where(F.col("url_a") != F.col("url_b"))
-    )
+    if tracker is not None:
+        sized = tracker.persist(sized)
+    left = sized.select("bucket_key", F.col("url").alias("url_a"))
+    right = sized.select("bucket_key", F.col("url").alias("url_b"))
+    pairs = left.join(right, "bucket_key").where(F.col("url_a") < F.col("url_b"))
     if with_counts:
         return pairs.groupBy("url_a", "url_b").agg(
             F.count(F.lit(1)).alias("n_shared")
         )
-    return pairs.distinct()
+    return pairs.select("url_a", "url_b").distinct()
 
 
 def dropped_buckets(buckets: DataFrame, max_bucket: int = DEFAULT_MAX_BUCKET) -> DataFrame:

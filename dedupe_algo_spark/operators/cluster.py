@@ -158,7 +158,7 @@ def connected_components(
     (a :class:`~dedupe_algo_spark.tracking.PersistTracker`) if given, so
     the caller can release it after consuming the assignment.
     """
-    from ..tracking import persistent_rdd_ids, unpersist_rdd_ids
+    from ..tracking import checkpoint_rdd_ids, persistent_rdd_ids, unpersist_rdd_ids
 
     spark = edges.sparkSession
     live: set[int] = set()  # RDD ids of the current (newest) checkpoint
@@ -167,9 +167,20 @@ def connected_components(
     def _ckpt(df: DataFrame) -> DataFrame:
         nonlocal live, before
         out = df.localCheckpoint(eager=True)
+        # Identify the checkpoint's OWN rdd id(s), precisely: the
+        # checkpointed DataFrame's LogicalRDD holds the persisted RDD.
+        # The persistent-RDD-set delta is only the fallback — a stage
+        # cache materialized by this same job (the first action of a
+        # lazy pipeline often runs inside the first checkpoint) lands
+        # in the delta and would get wrongly unpersisted later, forcing
+        # its consumers (audit flush, cluster join) to recompute — a
+        # measured 23s re-read of the confirm shuffle at 4M pages.
+        ids = checkpoint_rdd_ids(out)
         now = persistent_rdd_ids(spark)
+        if ids is None:
+            ids = now - before
         unpersist_rdd_ids(spark, live)  # parent superstep is superseded
-        live = now - before
+        live = ids
         before = now
         return out
 

@@ -159,7 +159,7 @@ def dedup_pipeline(
             else:
                 buckets = bucket_table_from_bands(rep_keys)
             pairs = candidate_pairs(
-                buckets, max_bucket=max_bucket, with_counts=True
+                buckets, max_bucket=max_bucket, with_counts=True, tracker=tracker
             )
             cands = band_gate(pairs, min_matches=min_band_matches).select(
                 "url_a", "url_b"

@@ -83,15 +83,22 @@ def audit_stage_hook(spark: SparkSession, tracker=None, audit=None, run_id=None)
     the materialization, so it records exact per-stage timings)."""
     log = audit or AuditLog(spark, default_audit_dir())
     rid = run_id or new_run_id()
-    pending: list[list] = []  # [name, df, t_called]
+    pending: list[list] = []  # [name, df, t_called, known_rows]
 
     def stage(name: str, fn) -> DataFrame:
         df = fn()
-        if tracker is not None:
-            tracker.persist(df)
-        else:
-            df.persist()
-        pending.append([name, df, time.time()])
+        # Driver-built results (e.g. the union-find's parallelize-backed
+        # component map) carry their row count; counting them with a
+        # Spark job would re-ship every row from the driver (measured
+        # 19s at 4M pages) for a number we already hold. They are also
+        # not persisted: their one consumer reads them once.
+        known = getattr(df, "_dedupe_known_rows", None)
+        if known is None:
+            if tracker is not None:
+                tracker.persist(df)
+            else:
+                df.persist()
+        pending.append([name, df, time.time(), known])
         return df
 
     def flush() -> None:
@@ -99,9 +106,22 @@ def audit_stage_hook(spark: SparkSession, tracker=None, audit=None, run_id=None)
             return
         t_end = time.time()
         out = None
-        for i, (name, df, t0) in enumerate(pending):
+        for i, (name, df, t0, known) in enumerate(pending):
             t1 = pending[i + 1][2] if i + 1 < len(pending) else t_end
-            pc = partition_counts(df, rid, name, elapsed_ms=int((t1 - t0) * 1000))
+            ms = int((t1 - t0) * 1000)
+            if known is not None:
+                pc = spark.range(1).select(
+                    F.lit(rid).alias("run_id"),
+                    F.lit(name).alias("stage"),
+                    F.lit(-1).cast("int").alias("partition_id"),
+                    F.lit(None).cast("string").alias("block_id"),
+                    F.lit(int(known)).cast("long").alias("row_count"),
+                    F.lit(None).cast("long").alias("pair_count"),
+                    F.lit(ms).cast("long").alias("elapsed_ms"),
+                    F.current_timestamp().alias("committed_at"),
+                )
+            else:
+                pc = partition_counts(df, rid, name, elapsed_ms=ms)
             out = pc if out is None else out.unionByName(pc)
         pending.clear()
         log.append(out)

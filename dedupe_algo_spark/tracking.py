@@ -26,6 +26,21 @@ def persistent_rdd_ids(spark: SparkSession) -> set[int]:
     return {int(k) for k in jmap.keySet().toArray()}
 
 
+def checkpoint_rdd_ids(df: DataFrame) -> "set[int] | None":
+    """The persisted RDD id backing an (eagerly) ``localCheckpoint``-ed
+    DataFrame — read straight off its LogicalRDD plan node, so callers
+    can release exactly the checkpoint's blocks without guessing from
+    persistent-RDD-set deltas (which can catch unrelated SQL caches
+    that happened to materialize during the checkpoint job). Returns
+    ``None`` if the plan isn't the expected shape (caller falls back
+    to the delta method)."""
+    try:
+        logical = df._jdf.queryExecution().logical()
+        return {int(logical.rdd().id())}
+    except Exception:
+        return None
+
+
 def unpersist_rdd_ids(spark: SparkSession, ids: set[int], blocking: bool = False) -> None:
     jmap = spark.sparkContext._jsc.getPersistentRDDs()
     for k in jmap.keySet().toArray():
