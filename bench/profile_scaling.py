@@ -193,9 +193,34 @@ def report(tag: str, res: dict, prof: dict) -> None:
         )
 
 
+def detect_t0_ms(app_id: str) -> int:
+    """Start of the timed run inside an application that also ran the
+    JIT warmup and the page-cache warm: the warmup pipeline reads no
+    parquet (synth input), so the FIRST parquet stage (the timed run's
+    schema-inference job) marks t0."""
+    for line in _eventlog_lines(app_id):
+        ev = json.loads(line)
+        if ev.get("Event") == "SparkListenerStageCompleted":
+            si = ev["Stage Info"]
+            if si["Stage Name"].startswith("parquet") and si.get("Submission Time"):
+                return si["Submission Time"]
+    return 0
+
+
+def analyze(app_id: str, t0_ms: int | None = None) -> None:
+    """Post-hoc per-stage report over an existing event log (no Spark
+    run) — `python bench/profile_scaling.py analyze <app_id> [t0_ms]`."""
+    t0 = detect_t0_ms(app_id) if t0_ms is None else t0_ms
+    prof = parse_eventlog(app_id, t0)
+    report(f"{app_id} (t0={t0})", {"sec": prof["wall_s"]}, prof)
+
+
 def main() -> None:
     n_pages = int(os.environ.get("SCALING_PAGES", "4000000"))
     which = sys.argv[1] if len(sys.argv) > 1 else "both"
+    if which == "analyze":
+        analyze(sys.argv[2], int(sys.argv[3]) if len(sys.argv) > 3 else None)
+        return
     pages_path = os.path.join(REPO, ".bench_cache", f"pages_{n_pages}")
     assert os.path.exists(os.path.join(pages_path, "_SUCCESS")), pages_path
     os.makedirs(EVLOG_DIR, exist_ok=True)
