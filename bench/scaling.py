@@ -343,6 +343,15 @@ def main() -> None:
 
     md = os.path.join(REPO, "BENCH")
     os.makedirs(md, exist_ok=True)
+    tag = os.environ.get("SCALING_SESSION_TAG")
+    if tag:
+        with open(os.path.join(md, f"session_{tag}.json"), "w") as f:
+            json.dump(result, f, indent=1)
+    # BASELINE.md is the curated evidence document (it carries the
+    # cross-session trajectory table); a session that lands in a slow
+    # hypervisor era must not clobber it — opt in to the rewrite.
+    if os.environ.get("SCALING_SKIP_MD"):
+        return
     with open(os.path.join(md, "BASELINE.md"), "w") as f:
         f.write(
             "# BENCH — scaling evidence (north_rule stand-in)\n\n"

@@ -127,6 +127,15 @@ def confirm_pairs(
             F.array_remove(F.split(F.col("text"), TOKEN_SPLIT_RE), "")
         )
         slice_ = _persist(sliced.select("url", toks.alias("_toks")))
+        # Materialize the token cache BEFORE the pair join. The join's
+        # two children (ta/tb exchanges) otherwise each re-run the full
+        # scan+semi-join+tokenize while racing to fill the same cache —
+        # AQE runs them as sequential shuffle jobs, so the duplicate
+        # pass is pure added wall-clock (measured ~300 cpu-s per side at
+        # 4M pages; ReuseExchange would dedup them but is defeated by
+        # the persisted parents). One count = one tokenize pass; both
+        # exchanges then read cached batches.
+        slice_.count()
         ta = slice_.select(F.col("url").alias("url_a"), F.col("_toks").alias("_ta"))
         tb = slice_.select(F.col("url").alias("url_b"), F.col("_toks").alias("_tb"))
         inter = F.size(F.array_intersect(F.col("_ta"), F.col("_tb")))
