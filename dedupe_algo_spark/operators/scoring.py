@@ -123,8 +123,19 @@ def confirm_pairs(
         urls = F.broadcast(urls)
     sliced = pages.join(urls, "url", "left_semi")
     if jvm_tokens:
-        toks = F.array_distinct(
-            F.array_remove(F.split(F.col("text"), TOKEN_SPLIT_RE), "")
+        # Token identity is a 64-bit xxhash, not the string: the pair
+        # join's array_intersect then compares longs instead of hashing
+        # and equality-checking strings per element — the confirm SMJ
+        # stage was the largest post-scan CPU item at 4M pages (~560
+        # cpu-s at N) and the slice cache shrinks ~4x. Jaccard over
+        # distinct token hashes equals Jaccard over distinct tokens up
+        # to 64-bit collisions (P ≈ n²/2⁶⁵ per doc — immaterial next to
+        # the MinHash tiers feeding this stage).
+        toks = F.transform(
+            F.array_distinct(
+                F.array_remove(F.split(F.col("text"), TOKEN_SPLIT_RE), "")
+            ),
+            lambda t: F.xxhash64(t),
         )
         slice_ = _persist(sliced.select("url", toks.alias("_toks")))
         # Materialize the token cache BEFORE the pair join. The join's
