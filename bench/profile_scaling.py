@@ -37,7 +37,7 @@ spark = get_spark(
     extra_conf={{
         "spark.cores.max": "{cores}",
         "spark.executor.cores": "4",
-        "spark.executor.memory": "8g",
+        "spark.executor.memory": "4g",  # see scaling.py: 8x8g JVMs evict the input page cache
         "spark.executor.extraJavaOptions": "-XX:ActiveProcessorCount=8",
         "spark.executorEnv.PYTHONPATH": {repo!r},
         "spark.eventLog.enabled": "true",

@@ -50,7 +50,16 @@ spark = get_spark(
     extra_conf={{
         "spark.cores.max": "{cores}",
         "spark.executor.cores": "4",
-        "spark.executor.memory": "8g",
+        # 4g, not 8g: peak execution memory per executor is near zero
+        # (slim shuffles) and the cluster-wide storage cache is <2GB,
+        # but 8 x 8g JVMs + 32 python workers oversubscribe this one
+        # box's 125GB -- the kernel evicts the 31GB input page cache
+        # and shuffle writes stall in direct reclaim (measured: the
+        # same ~6GB of shuffle writes cost 488s of blocked write time
+        # at 8x8g vs 17s at 2x8g). A real 4-node cluster adds RAM with
+        # every node; the one-box stand-in must not fake memory
+        # pressure the cluster would never see.
+        "spark.executor.memory": "4g",
         # each executor JVM must size its thread pools (GC, JIT, netty)
         # for its own slice of the machine, exactly as it would on a
         # real 4-core cluster node -- without this, 8 executor JVMs each
