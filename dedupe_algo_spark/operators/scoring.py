@@ -171,7 +171,9 @@ def score_pairs(
     pairs: DataFrame,
     texts: DataFrame,
     threshold: float = DEFAULT_THRESHOLD,
+    tracker=None,
 ) -> DataFrame:
     """Single-tier exact scoring (kept for direct use/tests):
-    → (url_a, url_b, score) with token-Jaccard ≥ threshold."""
-    return confirm_pairs(pairs, texts, threshold)
+    → (url_a, url_b, score) with token-Jaccard ≥ threshold. Pass a
+    ``PersistTracker`` to own the intermediates' cache lifetime."""
+    return confirm_pairs(pairs, texts, threshold, tracker=tracker)

@@ -205,18 +205,16 @@ def dedup_pipeline(
     # The component map is RDD-backed (driver union-find) or a small
     # checkpointed aggregate — either way Catalyst has no size stats and
     # plants a sort-merge join that shuffles the whole assigned table
-    # (measured 3.6GB at 4M pages) against a ~MB map. Its size is
-    # usually already known — the union-find counted its rows while
-    # building them, and the audit hook counted the stage — so the
-    # broadcast decision costs zero extra jobs on the common path; only
-    # a checkpointed-runner distributed-CC run pays one count. At 10^12
-    # rows a billion-row component map correctly falls back to the
-    # shuffle join.
+    # (measured 3.6GB at 4M pages) against a ~MB map. The union-find
+    # fast path counted its rows while building them and carries the
+    # count on the DataFrame, so the broadcast decision costs zero extra
+    # jobs on that common path; a distributed-CC or checkpointed-runner
+    # run (whose stage hook re-reads parquet, dropping the attribute)
+    # pays one count. At 10^12 rows a billion-row component map
+    # correctly falls back to the shuffle join.
     from .operators.scoring import BROADCAST_URL_LIMIT
 
     n_comp = getattr(rep_comp, "_dedupe_known_rows", None)
-    if n_comp is None:
-        n_comp = getattr(rep_comp, "_stage_row_count", None)
     if n_comp is None:
         n_comp = comp.count()
     if n_comp <= BROADCAST_URL_LIMIT:

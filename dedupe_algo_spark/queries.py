@@ -1011,6 +1011,17 @@ def _sf_of(sf_dir: str) -> float:
     return float(m.group(1)) if m else 0.001
 
 
+def _eager(df, release):
+    """Materialize a (small, bounded) query result, release the caches
+    the computation pinned, and hand back a local-backed DataFrame.
+    The harness invokes each query repeatedly in one long-lived session;
+    without this, every invocation would leak its pipeline caches into
+    the block manager."""
+    rows = df.collect()
+    release()
+    return df.sparkSession.createDataFrame(rows, df.schema)
+
+
 def q_pages_dedup_clusters(spark, sf_dir):
     """Flagship: full exact+near dedup on the synthetic pages table
     (size scaled to the sf of the given directory)."""
@@ -1019,7 +1030,8 @@ def q_pages_dedup_clusters(spark, sf_dir):
 
     n = max(500, int(200_000 * _sf_of(sf_dir) / 0.1))
     pages = synth_pages(spark, n)
-    return dedup_pipeline(pages).clusters
+    res = dedup_pipeline(pages)
+    return _eager(res.clusters, res.unpersist)
 
 
 def q_dedup_cluster_stats(spark, sf_dir):
@@ -1035,10 +1047,11 @@ def q_dedup_cluster_stats(spark, sf_dir):
     from .synth import synth_pages
 
     res = dedup_pipeline(synth_pages(spark, 20_000))
-    return res.clusters.groupBy("match_kind").agg(
+    stats = res.clusters.groupBy("match_kind").agg(
         F.count(F.lit(1)).alias("n_urls"),
         F.countDistinct("cluster_id").alias("n_clusters"),
     )
+    return _eager(stats, res.unpersist)
 
 
 SQL_DEDUP_CLUSTER_STATS = """
@@ -1060,13 +1073,17 @@ def q_minhash_pair_stats(spark, sf_dir):
     from .operators.scoring import score_pairs
     from .synth import synth_pages
 
+    from .tracking import PersistTracker
+
+    tracker = PersistTracker()
     pages = synth_pages(spark, 2_000).select("url", "text")
     pairs = candidate_pairs(bucket_table(pages, use_cheap_key=False))
-    return (
-        score_pairs(pairs, pages)
+    stats = (
+        score_pairs(pairs, pages, tracker=tracker)
         .groupBy(F.round("score", 1).alias("score_bin"))
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+    return _eager(stats, tracker.release)
 
 
 SQL_MINHASH_PAIR_STATS = """
@@ -1083,12 +1100,16 @@ def q_minhash_dup_pairs(spark, sf_dir):
     from .operators.scoring import score_pairs
     from .synth import synth_pages
 
+    from .tracking import PersistTracker
+
+    tracker = PersistTracker()
     n = max(500, int(20_000 * _sf_of(sf_dir) / 0.1))
     pages = synth_pages(spark, n).select("url", "text")
     pairs = candidate_pairs(bucket_table(pages, use_cheap_key=False))
-    return score_pairs(pairs, pages).select(
+    out = score_pairs(pairs, pages, tracker=tracker).select(
         "url_a", "url_b", F.round("score", 4).alias("score")
     )
+    return _eager(out, tracker.release)
 
 
 def q_simhash_signatures(spark, sf_dir):

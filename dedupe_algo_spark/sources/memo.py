@@ -116,6 +116,14 @@ class HashMemo:
                 *MEMO_SCHEMA.fieldNames()
             )
         if os.path.exists(self.path):  # legacy flat / shard= layout
+            # ignore hidden entries (staged-but-uncommitted shard dirs,
+            # _SUCCESS): a crashed first-ever upsert leaves only dot-dirs,
+            # which must read as the previous (empty) state
+            visible = [
+                e for e in os.listdir(self.path) if not e.startswith((".", "_"))
+            ]
+            if not visible:
+                return self._empty()
             df = self.spark.read.parquet(self.path).select(
                 *MEMO_SCHEMA.fieldNames()
             )
@@ -135,13 +143,17 @@ class HashMemo:
         touched shards are read and rewritten; untouched shards are
         never opened, and the swap of all touched shards is one atomic
         manifest replace."""
-        u = self._sharded(updates.select(*MEMO_SCHEMA.fieldNames()))
         manifest = self._load_manifest()
         legacy = manifest is None and os.path.exists(self.path)
         if manifest is not None:
+            # adopt the committed shard count BEFORE computing any shard
+            # column: a memo committed with n_shards=4 reopened with the
+            # default 16 would otherwise stage mod-16 shards but swap a
+            # mod-4 manifest, silently dropping updates
             self.n_shards = int(manifest.get("n_shards", self.n_shards))
         else:
             manifest = {"n_shards": self.n_shards, "shards": {}}
+        u = self._sharded(updates.select(*MEMO_SCHEMA.fieldNames()))
         if legacy:
             # one full rewrite migrates the pre-manifest layout
             touched = list(range(self.n_shards))
@@ -173,7 +185,12 @@ class HashMemo:
         new_shards = dict(manifest["shards"])
         for k in touched:
             src = os.path.join(tmp, f"shard={k}")
-            staged = f"shard-{k}-{txn}"
+            # dot-prefixed: Spark's file listing skips hidden entries, so
+            # staged-but-uncommitted shards are invisible to the legacy
+            # (manifest-less) read path — a crash between staging and the
+            # manifest commit can never surface uncommitted rows or break
+            # partition discovery on a pre-manifest layout
+            staged = f".shard-{k}-{txn}"
             if os.path.exists(src):
                 os.rename(src, os.path.join(self.path, staged))
                 new_shards[str(k)] = staged

@@ -98,14 +98,14 @@ def test_crashed_upsert_leaves_state_intact(spark, tmp_path, monkeypatch):
     monkeypatch.undo()
     rows = {r["url"]: r for r in memo.read().collect()}
     assert len(rows) == 16 and rows["u1"]["warc_ts"] == T1  # old state
-    orphans = [d for d in os.listdir(path) if d.startswith("shard-")]
+    orphans = [d for d in os.listdir(path) if d.startswith(".shard-")]
     assert len(orphans) > len(memo._load_manifest()["shards"])  # staged junk
 
     memo.upsert(_memo_df(spark, [("u1", 1, T2, "px", None)]))
     rows = {r["url"]: r for r in memo.read().collect()}
     assert rows["u1"]["warc_ts"] == T2 and rows["u1"]["content_sha256"] == "s1"
     live = set(memo._load_manifest()["shards"].values())
-    on_disk = {d for d in os.listdir(path) if d.startswith("shard-")}
+    on_disk = {d for d in os.listdir(path) if d.startswith(".shard-")}
     assert on_disk == live  # orphans collected
 
 
@@ -127,3 +127,45 @@ def test_clear(spark, tmp_path):
     memo.upsert(_memo_df(spark, [("u1", 1, T1, "p", "s")]))
     memo.clear()
     assert memo.read().count() == 0
+
+
+def test_reopen_adopts_committed_shard_count(spark, tmp_path):
+    """A memo committed with n_shards=4 reopened with the default 16
+    must adopt 4 BEFORE sharding the updates — the shard column and the
+    manifest swap have to agree or updates silently vanish."""
+    path = str(tmp_path / "memo")
+    HashMemo(spark, path, n_shards=4).upsert(
+        _memo_df(spark, [(f"u{i}", i, T1, f"p{i}", f"s{i}") for i in range(16)])
+    )
+    memo = HashMemo(spark, path)  # default n_shards=16
+    memo.upsert(
+        _memo_df(spark, [(f"u{i}", i, T2, f"q{i}", None) for i in range(16)])
+    )
+    assert memo.n_shards == 4
+    rows = {r["url"]: r for r in memo.read().collect()}
+    assert len(rows) == 16
+    for i in range(16):
+        assert rows[f"u{i}"]["warc_ts"] == T2  # every update landed
+        assert rows[f"u{i}"]["partial_hash"] == f"q{i}"
+        assert rows[f"u{i}"]["content_sha256"] == f"s{i}"  # COALESCE kept
+
+
+def test_crashed_first_upsert_reads_as_empty(spark, tmp_path, monkeypatch):
+    """A first-ever upsert that dies after staging but before the
+    manifest commit must leave the memo reading as its previous state —
+    empty — not surface the uncommitted rows (staged dirs are hidden)."""
+    path = str(tmp_path / "memo")
+    memo = HashMemo(spark, path, n_shards=4)
+
+    def boom(manifest):
+        raise RuntimeError("crash before first commit")
+
+    monkeypatch.setattr(memo, "_commit_manifest", boom)
+    with pytest.raises(RuntimeError):
+        memo.upsert(_memo_df(spark, [("u1", 1, T1, "p1", "s1")]))
+    monkeypatch.undo()
+    assert memo.read().count() == 0  # previous (empty) state intact
+
+    memo.upsert(_memo_df(spark, [("u1", 1, T2, "p1", "s1")]))
+    rows = {r["url"]: r for r in memo.read().collect()}
+    assert rows["u1"]["warc_ts"] == T2  # recovery upsert lands cleanly
