@@ -37,7 +37,7 @@ spark = get_spark(
     extra_conf={{
         "spark.cores.max": "{cores}",
         "spark.executor.cores": "4",
-        "spark.executor.memory": "4g",  # see scaling.py: 8x8g JVMs evict the input page cache
+        "spark.executor.memory": "{exec_mem}",  # see scaling.py: 4g at hi (page cache), 8g at lo (2 executors hold half the caches)
         "spark.executor.extraJavaOptions": "-XX:ActiveProcessorCount=8",
         "spark.executorEnv.PYTHONPATH": {repo!r},
         "spark.eventLog.enabled": "true",
@@ -66,7 +66,8 @@ spark.stop()
 def run_profiled(cores: int, pages_path: str) -> dict:
     restart_worker(cores)
     code = CHILD.format(
-        repo=REPO, cores=cores, pages=pages_path, master=MASTER_URL, evlog=EVLOG_DIR
+        repo=REPO, cores=cores, pages=pages_path, master=MASTER_URL,
+        evlog=EVLOG_DIR, exec_mem="4g" if cores >= 32 else "8g",
     )
     out = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True, timeout=3600

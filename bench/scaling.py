@@ -50,16 +50,23 @@ spark = get_spark(
     extra_conf={{
         "spark.cores.max": "{cores}",
         "spark.executor.cores": "4",
-        # 4g, not 8g: peak execution memory per executor is near zero
-        # (slim shuffles) and the cluster-wide storage cache is <2GB,
-        # but 8 x 8g JVMs + 32 python workers oversubscribe this one
-        # box's 125GB -- the kernel evicts the 31GB input page cache
-        # and shuffle writes stall in direct reclaim (measured: the
-        # same ~6GB of shuffle writes cost 488s of blocked write time
-        # at 8x8g vs 17s at 2x8g). A real 4-node cluster adds RAM with
-        # every node; the one-box stand-in must not fake memory
+        # hi runs at 4g, not 8g: peak execution memory per executor is
+        # near zero (slim shuffles) and the cluster-wide storage cache
+        # is <2GB, but 8 x 8g JVMs + 32 python workers oversubscribe
+        # this one box's 125GB -- the kernel evicts the 31GB input page
+        # cache and shuffle writes stall in direct reclaim (measured:
+        # the same ~6GB of shuffle writes cost 488s of blocked write
+        # time at 8x8g vs 17s at 2x8g). A real 4-node cluster adds RAM
+        # with every node; the one-box stand-in must not fake memory
         # pressure the cluster would never see.
-        "spark.executor.memory": "4g",
+        # lo stays at 8g: with only 2 executors each holds HALF the
+        # pipeline's cached partitions and 4g leaves too little
+        # execution headroom (one observed heap OOM in a late window
+        # stage), while 2 x 8.8g JVMs can never pressure the page
+        # cache. The asymmetry is conservative for the scaling gate:
+        # extra lo memory can only speed up the N config, which only
+        # LOWERS the measured N->4N speedup.
+        "spark.executor.memory": "{exec_mem}",
         # each executor JVM must size its thread pools (GC, JIT, netty)
         # for its own slice of the machine, exactly as it would on a
         # real 4-core cluster node -- without this, 8 executor JVMs each
@@ -200,7 +207,8 @@ def run(cores: int, pages_path: str) -> dict:
     restart_worker(cores)
     os.makedirs(EVLOG_DIR, exist_ok=True)
     code = CHILD.format(
-        repo=REPO, cores=cores, pages=pages_path, master=MASTER_URL, evlog=EVLOG_DIR
+        repo=REPO, cores=cores, pages=pages_path, master=MASTER_URL,
+        evlog=EVLOG_DIR, exec_mem="4g" if cores >= 32 else "8g",
     )
     out = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True, timeout=3600
