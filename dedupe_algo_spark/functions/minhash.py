@@ -39,9 +39,28 @@ def _shingles(text: str, k: int = 3) -> list[str]:
     return [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
 
 
+# rolling-combine multipliers for 3-token shingle hashes (odd, uint64 wrap)
+_SH_C1 = np.uint64(0x9E3779B97F4A7C15)
+_SH_C2 = np.uint64(0xC2B2AE3D27D4EB4F)
+
+
+def _combine3(th: np.ndarray) -> np.ndarray:
+    """Hash of each 3-token window as an arithmetic combine of the
+    per-token hashes — equivalent-strength to hashing the joined string
+    but with zero Python string construction."""
+    return th[:-2] * _SH_C1 + th[1:-1] * _SH_C2 + th[2:]
+
+
 def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
-    """SipHash via pandas.util.hash_array — vectorized, deterministic."""
-    return pd.util.hash_array(np.asarray(_shingles(text, k), dtype=object))
+    """Per-token SipHash (pandas.util.hash_array — deterministic, fixed
+    key) rolled into 3-gram shingle hashes. Short texts fall back to
+    unigram token hashes, mirroring ``_shingles``."""
+    toks = text.split()
+    if len(toks) < k:
+        return pd.util.hash_array(
+            np.asarray(toks if toks else [""], dtype=object)
+        )
+    return _combine3(pd.util.hash_array(np.asarray(toks, dtype=object)))
 
 
 def minhash_signature_kperm(text: str | None, k: int = 3) -> np.ndarray | None:
@@ -55,40 +74,61 @@ def minhash_signature_kperm(text: str | None, k: int = 3) -> np.ndarray | None:
     return vals.min(axis=0).astype(np.int64)  # two's-complement view for Spark long
 
 
-def minhash_signature(text: str | None, k: int = 3) -> np.ndarray | None:
-    """One-permutation hashing (OPH) with rotation densification
-    (Li, Owen, Zhang 2012; Shrivastava & Li 2014 — public): hash each
-    shingle ONCE, scatter into NUM_PERM buckets by its low bits, keep the
-    per-bucket min, then fill empty buckets by rotation (borrow from the
-    next non-empty bucket). O(S) work/traffic per doc — ~100× less
-    memory movement than k-perm, same LSH banding behavior."""
-    if text is None:
-        return None
-    h = _shingle_hashes(text, k)
-    buckets = (h & np.uint64(NUM_PERM - 1)).astype(np.intp)
-    vals = h >> np.uint64(7)  # bucket-independent value bits
-    sig = np.full(NUM_PERM, np.uint64(0xFFFFFFFFFFFFFFFF), dtype=np.uint64)
-    np.minimum.at(sig, buckets, vals)
-    empty = sig == np.uint64(0xFFFFFFFFFFFFFFFF)
-    if empty.any():
+_EMPTY = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def _densify(sig2d: np.ndarray) -> np.ndarray:
+    """Rotation densification over a (B, NUM_PERM) uint64 matrix: each
+    empty bucket copies the value of the nearest non-empty bucket to its
+    right (cyclically), offset by the distance so different borrow
+    distances stay distinct. Loops only over the (rare) rows that have
+    empty buckets."""
+    for i in np.nonzero((sig2d == _EMPTY).any(axis=1))[0]:
+        sig = sig2d[i]
+        empty = sig == _EMPTY
         if empty.all():
-            return np.zeros(NUM_PERM, dtype=np.int64)
-        # rotation densification: each empty bucket copies the value of
-        # the nearest non-empty bucket to its right (cyclically), offset
-        # by the distance so different borrow distances stay distinct
+            sig[:] = np.uint64(0)
+            continue
         idx = np.arange(NUM_PERM)
         nonempty_idx = idx[~empty]
         pos = np.searchsorted(nonempty_idx, idx[empty])
         donor = nonempty_idx[pos % len(nonempty_idx)]
         dist = (donor - idx[empty]) % NUM_PERM
         sig[empty] = sig[donor] + dist.astype(np.uint64)
-    return sig.astype(np.int64)
+    return sig2d
 
 
-def _batch_signatures(texts) -> list:
-    """Per-doc loop (numpy-optimal; batched reduceat and global hashing
-    were both measured slower)."""
-    return [minhash_signature(t) for t in texts]
+def _oph_from_hashes(h: np.ndarray) -> np.ndarray:
+    """OPH core for one doc's shingle hashes: scatter into NUM_PERM
+    buckets by the low bits, per-bucket min, densify."""
+    buckets = (h & np.uint64(NUM_PERM - 1)).astype(np.intp)
+    vals = h >> np.uint64(7)  # bucket-independent value bits
+    sig = np.full(NUM_PERM, _EMPTY, dtype=np.uint64)
+    np.minimum.at(sig, buckets, vals)
+    return _densify(sig.reshape(1, NUM_PERM))[0].astype(np.int64)
+
+
+def minhash_signature(text: str | None, k: int = 3) -> np.ndarray | None:
+    """One-permutation hashing (OPH) with rotation densification
+    (Li, Owen, Zhang 2012; Shrivastava & Li 2014 — public): hash each
+    shingle ONCE, scatter into NUM_PERM buckets by its low bits, keep the
+    per-bucket min, then fill empty buckets by rotation. O(S) work per
+    doc. Reference per-doc path; ``_batch_signatures`` is the hot path
+    and is pinned identical by test."""
+    if text is None:
+        return None
+    return _oph_from_hashes(_shingle_hashes(text, k))
+
+
+def _batch_signatures(texts, k: int = 3) -> list:
+    """Per-doc loop. Measured against a whole-batch variant (one
+    hash_array call over all tokens + composite (doc, bucket)
+    scatter-min): the batch scatter's working set is B×NUM_PERM×8B
+    (~20MB per 20k-row Arrow batch) and cache-misses badly — it swung
+    0.9×–1.5× vs this loop across eras, while the per-doc scatter hits
+    an L1-resident 1KB signature and is stable. The loop's cost is the
+    token hashing itself, already one vectorized call per doc."""
+    return [minhash_signature(t, k) for t in texts]
 
 
 @pandas_udf(ArrayType(LongType()))
@@ -118,11 +158,32 @@ def minhash_band_keys(text: str | None, k: int = 3) -> np.ndarray | None:
     return keys.astype(np.int64)
 
 
+def _fold_bands(sig2d: np.ndarray) -> np.ndarray:
+    """Vectorized band fold over a (B, NUM_PERM) int64 signature matrix
+    → (B, LSH_BANDS) int64 keys; value-identical to the per-doc fold in
+    ``minhash_band_keys``."""
+    rows = NUM_PERM // LSH_BANDS
+    m = np.ascontiguousarray(sig2d).view(np.uint64).reshape(
+        len(sig2d), LSH_BANDS, rows
+    )
+    keys = np.tile(np.arange(LSH_BANDS, dtype=np.uint64), (len(sig2d), 1))
+    for j in range(rows):
+        keys = keys * _BAND_FOLD + m[:, :, j]
+    return keys.astype(np.int64)
+
+
 @pandas_udf(ArrayType(LongType()))
 def minhash_band_keys_udf(texts: pd.Series) -> pd.Series:
-    return pd.Series(
-        [minhash_band_keys(t) for t in texts.values], index=texts.index
-    )
+    """Per-doc signatures (see ``_batch_signatures``), ONE vectorized
+    band fold over the whole Arrow batch."""
+    sigs = _batch_signatures(texts.values)
+    out: list = [None] * len(sigs)
+    live = [i for i, s in enumerate(sigs) if s is not None]
+    if live:
+        keys = _fold_bands(np.stack([sigs[i] for i in live]))
+        for row, i in enumerate(live):
+            out[i] = keys[row]
+    return pd.Series(out, index=texts.index)
 
 
 @pandas_udf(ArrayType(StringType()))

@@ -142,3 +142,40 @@ def test_jaro_transpositions_compare_chars_not_indices():
     # repeated characters: matched-index disorder must not be counted
     # when the characters at those positions are equal
     assert _jaro("aabab", "abaab") == pytest.approx((1 + 1 + 4 / 5) / 3, abs=1e-9)
+
+
+def test_minhash_batch_equals_per_doc():
+    """The whole-batch signature/band-key hot path must be value-
+    identical to the per-doc reference path, across the edge cases the
+    batch code special-cases: None, empty, 1-2 tokens, normal docs."""
+    import numpy as np
+
+    from dedupe_algo_spark.functions.minhash import (
+        _batch_signatures,
+        _fold_bands,
+        minhash_band_keys,
+        minhash_signature,
+    )
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        None,
+        "",
+        "one",
+        "two tokens",
+        "exactly three tokens",
+        " ".join(f"w{i % 7}" for i in range(500)),
+    ]
+    batch = _batch_signatures(texts)
+    for t, got in zip(texts, batch):
+        ref = minhash_signature(t)
+        if ref is None:
+            assert got is None
+        else:
+            assert np.array_equal(got, ref), t
+
+    live = [s for s in batch if s is not None]
+    keys = _fold_bands(np.stack(live))
+    refs = [minhash_band_keys(t) for t in texts if t is not None]
+    for got, ref in zip(keys, refs):
+        assert np.array_equal(got, ref)
