@@ -205,7 +205,14 @@ def detect_t0_ms(app_id: str) -> int:
             si = ev["Stage Info"]
             if si["Stage Name"].startswith("parquet") and si.get("Submission Time"):
                 return si["Submission Time"]
-    return 0
+    # No parquet stage ⇒ either the app never reached the timed run or a
+    # future warmup started reading parquet (which would make the FIRST
+    # match the warmup's stage). Returning 0 silently would skew every
+    # per-stage offset, so fail loudly and make the caller pass t0_ms.
+    raise RuntimeError(
+        f"detect_t0_ms({app_id}): no parquet stage found in the event log; "
+        "pass an explicit t0_ms (analyze <app_id> <t0_ms>)"
+    )
 
 
 def analyze(app_id: str, t0_ms: int | None = None) -> None:

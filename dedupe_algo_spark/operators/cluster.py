@@ -69,7 +69,34 @@ def _small_star(edges: DataFrame) -> DataFrame:
 # fixed latency that no executor count can shrink. The distributed
 # large-star/small-star path stays the algorithm of record for graphs
 # that cannot fit (10^12-doc corpora can carry billions of rep edges).
-SMALL_GRAPH_EDGES = 1_000_000
+SMALL_GRAPH_EDGES_CAP = 1_000_000
+
+# Driver-heap budget per canonical edge for the fast path. Measured: 1M
+# edges of ~60-char urls cost ~0.4GB of driver RSS including the Arrow
+# batches and pandas intermediates (~400B/edge); 4KiB/edge is 10×
+# headroom, so the memory-derived bound only bites on drivers smaller
+# than ~4g — where a 1M-row toPandas genuinely is a footgun.
+_EDGE_MEM_BUDGET = 4096
+
+
+def _mem_to_bytes(mem: str) -> int:
+    """Parse a JVM memory string ('16g', '512m', '64k', bare = MiB,
+    matching Spark's JavaUtils.byteStringAsMb default for this conf)."""
+    s = mem.strip().lower().rstrip("b")
+    units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+    if s and s[-1] in units:
+        return int(float(s[:-1]) * units[s[-1]])
+    return int(float(s)) * (1 << 20)
+
+
+def small_graph_limit(spark) -> int:
+    """Derived ``small_graph_edges`` default:
+    ``min(1M, driver_memory / 4KiB-per-edge)``."""
+    try:
+        mem = spark.conf.get("spark.driver.memory", "1g")
+    except Exception:
+        mem = "1g"
+    return min(SMALL_GRAPH_EDGES_CAP, _mem_to_bytes(mem) // _EDGE_MEM_BUDGET)
 
 
 def _local_cc(edges: DataFrame) -> DataFrame:
@@ -134,7 +161,7 @@ def connected_components(
     edges: DataFrame,
     max_iter: int = 25,
     checkpoint: bool = True,
-    small_graph_edges: int = SMALL_GRAPH_EDGES,
+    small_graph_edges: int | None = None,
     tracker=None,
 ) -> DataFrame:
     """→ (url, component) assignment for every node appearing in edges.
@@ -144,7 +171,9 @@ def connected_components(
 
     Graphs whose canonical edge set is ≤ ``small_graph_edges`` are
     solved with a driver-side union-find (same output, ~1 job instead of
-    ~10 per superstep); pass 0 to force the distributed path.
+    ~10 per superstep); the default (``None``) derives the bound from
+    the driver heap via :func:`small_graph_limit`; pass 0 to force the
+    distributed path.
 
     Checkpoint hygiene: each superstep's eager ``localCheckpoint``
     supersedes its parent, which is unpersisted immediately — only ONE
@@ -179,21 +208,32 @@ def connected_components(
         before = now
         return out
 
+    if small_graph_edges is None:
+        small_graph_edges = small_graph_limit(spark)
     cur = _canonical(edges.select(F.col(edges.columns[0]).alias("src"), F.col(edges.columns[1]).alias("dst")))
     if checkpoint:
         cur = _ckpt(cur)
+    base_cache = None
     if small_graph_edges:
-        # The size decision is one count over the canonical edge set —
-        # already materialized by the eager localCheckpoint above, so
-        # the count scans block-manager blocks (sub-second), it does not
-        # recompute the edges. (A previous stream-and-abort design that
-        # folded the decision into a coalesce(1) iterator saved this
-        # count but paid a 6.2s single-threaded drain at 4M pages.)
+        # The size decision is one count over the canonical edge set. On
+        # the checkpointed path it is already materialized by the eager
+        # localCheckpoint above, so the count scans block-manager blocks
+        # (sub-second) without recomputing the edges. (A previous
+        # stream-and-abort design that folded the decision into a
+        # coalesce(1) iterator saved this count but paid a 6.2s
+        # single-threaded drain at 4M pages.) Without checkpointing,
+        # persist the canonical edges first so the count and their
+        # consumer (_local_cc's toPandas, or the first superstep) share
+        # one computation instead of running the edge plan twice.
+        if not checkpoint:
+            base_cache = cur = cur.persist()
         if cur.count() <= small_graph_edges:
             out = _local_cc(cur)
             # the union-find consumed the edges; the canonical checkpoint
-            # is dead weight (the result is Arrow/driver-backed, independent)
+            # / cache is dead weight (the result is Arrow/driver-backed)
             unpersist_rdd_ids(spark, live)
+            if base_cache is not None:
+                base_cache.unpersist()
             return out
     prev_sig = None
     for i in range(max_iter):
@@ -205,6 +245,11 @@ def connected_components(
         # so eager checking minimizes total job count (star/clique edge
         # sets -- the dedup shape -- converge at superstep 2)
         sig = _signature(cur)
+        if base_cache is not None:
+            # the non-checkpoint input cache fed the first superstep's
+            # signature pass; later iterations re-derive from lineage
+            base_cache.unpersist()
+            base_cache = None
         if sig == prev_sig:
             break
         prev_sig = sig

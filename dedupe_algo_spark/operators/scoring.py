@@ -98,7 +98,9 @@ def confirm_pairs(
     distinct-token array during the carve-out, and the per-pair Jaccard
     is ``array_intersect``/``size`` — whole-stage codegen, zero Python
     in the confirm stage. The pandas-UDF path remains switchable; both
-    produce identical scores (same token sets, exact rational values)
+    produce identical scores up to 64-bit token-hash collisions (each
+    path hashes tokens — xxhash64 here, ``pd.util.hash_array`` there —
+    so agreement is exact except with probability ≈ n²/2⁶⁵ per doc)
     on ANY input: the JVM tokenizer is ``TOKEN_SPLIT_RE`` below, whose
     character class exactly reproduces Python ``str.split()`` (Unicode
     White_Space via ``(?U)\\s`` plus the U+001C–001F separators Python's

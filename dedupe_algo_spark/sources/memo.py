@@ -117,10 +117,15 @@ class HashMemo:
             )
         if os.path.exists(self.path):  # legacy flat / shard= layout
             # ignore hidden entries (staged-but-uncommitted shard dirs,
-            # _SUCCESS): a crashed first-ever upsert leaves only dot-dirs,
-            # which must read as the previous (empty) state
+            # _SUCCESS) and manifest leftovers (a crash inside
+            # _commit_manifest — after the MANIFEST.json.tmp-* write,
+            # before os.replace — leaves a visible tmp file but no data):
+            # a crashed first-ever upsert must read as the previous
+            # (empty) state, not raise on a data-less parquet read
             visible = [
-                e for e in os.listdir(self.path) if not e.startswith((".", "_"))
+                e
+                for e in os.listdir(self.path)
+                if not e.startswith((".", "_", MANIFEST))
             ]
             if not visible:
                 return self._empty()

@@ -55,6 +55,40 @@ def test_component_id_is_lexicographic_min(spark, _cc):
     assert set(m.values()) == {"b"}
 
 
+def test_small_graph_limit_derived_from_driver_memory(spark):
+    """The union-find fast-path bound derives from the driver heap
+    (min(1M cap, mem/4KiB-per-edge)) instead of a fixed constant."""
+    from dedupe_algo_spark.operators.cluster import (
+        SMALL_GRAPH_EDGES_CAP,
+        _EDGE_MEM_BUDGET,
+        _mem_to_bytes,
+        small_graph_limit,
+    )
+
+    assert _mem_to_bytes("16g") == 16 << 30
+    assert _mem_to_bytes("512m") == 512 << 20
+    assert _mem_to_bytes("2048") == 2048 << 20  # bare number = MiB
+    # the session driver (16g) derives 4M edges → the 1M cap binds
+    assert small_graph_limit(spark) == SMALL_GRAPH_EDGES_CAP
+    # a small driver derives a proportionally smaller bound
+    assert (512 << 20) // _EDGE_MEM_BUDGET == 131_072 < SMALL_GRAPH_EDGES_CAP
+
+
+def test_non_checkpoint_smallgraph_single_compute(spark):
+    """checkpoint=False + fast path: the canonical edges are persisted so
+    the size count and _local_cc share one computation (ADVICE r3)."""
+    from dedupe_algo_spark.tracking import persistent_rdd_ids
+
+    before = persistent_rdd_ids(spark)
+    edges = [(f"n{i}", f"n{i+1}") for i in range(50)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    out = connected_components(df, checkpoint=False)
+    m = {r["url"]: r["component"] for r in out.collect()}
+    assert set(m.values()) == {"n0"} and len(m) == 51
+    # nothing of ours left persisted behind
+    assert persistent_rdd_ids(spark) - before == set()
+
+
 def test_threshold_boundary_both_paths_identical(spark):
     """Stress the small_graph_edges boundary on a realistic dedup-shaped
     graph (stars, chains, cliques, cross links): the same edge set run
