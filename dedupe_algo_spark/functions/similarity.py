@@ -106,11 +106,18 @@ def pair_levenshtein_sim_udf(text_a: pd.Series, text_b: pd.Series) -> pd.Series:
 
 
 def _jaro(a: str, b: str) -> float:
-    if a == b:
-        return 1.0
+    """Jaro similarity, bit-for-bit compatible with DuckDB's
+    ``jaro_similarity`` (vendored rapidfuzz-cpp): classic matching
+    window ``max(la,lb)//2 - 1``, transpositions = differing matched
+    positions ``// 2`` (INTEGER division — odd mismatch counts round
+    down), and empty strings score 0.0 even against each other. The
+    CORRECTNESS oracle hashes stringified doubles, so this parity is
+    exact by construction and pinned by tools/jw_parity.py."""
     la, lb = len(a), len(b)
     if la == 0 or lb == 0:
         return 0.0
+    if a == b:
+        return 1.0
     window = max(la, lb) // 2 - 1
     aw = np.frombuffer(a.encode("utf-32-le"), dtype=np.uint32)
     bw = np.frombuffer(b.encode("utf-32-le"), dtype=np.uint32)
@@ -133,12 +140,17 @@ def _jaro(a: str, b: str) -> float:
     # not match indices — indices overcount when matched chars repeat)
     a_chars = aw[np.array(a_match)]
     b_chars = bw[np.sort(np.array(b_match_idx))]
-    t = int(np.sum(a_chars != b_chars)) / 2
+    t = int(np.sum(a_chars != b_chars)) // 2
     return (m / la + m / lb + (m - t) / m) / 3
 
 
 def _jaro_winkler(a: str, b: str, p: float = 0.1) -> float:
+    """Winkler boost gated at jaro > 0.7 (Winkler's original
+    boost_threshold; also what DuckDB/rapidfuzz implement — verified
+    bitwise by tools/jw_parity.py)."""
     j = _jaro(a, b)
+    if j <= 0.7:
+        return j
     prefix = 0
     for x, y in zip(a[:4], b[:4]):
         if x != y:

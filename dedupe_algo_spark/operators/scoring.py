@@ -80,9 +80,18 @@ def confirm_pairs(
     threshold: float,
     jvm_tokens: bool = True,
     tracker=None,
+    scorer: str = "jaccard",
 ) -> DataFrame:
     """Exact token-Jaccard confirm on estimate survivors.
     → (url_a, url_b, score).
+
+    ``scorer`` selects the pass-3 similarity (north_star names all
+    three): ``"jaccard"`` (default — exact token-set Jaccard, the right
+    scorer for whole web pages), ``"jaro_winkler"`` (batched pandas UDF
+    on 512-char prefixes), or ``"levenshtein"`` (JVM built-in 1−dist/max
+    on 512-char prefixes). The edit-distance scorers exist for
+    fielded-record linkage (names, titles); they reuse the exact same
+    carve-out/join shape, so text still never shuffles.
 
     The text column is read from the source exactly ONCE: a semi-join
     against the candidate url set carves out the text slice (≤2×|pairs|
@@ -124,7 +133,26 @@ def confirm_pairs(
     if 2 * n_pairs <= BROADCAST_URL_LIMIT:
         urls = F.broadcast(urls)
     sliced = pages.join(urls, "url", "left_semi")
-    if jvm_tokens:
+    if scorer != "jaccard":
+        from ..functions.similarity import (
+            LEV_CAP,
+            levenshtein_sim_col,
+            pair_jaro_winkler_udf,
+        )
+
+        slice_ = _persist(
+            sliced.select("url", F.substring("text", 1, LEV_CAP).alias("_t"))
+        )
+        ta = slice_.select(F.col("url").alias("url_a"), F.col("_t").alias("_ta"))
+        tb = slice_.select(F.col("url").alias("url_b"), F.col("_t").alias("_tb"))
+        if scorer == "jaro_winkler":
+            score = pair_jaro_winkler_udf(F.col("_ta"), F.col("_tb"))
+        elif scorer == "levenshtein":
+            score = levenshtein_sim_col(F.col("_ta"), F.col("_tb"))
+        else:
+            raise ValueError(f"unknown scorer {scorer!r}")
+        scored = cand.join(ta, "url_a").join(tb, "url_b").withColumn("score", score)
+    elif jvm_tokens:
         # Token identity is a 64-bit xxhash, not the string: the pair
         # join's array_intersect then compares longs instead of hashing
         # and equality-checking strings per element — the confirm SMJ

@@ -79,6 +79,7 @@ def dedup_pipeline(
     use_pandas_udf_hash: bool = False,
     include_near: bool = True,
     exact_confirm: bool = True,
+    scorer: str = "jaccard",
     stage=None,
 ) -> DedupResult:
     """Full dedup: exact + near duplicates → transitive clusters.
@@ -91,6 +92,8 @@ def dedup_pipeline(
     or ``lambda name, fn: fn()`` to opt out entirely.
     ``exact_confirm=False`` skips tier-2 (signature estimate only —
     cheaper, slightly softer precision near the threshold).
+    ``scorer`` selects the tier-2 similarity ("jaccard" | "jaro_winkler"
+    | "levenshtein" — see :func:`~.operators.scoring.confirm_pairs`).
     """
     from .tracking import PersistTracker
 
@@ -166,7 +169,8 @@ def dedup_pipeline(
             )
             if exact_confirm:
                 return confirm_pairs(
-                    cands, pages, threshold=threshold, tracker=tracker
+                    cands, pages, threshold=threshold, tracker=tracker,
+                    scorer=scorer,
                 )
             est = estimate_pairs(cands, rep_keys, gate=estimate_gate)
             return est.select(

@@ -1062,6 +1062,39 @@ SELECT * FROM (VALUES
 """
 
 
+def q_pages_dedup_exact(spark, sf_dir):
+    """Direct (non-derived) oracle for the flagship's exact tier: the
+    FULL dedup pipeline at a fixed n=2,000 synthetic pages, returning
+    its exact-duplicate assignment (url, text_len, content_sha256,
+    cluster_size, cluster_id=min url of the (len,sha256) group). The
+    DuckDB twin recomputes the grouping from scratch — ``sha256()``
+    over a parquet snapshot of the same pages committed at
+    fixtures/pages_2000.parquet (byte-identity between the snapshot and
+    the live generator is pinned by test_synth) — so hash values,
+    grouping, sizes, and representative choice are all checked
+    end-to-end, not against precomputed constants."""
+    from .pipeline import dedup_pipeline
+    from .synth import synth_pages
+
+    res = dedup_pipeline(synth_pages(spark, 2_000))
+    return _eager(res.exact, res.unpersist)
+
+
+SQL_PAGES_DEDUP_EXACT = """
+WITH m AS (
+  SELECT url, length(text) AS text_len, sha256(text) AS content_sha256
+  FROM read_parquet('/root/repo/fixtures/pages_2000.parquet')
+  WHERE length(text) >= 10
+)
+SELECT url, text_len, content_sha256,
+       count(*) OVER w AS cluster_size,
+       min(url) OVER w AS cluster_id
+FROM m
+WINDOW w AS (PARTITION BY text_len, content_sha256)
+QUALIFY count(*) OVER w >= 2
+"""
+
+
 def q_minhash_pair_stats(spark, sf_dir):
     """Derived deterministic check for `minhash_dup_pairs`: the same
     MinHash-LSH candidate + exact-Jaccard-confirm pipeline at a FIXED
@@ -1190,6 +1223,75 @@ FROM codes
 """
 
 
+def q_jaro_winkler(spark, sf_dir):
+    """Batched Jaro-Winkler over consecutive-doc pairs (north_star's
+    pass-3 scorer). The pandas UDF mirrors DuckDB's rapidfuzz-derived
+    ``jaro_winkler_similarity`` bit-for-bit (classic window, integer
+    transposition division, boost gated at jaro>0.7 — tools/jw_parity.py
+    fuzzes 30k adversarial pairs), so the oracle hash matches on raw
+    doubles with no rounding."""
+    from .functions.similarity import pair_jaro_winkler_udf
+
+    t = _docs(spark, sf_dir).select(
+        "doc_id", F.substring("text", 1, 80).alias("t")
+    )
+    a = t.select(F.col("doc_id").alias("doc_a"), F.col("t").alias("ta"))
+    b = t.select(
+        (F.col("doc_id") - F.lit(1)).alias("doc_a"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("t").alias("tb"),
+    )
+    return a.join(b, "doc_a").select(
+        "doc_a",
+        "doc_b",
+        pair_jaro_winkler_udf(F.col("ta"), F.col("tb")).alias("jw_sim"),
+    )
+
+
+SQL_JARO_WINKLER = """
+WITH t AS (SELECT doc_id, substr(text, 1, 80) AS t FROM documents)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       jaro_winkler_similarity(a.t, b.t) AS jw_sim
+FROM t a JOIN t b ON b.doc_id = a.doc_id + 1
+"""
+
+
+def q_levenshtein_sim(spark, sf_dir):
+    """Levenshtein similarity (1 − dist/maxlen on 80-char prefixes) over
+    the same consecutive-doc pairs, computed TWICE — the JVM built-in
+    (``levenshtein_sim_col``, the hot-path form) and the batched pandas
+    UDF — so one oracle row pins builtin == UDF == DuckDB. Distances are
+    integers, so the double division is bit-identical across engines."""
+    from .functions.similarity import levenshtein_sim_col, pair_levenshtein_sim_udf
+
+    t = _docs(spark, sf_dir).select(
+        "doc_id", F.substring("text", 1, 80).alias("t")
+    )
+    a = t.select(F.col("doc_id").alias("doc_a"), F.col("t").alias("ta"))
+    b = t.select(
+        (F.col("doc_id") - F.lit(1)).alias("doc_a"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("t").alias("tb"),
+    )
+    return a.join(b, "doc_a").select(
+        "doc_a",
+        "doc_b",
+        levenshtein_sim_col(F.col("ta"), F.col("tb"), cap=80).alias("lev_sim"),
+        pair_levenshtein_sim_udf(F.col("ta"), F.col("tb")).alias("lev_sim_udf"),
+    )
+
+
+SQL_LEVENSHTEIN_SIM = """
+WITH t AS (SELECT doc_id, substr(text, 1, 80) AS t FROM documents)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       1.0 - levenshtein(a.t, b.t)
+             / CAST(greatest(length(a.t), length(b.t)) AS DOUBLE) AS lev_sim,
+       1.0 - levenshtein(a.t, b.t)
+             / CAST(greatest(length(a.t), length(b.t)) AS DOUBLE) AS lev_sim_udf
+FROM t a JOIN t b ON b.doc_id = a.doc_id + 1
+"""
+
+
 def q_embedding_lsh_pairs(spark, sf_dir):
     """LSH-bucketed embedding near-dup pairs (approximate scale path)
     over base ∪ planted twins. Oracle = the exhaustive all-pairs SQL:
@@ -1279,6 +1381,10 @@ QUERIES = {
     "events_hourly": q_events_hourly,
     "embedding_topk": q_embedding_topk,
     "embedding_allpairs_sim": q_embedding_allpairs_sim,
+    "jaro_winkler": q_jaro_winkler,
+    "levenshtein_sim": q_levenshtein_sim,
+    # flagship exact tier with a direct recomputed oracle
+    "pages_dedup_exact": q_pages_dedup_exact,
     # derived deterministic twins of the rows-only queries below
     "dedup_cluster_stats": q_dedup_cluster_stats,
     "minhash_pair_stats": q_minhash_pair_stats,
@@ -1330,7 +1436,10 @@ ORACLES = {
     "events_hourly": SQL_EVENTS_HOURLY,
     "embedding_topk": SQL_EMBEDDING_TOPK,
     "embedding_allpairs_sim": SQL_EMBEDDING_ALLPAIRS_SIM,
+    "jaro_winkler": SQL_JARO_WINKLER,
+    "levenshtein_sim": SQL_LEVENSHTEIN_SIM,
     "embedding_lsh_pairs": SQL_EMBEDDING_LSH_PAIRS,
+    "pages_dedup_exact": SQL_PAGES_DEDUP_EXACT,
     "dedup_cluster_stats": SQL_DEDUP_CLUSTER_STATS,
     "minhash_pair_stats": SQL_MINHASH_PAIR_STATS,
     "media_features": SQL_MEDIA_FEATURES,

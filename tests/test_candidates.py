@@ -4,6 +4,8 @@ text-never-shuffles property."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from dedupe_algo_spark.operators.candidates import candidate_pairs
@@ -101,6 +103,61 @@ def test_confirm_tokenizer_unicode_parity(spark):
     assert jvm == pd_
     # ground truth: u1/u2/u5 all tokenize to {foo, bar, baz}
     assert jvm[("u1", "u2")] == 1.0 and jvm[("u2", "u5")] == 1.0
+
+
+def test_confirm_pairs_scorer_options(spark):
+    """``scorer=`` selects the pass-3 similarity (north_star: Jaccard |
+    Jaro-Winkler | Levenshtein). Scores must equal the driver-side
+    reference implementations on the same 512-char prefixes."""
+    from dedupe_algo_spark.functions.similarity import (
+        LEV_CAP,
+        _jaro_winkler,
+        _levenshtein,
+    )
+
+    texts = {
+        "u1": "the quick brown fox jumps over the lazy dog",
+        "u2": "the quick brown fox jumps over the lazy cat",
+        "u3": "completely unrelated text with different words",
+        "u4": "x" * 600 + " tail one",  # exceeds the 512-char cap
+        "u5": "x" * 600 + " tail two",
+    }
+    pages = spark.createDataFrame(list(texts.items()), "url string, text string")
+    pairs = spark.createDataFrame(
+        [("u1", "u2"), ("u1", "u3"), ("u4", "u5")], "url_a string, url_b string"
+    )
+
+    def ref(fn):
+        out = {}
+        for a, b in [("u1", "u2"), ("u1", "u3"), ("u4", "u5")]:
+            out[(a, b)] = fn(texts[a][:LEV_CAP], texts[b][:LEV_CAP])
+        return out
+
+    jw = {
+        (r["url_a"], r["url_b"]): r["score"]
+        for r in confirm_pairs(pairs, pages, 0.0, scorer="jaro_winkler").collect()
+    }
+    assert jw == ref(_jaro_winkler)
+    lev = {
+        (r["url_a"], r["url_b"]): r["score"]
+        for r in confirm_pairs(pairs, pages, 0.0, scorer="levenshtein").collect()
+    }
+    assert lev == ref(
+        lambda a, b: 1.0 - _levenshtein(a, b) / max(len(a), len(b))
+    )
+    with pytest.raises(ValueError):
+        confirm_pairs(pairs, pages, 0.0, scorer="nope").collect()
+
+
+def test_pipeline_scorer_passthrough(spark, pages_1k):
+    """dedup_pipeline(scorer=...) routes the confirm stage through the
+    selected scorer; exact tiers are scorer-independent."""
+    from dedupe_algo_spark.pipeline import dedup_pipeline
+
+    res = dedup_pipeline(pages_1k, scorer="levenshtein")
+    exact = res.clusters.where(F.col("match_kind") == "exact").count()
+    assert exact > 0
+    res.unpersist()
 
 
 def test_confirm_pairs_never_shuffles_table_text(spark, pages_1k):

@@ -116,6 +116,27 @@ def test_pair_udfs_on_dataframe(spark):
     assert np.allclose(out["lev"], out["lev_builtin"])
 
 
+def test_jaro_winkler_levenshtein_duckdb_bitwise_parity():
+    """The CORRECTNESS oracle hashes stringified doubles, so our JW/Lev
+    must equal DuckDB's builtins BIT-FOR-BIT (classic window, integer
+    transposition division, boost gated at jaro>0.7, empties → 0.0).
+    tools/jw_parity.py is the 30k-pair fuzz version of this check."""
+    import duckdb
+    import pandas as pd
+
+    from dedupe_algo_spark.functions.similarity import _jaro_winkler, _levenshtein
+    from tools.jw_parity import gen_pairs
+
+    pairs = gen_pairs(2_000)
+    df = pd.DataFrame(pairs, columns=["a", "b"])
+    ref = duckdb.connect().execute(
+        "SELECT jaro_winkler_similarity(a, b) AS jw, levenshtein(a, b) AS lev FROM df"
+    ).df()
+    for (a, b), jw_d, lev_d in zip(pairs, ref["jw"].values, ref["lev"].values):
+        assert _jaro_winkler(a, b) == jw_d, (a, b)
+        assert _levenshtein(a, b) == lev_d, (a, b)
+
+
 def test_levenshtein_known_values():
     from dedupe_algo_spark.functions.similarity import _levenshtein
 

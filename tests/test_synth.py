@@ -73,3 +73,17 @@ def test_distributed_matches_driver_side(spark):
     local = synth_pages_pdf(300).sort_values("url").reset_index(drop=True)
     assert (dist["text"].values == local["text"].values).all()
     assert (dist["url"].values == local["url"].values).all()
+
+
+def test_committed_snapshot_matches_generator():
+    """fixtures/pages_2000.parquet is the DuckDB oracle's copy of the
+    synthetic pages (SQL_PAGES_DEDUP_EXACT recomputes the exact tier
+    from it with sha256()); it must stay byte-identical to what the
+    live generator produces, or the oracle silently drifts."""
+    import pyarrow.parquet as pq
+
+    snap = pq.read_table("fixtures/pages_2000.parquet").to_pandas()
+    live = synth_pages_pdf(2000)[["url", "text"]]
+    assert len(snap) == 2000
+    assert (snap["url"].values == live["url"].values).all()
+    assert (snap["text"].values == live["text"].values).all()
