@@ -90,6 +90,7 @@ def page_meta_incremental(
     memo: DataFrame,
     min_len: int = 10,
     with_signature: bool = True,
+    signature: str = "bands",
 ) -> DataFrame:
     """Incremental variant of ``page_meta`` — the reference's cache fast
     path (lib.rs:83-107,130-152): rows whose (url, text_len, warc_ts)
@@ -101,7 +102,8 @@ def page_meta_incremental(
     only where needed.
 
     Returns the same schema as ``page_meta`` (+ warc_ts) plus a
-    ``cache_hit`` flag for audit.
+    ``cache_hit`` flag for audit. ``signature`` mirrors ``page_meta``:
+    "bands" (default, the slim flagship form) or "sig" (full 128-perm).
     """
     from ..sources.memo import validity_join
 
@@ -125,7 +127,10 @@ def page_meta_incremental(
         F.col("reused_sha256").isNotNull().alias("cache_hit"),
     ]
     if with_signature:
-        cols.append(minhash_udf(F.col("text")).alias("sig"))
+        if signature == "sig":
+            cols.append(minhash_udf(F.col("text")).alias("sig"))
+        else:
+            cols.append(minhash_band_keys_udf(F.col("text")).alias("bands"))
     return joined.select(*cols)
 
 

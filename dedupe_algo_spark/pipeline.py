@@ -63,10 +63,25 @@ class DedupResult:
     exact: DataFrame  # (url, text_len, content_sha256, cluster_id, cluster_size)
     edges: DataFrame  # (url_a, url_b, score)
     tracker: "PersistTracker | None" = None
+    meta: "DataFrame | None" = None  # incremental meta (+cache_hit), memo runs only
+    memo: "object | None" = None  # the HashMemo the meta was validated against
 
     def unpersist(self, blocking: bool = False) -> None:
         if self.tracker is not None:
             self.tracker.release(blocking)
+
+    def commit_memo(self) -> None:
+        """Upsert this run's (url, len, ts, hashes) into the memo — the
+        reference's post-scan cache write (lib.rs:142-147, COALESCE
+        keep-old semantics via HashMemo.upsert). Call AFTER the cluster
+        outputs are consumed/committed, so a failed run never publishes
+        hashes for results that were never produced; the next run then
+        reuses every entry whose (text_len, warc_ts) still match."""
+        if self.memo is None or self.meta is None:
+            raise ValueError("pipeline was not run with memo=")
+        from .schemas import MEMO_SCHEMA
+
+        self.memo.upsert(self.meta.select(*MEMO_SCHEMA.fieldNames()))
 
 
 def dedup_pipeline(
@@ -80,6 +95,7 @@ def dedup_pipeline(
     include_near: bool = True,
     exact_confirm: bool = True,
     scorer: str = "jaccard",
+    memo=None,
     stage=None,
 ) -> DedupResult:
     """Full dedup: exact + near duplicates → transitive clusters.
@@ -94,6 +110,13 @@ def dedup_pipeline(
     cheaper, slightly softer precision near the threshold).
     ``scorer`` selects the tier-2 similarity ("jaccard" | "jaro_winkler"
     | "levenshtein" — see :func:`~.operators.scoring.confirm_pairs`).
+    ``memo`` (a :class:`~dedupe_algo_spark.sources.memo.HashMemo`)
+    switches the meta scan to the incremental path: hashes memoized
+    under a matching (url, text_len, warc_ts) are REUSED instead of
+    recomputed (the reference's cache fast path, lib.rs:83-107), and
+    ``DedupResult.commit_memo()`` upserts this run's hashes back after
+    the outputs are committed. Published hash values are identical
+    either way, so warm and cold runs produce identical clusters.
     """
     from .tracking import PersistTracker
 
@@ -108,18 +131,34 @@ def dedup_pipeline(
     # are 32 longs/row vs 128, so the exact-grouping shuffle and the
     # rep-signature slice move 4× fewer signature bytes.
     sig_mode = "sig" if (include_near and not exact_confirm) else "bands"
-    meta = tracker.persist(
-        stage(
-            "page_meta",
-            lambda: page_meta(
-                pages,
-                min_len=min_len,
-                use_pandas_udf=use_pandas_udf_hash,
-                with_signature=include_near,
-                signature=sig_mode,
-            ),
+    if memo is not None:
+        from .operators.dedup import page_meta_incremental
+
+        meta = tracker.persist(
+            stage(
+                "page_meta",
+                lambda: page_meta_incremental(
+                    pages,
+                    memo.read(),
+                    min_len=min_len,
+                    with_signature=include_near,
+                    signature=sig_mode,
+                ),
+            )
         )
-    )
+    else:
+        meta = tracker.persist(
+            stage(
+                "page_meta",
+                lambda: page_meta(
+                    pages,
+                    min_len=min_len,
+                    use_pandas_udf=use_pandas_udf_hash,
+                    with_signature=include_near,
+                    signature=sig_mode,
+                ),
+            )
+        )
 
     # persisted: the exact-grouping window feeds four consumers (dup
     # view, star edges, rep signatures, final cluster join) — without
@@ -241,7 +280,12 @@ def dedup_pipeline(
     if flush is not None:
         flush()
     return DedupResult(
-        clusters=clusters, exact=exact_dups, edges=all_edges, tracker=tracker
+        clusters=clusters,
+        exact=exact_dups,
+        edges=all_edges,
+        tracker=tracker,
+        meta=meta if memo is not None else None,
+        memo=memo,
     )
 
 

@@ -101,3 +101,43 @@ def test_key_histogram_shares(spark, pages_1k):
     assert hist.iloc[0]["domain"] == "site000.com"
     assert hist["share"].between(0, 1).all()
     assert hist["n"].is_monotonic_decreasing
+
+
+def test_pipeline_memo_warm_run(spark, pages_1k, tmp_path):
+    """End-to-end memo round-trip through the flagship pipeline: the
+    cold run computes everything and commits its hashes; the warm run
+    must reuse every entry (cache_hit on all rows) and produce the
+    IDENTICAL cluster assignment."""
+    from dedupe_algo_spark.pipeline import dedup_pipeline
+
+    memo = HashMemo(spark, str(tmp_path / "pipe_memo"))
+
+    cold = dedup_pipeline(pages_1k, memo=memo)
+    c1 = {
+        (r["url"], r["cluster_id"], r["match_kind"])
+        for r in cold.clusters.collect()
+    }
+    assert cold.meta is not None
+    n_meta = cold.meta.count()
+    assert cold.meta.where(F.col("cache_hit")).count() == 0  # empty memo
+    cold.commit_memo()
+    cold.unpersist()
+
+    warm = dedup_pipeline(pages_1k, memo=memo)
+    c2 = {
+        (r["url"], r["cluster_id"], r["match_kind"])
+        for r in warm.clusters.collect()
+    }
+    hits = warm.meta.where(F.col("cache_hit")).count()
+    assert hits == n_meta == warm.meta.count()  # every row valid → reused
+    assert c1 == c2 and len(c1) > 0
+    warm.unpersist()
+
+
+def test_pipeline_without_memo_has_no_commit(spark, pages_1k):
+    from dedupe_algo_spark.pipeline import dedup_pipeline
+
+    res = dedup_pipeline(pages_1k, include_near=False)
+    with pytest.raises(ValueError):
+        res.commit_memo()
+    res.unpersist()
