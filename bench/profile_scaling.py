@@ -124,8 +124,14 @@ def parse_eventlog(app_id: str, t0_ms: int = 0) -> dict:
                 st["run_s"] += tm.get("Executor Run Time", 0) / 1e3
                 st["cpu_s"] += tm.get("Executor CPU Time", 0) / 1e9
                 st["gc_s"] += tm.get("JVM GC Time", 0) / 1e3
+                # per-task run times → skew view (max vs median task)
+                st.setdefault("task_runs", []).append(
+                    tm.get("Executor Run Time", 0) / 1e3
+                )
+                swm = tm.get("Shuffle Write Metrics") or {}
+                st["swt_s"] = st.get("swt_s", 0.0) + swm.get("Shuffle Write Time", 0) / 1e9
                 st["sw_gb"] = st.get("sw_gb", 0.0) + (
-                    (tm.get("Shuffle Write Metrics") or {}).get("Shuffle Bytes Written", 0)
+                    swm.get("Shuffle Bytes Written", 0)
                 ) / 2**30
                 srm = tm.get("Shuffle Read Metrics") or {}
                 st["sr_gb"] = st.get("sr_gb", 0.0) + (
@@ -185,13 +191,27 @@ def report(tag: str, res: dict, prof: dict) -> None:
         for sid, s in prof["stages"].items()
     )[::-1]
     print(f"{'dur_s':>7} {'tasks':>5} {'run_s':>8} {'cpu_s':>8} {'gc_s':>6} "
-          f"{'sw_GB':>6} {'sr_GB':>6}  name")
+          f"{'swt_s':>6} {'sw_GB':>6} {'sr_GB':>6} {'skew':>5}  name")
     for dur, sid, s in rows[:28]:
         print(
             f"{dur:7.1f} {s['tasks']:5d} {s['run_s']:8.1f} {s['cpu_s']:8.1f} "
-            f"{s['gc_s']:6.1f} {s.get('sw_gb', 0):6.1f} {s.get('sr_gb', 0):6.1f}"
+            f"{s['gc_s']:6.1f} {s.get('swt_s', 0):6.1f} "
+            f"{s.get('sw_gb', 0):6.1f} {s.get('sr_gb', 0):6.1f} "
+            f"{task_skew(s):5.1f}"
             f"  [{sid}] {s.get('name', '?')}"
         )
+
+
+def task_skew(s: dict) -> float:
+    """max-task / median-task run time — the hot-partition indicator.
+    The synth corpus plants head-domain skew (synth.py skew blocks), so
+    a bounded ratio here on the candidate self-join stage is the
+    evidence that the hot-bucket cap + AQE skew-join hold at scale."""
+    runs = sorted(s.get("task_runs") or [])
+    if not runs:
+        return 0.0
+    med = runs[len(runs) // 2]
+    return (runs[-1] / med) if med > 0 else 0.0
 
 
 def detect_t0_ms(app_id: str) -> int:

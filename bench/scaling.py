@@ -135,13 +135,43 @@ def scan_leg_seconds(app_id: str, t0_ms: int) -> float:
 
 
 def ensure_master() -> None:
-    probe = subprocess.run(["pgrep", "-f", "deploy.master.Master"], capture_output=True)
-    if probe.returncode != 0:
+    # probe the actual RPC port, not pgrep: a stale pgrep -f pattern can
+    # match unrelated command lines (observed: the invoking shell's own
+    # wrapper), reporting a dead master as alive
+    import socket
+
+    def listening() -> bool:
+        try:
+            with socket.create_connection(("127.0.0.1", 7077), timeout=2):
+                return True
+        except OSError:
+            return False
+
+    if not listening():
+        subprocess.run([f"{SPARK_HOME}/sbin/stop-master.sh"], capture_output=True)
         subprocess.run(
             [f"{SPARK_HOME}/sbin/start-master.sh", "--host", "127.0.0.1"],
             check=True, capture_output=True,
         )
-        time.sleep(5)
+        for _ in range(20):
+            if listening():
+                break
+            time.sleep(1)
+        else:
+            raise RuntimeError("standalone master did not come up on :7077")
+
+
+# Shuffle/spill files go to tmpfs, not the single virtio disk. On this
+# one-box stand-in all 8 "cluster nodes" share one ext4 journal and one
+# writeback queue, so 32 concurrent shuffle writers stall in direct
+# reclaim / journal commits (measured: the confirm stage's two ~2GB
+# exchanges cost 245 thread-seconds of Shuffle Write Time at the 4N
+# config vs 2.4 at N — the write time bills as CPU and caps the
+# post-scan leg). A real N→4N cluster adds local SSDs with every node,
+# exactly as it adds CPUs and memory controllers; tmpfs is the faithful
+# stand-in for per-node local disks (shuffle volume here is ~6GB against
+# a 126GB tmpfs). Workers export SPARK_LOCAL_DIRS so executors inherit.
+LOCAL_DIRS = "/dev/shm/spark-local"
 
 
 def restart_worker(cores: int) -> None:
@@ -157,10 +187,12 @@ def restart_worker(cores: int) -> None:
     cluster node has no spare cores to leak onto."""
     subprocess.run([f"{SPARK_HOME}/sbin/stop-worker.sh"], capture_output=True)
     time.sleep(2)
+    os.makedirs(LOCAL_DIRS, exist_ok=True)
     subprocess.run(
         [f"{SPARK_HOME}/sbin/start-worker.sh", MASTER_URL,
          "--cores", str(cores), "--memory", "96g"],
         check=True, capture_output=True,
+        env={**os.environ, "SPARK_LOCAL_DIRS": LOCAL_DIRS},
     )
     time.sleep(5)
     # pin AFTER start: spark-daemon.sh's spawn chain drops a taskset

@@ -63,6 +63,15 @@ def get_spark(
         # small-parallelism config exercise the same writer the
         # cluster would.
         .config("spark.shuffle.sort.bypassMergeThreshold", "8")
+        # Prefer shuffled-hash join over sort-merge when no side
+        # broadcasts: the confirm stage's pair join moves ~3.6GB of
+        # token arrays per 4M pages, and SMJ sorts BOTH sides — pure
+        # memory movement on rows whose payload is a 3KB array, in the
+        # one phase that is bandwidth-bound. SHJ builds a per-partition
+        # hash map (partitions here are ~16MB) and streams the other
+        # side with zero sorts. Aggregations are unaffected (hash-agg
+        # already); joins that need a sorted output still get SMJ.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config(
             "spark.sql.execution.arrow.maxRecordsPerBatch",
