@@ -97,10 +97,22 @@ for _f in _glob.glob(os.path.join({pages!r}, "*.parquet")):
             pass
 pages = spark.read.parquet({pages!r})
 t0 = time.time()
-n = dedup_pipeline(pages).clusters.count()
+res = dedup_pipeline(pages)
+n = res.clusters.count()
 dt = time.time() - t0
+# F1 at full bench scale, OUTSIDE the timed window (BASELINE.json gate:
+# throughput must not be bought with recall). Computed once per config
+# (the pipeline is deterministic, so round 0 speaks for all rounds);
+# equal F1 at N and 4N additionally proves the clustering is
+# parallelism-invariant.
+f1 = None
+if {with_f1}:
+    from dedupe_algo_spark.pipeline import pairwise_f1
+    from dedupe_algo_spark.synth import synth_labels
+    f1 = {{k: round(v, 6) for k, v in
+          pairwise_f1(res.clusters, synth_labels(spark, {n_pages})).items()}}
 print(json.dumps({{"cores": {cores}, "sec": round(dt, 3), "clustered": n,
-                   "t0_ms": int(t0 * 1000),
+                   "t0_ms": int(t0 * 1000), "f1": f1,
                    "app_id": spark.sparkContext.applicationId}}))
 spark.stop()
 """
@@ -235,12 +247,13 @@ def restart_worker(cores: int) -> None:
             )
 
 
-def run(cores: int, pages_path: str) -> dict:
+def run(cores: int, pages_path: str, n_pages: int = 0, with_f1: bool = False) -> dict:
     restart_worker(cores)
     os.makedirs(EVLOG_DIR, exist_ok=True)
     code = CHILD.format(
         repo=REPO, cores=cores, pages=pages_path, master=MASTER_URL,
         evlog=EVLOG_DIR, exec_mem="4g" if cores >= 32 else "8g",
+        n_pages=n_pages, with_f1=with_f1,
     )
     out = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True, timeout=3600
@@ -344,10 +357,11 @@ def main() -> None:
     # slows down
     bw_speedup = min(max(bw_hi / bw_lo, 1.0), 4.0)
 
+    want_f1 = os.environ.get("SCALING_F1", "1") != "0"
     los, his = [], []
-    for _ in range(rounds):
-        his.append(run(32, pages_path))
-        los.append(run(8, pages_path))
+    for i in range(rounds):
+        his.append(run(32, pages_path, n_pages, with_f1=want_f1 and i == 0))
+        los.append(run(8, pages_path, n_pages, with_f1=want_f1 and i == 0))
     lo = min(los, key=lambda r: r["sec"])
     hi = min(his, key=lambda r: r["sec"])
     tput_lo = n_pages / lo["sec"]
@@ -387,6 +401,8 @@ def main() -> None:
         else 0.0,
         "two_resource_ideal_hi_s": round(ideal_hi, 1),
         "scaling_efficiency_vs_two_resource_ceiling": round(eff_two_resource, 3),
+        "f1": {"2x4core": los[0].get("f1"), "8x4core": his[0].get("f1")},
+        "clustered": {"lo": lo["clustered"], "hi": hi["clustered"]},
     }
     print(json.dumps(result))
 
@@ -423,7 +439,11 @@ def main() -> None:
             f"- all lo runs (s): {[r['sec'] for r in los]}\n"
             f"- all hi runs (s): {[r['sec'] for r in his]}\n"
             f"- speedup N→4N: **{round(speedup,3)}×** (executor ratio 4×)\n"
-            f"- **raw scaling efficiency: {round(eff,3)}** (target ≥ 0.8)\n\n"
+            f"- **raw scaling efficiency: {round(eff,3)}** (target ≥ 0.8)\n"
+            f"- pairwise F1 at this scale (outside the timed window): "
+            f"N={ (los[0].get('f1') or {}).get('f1') }, "
+            f"4N={ (his[0].get('f1') or {}).get('f1') } "
+            f"(equal ⇒ clustering is parallelism-invariant)\n\n"
             "## Hardware ceilings (both controls run contemporaneously)\n\n"
             "**CPU ceiling** — pinned pure-Python processes, cache-resident,\n"
             "no I/O: what compute-bound work can gain from 8→32 busy cores\n"
