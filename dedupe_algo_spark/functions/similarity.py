@@ -171,6 +171,29 @@ def pair_jaro_winkler_udf(text_a: pd.Series, text_b: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+def ngram_grams_col(t: Column, n: int = 5) -> Column:
+    """Distinct character ``n``-gram set of ``t`` as an array — pure
+    JVM codegen (transform over sequence + substring). Mirrors the
+    Python ``{s[i:i+n] for i in range(max(1, len(s)-n+1))}`` exactly,
+    including the short-string case (len<n → the whole string as the
+    single gram) and the empty string (single '' gram)."""
+    k = F.greatest(F.lit(1), F.length(t) - F.lit(n - 1))
+    grams = F.transform(F.sequence(F.lit(1), k), lambda i: t.substr(i, F.lit(n)))
+    return F.array_distinct(grams)
+
+
+def ngram_jaccard_col(a: Column, b: Column, n: int = 5) -> Column:
+    """Character n-gram Jaccard — JVM-side twin of
+    ``pair_ngram_jaccard_udf``. Set sizes are integers, so the double
+    division is bit-identical across Spark / Python / DuckDB."""
+    ga, gb = ngram_grams_col(a, n), ngram_grams_col(b, n)
+    inter = F.size(F.array_intersect(ga, gb)).cast("double")
+    union = F.size(F.array_union(ga, gb))
+    # union >= 1 always (even '' contributes one gram), but keep the
+    # guard for null-safety parity with the UDF's u==0 branch.
+    return F.when(union == 0, F.lit(1.0)).otherwise(inter / union)
+
+
 @pandas_udf(DoubleType())
 def pair_ngram_jaccard_udf(text_a: pd.Series, text_b: pd.Series) -> pd.Series:
     """Character 5-gram Jaccard per pair (dedup family per task spec)."""

@@ -1292,6 +1292,49 @@ FROM t a JOIN t b ON b.doc_id = a.doc_id + 1
 """
 
 
+def q_ngram_jaccard(spark, sf_dir):
+    """Character 5-gram Jaccard over consecutive-doc pairs (the task
+    brief's n-gram-Jaccard dedup family), computed TWICE — the pure
+    JVM-codegen column form (``ngram_jaccard_col``: transform/sequence/
+    substring + array_intersect, the hot-path shape) and the batched
+    pandas UDF — so one oracle row pins builtin == UDF == DuckDB.
+    Set sizes are integers; the double division is bit-identical."""
+    from .functions.similarity import ngram_jaccard_col, pair_ngram_jaccard_udf
+
+    t = _docs(spark, sf_dir).select(
+        "doc_id", F.substring("text", 1, 80).alias("t")
+    )
+    a = t.select(F.col("doc_id").alias("doc_a"), F.col("t").alias("ta"))
+    b = t.select(
+        (F.col("doc_id") - F.lit(1)).alias("doc_a"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("t").alias("tb"),
+    )
+    return a.join(b, "doc_a").select(
+        "doc_a",
+        "doc_b",
+        ngram_jaccard_col(F.col("ta"), F.col("tb")).alias("ngram_jac"),
+        pair_ngram_jaccard_udf(F.col("ta"), F.col("tb")).alias("ngram_jac_udf"),
+    )
+
+
+SQL_NGRAM_JACCARD = """
+WITH t AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(1, length(substr(text, 1, 80)) - 4) + 1),
+           i -> substr(substr(text, 1, 80), i, 5))) AS g
+  FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+         / len(list_distinct(list_concat(a.g, b.g))) AS ngram_jac,
+       CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+         / len(list_distinct(list_concat(a.g, b.g))) AS ngram_jac_udf
+FROM t a JOIN t b ON b.doc_id = a.doc_id + 1
+"""
+
+
 def q_embedding_lsh_pairs(spark, sf_dir):
     """LSH-bucketed embedding near-dup pairs (approximate scale path)
     over base ∪ planted twins. Oracle = the exhaustive all-pairs SQL:
@@ -1383,6 +1426,7 @@ QUERIES = {
     "embedding_allpairs_sim": q_embedding_allpairs_sim,
     "jaro_winkler": q_jaro_winkler,
     "levenshtein_sim": q_levenshtein_sim,
+    "ngram_jaccard": q_ngram_jaccard,
     # flagship exact tier with a direct recomputed oracle
     "pages_dedup_exact": q_pages_dedup_exact,
     # derived deterministic twins of the rows-only queries below
@@ -1438,6 +1482,7 @@ ORACLES = {
     "embedding_allpairs_sim": SQL_EMBEDDING_ALLPAIRS_SIM,
     "jaro_winkler": SQL_JARO_WINKLER,
     "levenshtein_sim": SQL_LEVENSHTEIN_SIM,
+    "ngram_jaccard": SQL_NGRAM_JACCARD,
     "embedding_lsh_pairs": SQL_EMBEDDING_LSH_PAIRS,
     "pages_dedup_exact": SQL_PAGES_DEDUP_EXACT,
     "dedup_cluster_stats": SQL_DEDUP_CLUSTER_STATS,

@@ -116,6 +116,38 @@ def test_pair_udfs_on_dataframe(spark):
     assert np.allclose(out["lev"], out["lev_builtin"])
 
 
+def test_ngram_jaccard_col_matches_udf(spark):
+    """The JVM-codegen n-gram Jaccard (transform/sequence/substring +
+    array set ops) must equal the pandas UDF bit-for-bit — including
+    short strings (len<5 → whole string as the single gram), empties,
+    and non-ASCII (both sides count characters, not bytes)."""
+    from dedupe_algo_spark.functions.similarity import (
+        ngram_jaccard_col,
+        pair_ngram_jaccard_udf,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("hello world", "hello worldx"),
+            ("ab", "ab"),
+            ("ab", "cd"),
+            ("", ""),
+            ("", "abc"),
+            ("héllo wörld", "héllo wörld2"),
+            ("aaaaaaa", "aaaaaab"),
+            ("The quick brown fox", "The quick brown fax"),
+        ],
+        "a string, b string",
+    )
+    out = df.select(
+        ngram_jaccard_col(F.col("a"), F.col("b")).alias("col"),
+        pair_ngram_jaccard_udf("a", "b").alias("udf"),
+    ).toPandas()
+    assert (out["col"] == out["udf"]).all(), out
+    # spot-check one exact value (11-char vs 12-char: 7 shared of 8 grams)
+    assert out["col"].iloc[0] == 0.875
+
+
 def test_jaro_winkler_levenshtein_duckdb_bitwise_parity():
     """The CORRECTNESS oracle hashes stringified doubles, so our JW/Lev
     must equal DuckDB's builtins BIT-FOR-BIT (classic window, integer
