@@ -107,9 +107,10 @@ def confirm_pairs(
     distinct-token array during the carve-out, and the per-pair Jaccard
     is ``array_intersect``/``size`` — whole-stage codegen, zero Python
     in the confirm stage. The pandas-UDF path remains switchable; both
-    produce identical scores up to 64-bit token-hash collisions (each
-    path hashes tokens — xxhash64 here, ``pd.util.hash_array`` there —
-    so agreement is exact except with probability ≈ n²/2⁶⁵ per doc)
+    produce identical scores up to token-hash collisions (each path
+    hashes tokens — 32-bit Murmur3 here, 64-bit ``pd.util.hash_array``
+    there — so agreement is exact except with probability ≈ n²/2³³ per
+    doc, the JVM side's collision rate)
     on ANY input: the JVM tokenizer is ``TOKEN_SPLIT_RE`` below, whose
     character class exactly reproduces Python ``str.split()`` (Unicode
     White_Space via ``(?U)\\s`` plus the U+001C–001F separators Python's
@@ -153,19 +154,27 @@ def confirm_pairs(
             raise ValueError(f"unknown scorer {scorer!r}")
         scored = cand.join(ta, "url_a").join(tb, "url_b").withColumn("score", score)
     elif jvm_tokens:
-        # Token identity is a 64-bit xxhash, not the string: the pair
-        # join's array_intersect then compares longs instead of hashing
-        # and equality-checking strings per element — the confirm SMJ
-        # stage was the largest post-scan CPU item at 4M pages (~560
-        # cpu-s at N) and the slice cache shrinks ~4x. Jaccard over
-        # distinct token hashes equals Jaccard over distinct tokens up
-        # to 64-bit collisions (P ≈ n²/2⁶⁵ per doc — immaterial next to
-        # the MinHash tiers feeding this stage).
+        # Token identity is a 32-bit Murmur3 hash (F.hash → native INT),
+        # not the string: the pair join's array_intersect then compares
+        # ints instead of hashing and equality-checking strings per
+        # element — the confirm SMJ stage was the largest post-scan CPU
+        # item at 4M pages (~560 cpu-s at N) and the slice cache shrinks
+        # ~8x vs raw text. INT (not the earlier xxhash64 LONG) because
+        # the token arrays are the biggest post-scan shuffle payload and
+        # they move THREE times (ta exchange, tb exchange, and _ta
+        # carried through the second join's url_b exchange); hash
+        # entropy is incompressible, so 4-byte ids halve those bytes
+        # outright. Jaccard over distinct token hashes equals Jaccard
+        # over distinct tokens up to 32-bit collisions (P ≈ n²/2³³ per
+        # doc ≈ 4e-7 at ~60 tokens/page: a collision merges two tokens
+        # and shifts one side's set size by 1 — a ≲2% score nudge on a
+        # handful of docs per 10⁷, immaterial next to the MinHash tiers
+        # feeding this stage and far from the τ=0.8 decision boundary).
         toks = F.transform(
             F.array_distinct(
                 F.array_remove(F.split(F.col("text"), TOKEN_SPLIT_RE), "")
             ),
-            lambda t: F.xxhash64(t),
+            lambda t: F.hash(t),
         )
         slice_ = _persist(sliced.select("url", toks.alias("_toks")))
         # Materialize the token cache BEFORE the pair join. The join's
