@@ -1,17 +1,28 @@
 """Similarity search over embedding columns (`array<float>`).
 
-Two paths per the task spec:
+Three paths per the task spec ("brute-force cosine top-k as the
+baseline; an IVF or LSH-bucketed variant as the scale path" — this
+module provides BOTH scale variants):
 
 * **Brute-force cosine top-k** — correctness baseline. Cosine is a pure
   built-in reduction (``aggregate``/``zip_with`` over the two arrays —
   JVM-side, no Python), the query side is broadcast, and top-k is a
   ranking window per query. O(N·Q) but fully distributed; right answer
   at any scale, right *choice* only for small Q.
-* **LSH-bucketed (random hyperplane / SimHash-for-vectors)** — the scale
-  path: each vector hashes to ``n_tables`` signature buckets via random
-  hyperplanes (Charikar 2002); neighbors are only scored within shared
-  buckets. Recall is tunable with (n_bits, n_tables); candidate scoring
-  reuses the same built-in cosine.
+* **LSH-bucketed (random hyperplane / SimHash-for-vectors)** — the
+  data-independent scale path: each vector hashes to ``n_tables``
+  signature buckets via random hyperplanes (Charikar 2002); neighbors
+  are only scored within shared buckets. Recall is tunable with
+  (n_bits, n_tables); candidate scoring reuses the same built-in cosine.
+* **IVF (inverted-file index, Jégou/Douze/Schmid 2011)** — the
+  data-adaptive scale path: spherical k-means centroids trained once on
+  a deterministic bounded sample, broadcast everywhere; each vector is
+  assigned map-side (one GEMM per Arrow batch) to its nearest cell(s);
+  queries probe only their ``n_probe`` nearest cells, so probe cost is
+  ~``n_probe/n_cells`` of the data instead of all of it. Training is
+  parallelism-invariant (hash-ordered sample, seeded init, fixed Lloyd
+  iterations) so the index — and every result — is reproducible across
+  cluster sizes.
 """
 
 from __future__ import annotations
@@ -22,7 +33,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import ArrayType, StringType
+from pyspark.sql.types import ArrayType, IntegerType, StringType
 
 _HP_SEED = 0xA11CE
 
@@ -146,6 +157,178 @@ def lsh_topk(
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.col(id_col).asc())
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+_IVF_SEED = 0x1F5EED
+
+
+def train_ivf_centroids(
+    vectors: DataFrame,
+    n_cells: int = 16,
+    sample_cap: int = 4096,
+    n_iter: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Spherical k-means centroids (unit-norm, cosine geometry) over a
+    deterministic bounded sample → ``(n_cells, dim)`` float32.
+
+    Scale shape: the sample is ``orderBy(xxhash64(id)).limit(cap)`` — a
+    TakeOrdered (per-partition top-k + driver merge, no full sort, no
+    wide shuffle) whose result is a pure function of the DATA, not of
+    partitioning or cluster size. Training is driver-side numpy on ≤
+    ``sample_cap`` rows (bounded, like cluster._local_cc); everything
+    downstream of training is map-side against the broadcast centroids.
+    Seeded init + fixed Lloyd iterations ⇒ bit-reproducible index."""
+    sample = (
+        vectors.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("v"))
+        .orderBy(F.xxhash64(F.col("_id")), F.col("_id"))
+        .limit(int(sample_cap))
+        .select("v")
+        .toPandas()
+    )
+    x = np.vstack([np.asarray(v, dtype=np.float64) for v in sample["v"]])
+    norms = np.linalg.norm(x, axis=1, keepdims=True)
+    x = x / np.where(norms == 0, 1.0, norms)
+    n_cells = min(n_cells, len(x))
+    rng = np.random.default_rng([_IVF_SEED, x.shape[1], n_cells])
+    cent = x[rng.choice(len(x), size=n_cells, replace=False)].copy()
+    for _ in range(n_iter):
+        # one GEMM per iteration: cosine == dot on the unit sphere
+        assign = (x @ cent.T).argmax(axis=1)
+        for c in range(n_cells):
+            members = x[assign == c]
+            if len(members) == 0:
+                # deterministic re-seed: the point farthest from its
+                # centroid claims the empty cell
+                worst = ((x @ cent.T).max(axis=1)).argmin()
+                cent[c] = x[worst]
+                continue
+            m = members.sum(axis=0)
+            n = np.linalg.norm(m)
+            cent[c] = m / (n if n else 1.0)
+    return cent.astype(np.float32)
+
+
+def ivf_cell_assigner(centroids: np.ndarray, n_assign: int = 1):
+    """Arrow-batched UDF: vector → its ``n_assign`` nearest cells
+    (array<int>). One ``(N, dim) @ (dim, n_cells)`` GEMM per batch;
+    Python never touches rows individually. ``n_assign > 1`` is IVF
+    multi-assignment: vectors near a Voronoi boundary index into every
+    nearby cell, so boundary-straddling near-duplicate pairs still
+    co-locate (the IVF analog of LSH's multiple tables)."""
+    cent = centroids.astype(np.float32).T.copy()  # (dim, n_cells)
+    n_assign = min(n_assign, cent.shape[1])
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def cells(vecs: pd.Series) -> pd.Series:
+        mask = vecs.notna().to_numpy()
+        out = np.empty(len(vecs), dtype=object)
+        if mask.any():
+            x = np.vstack([np.asarray(v, dtype=np.float32) for v in vecs[mask]])
+            norms = np.linalg.norm(x, axis=1, keepdims=True)
+            sims = (x / np.where(norms == 0, 1.0, norms)) @ cent
+            if n_assign == 1:
+                picks = sims.argmax(axis=1)[:, None]
+            else:
+                picks = np.argpartition(-sims, n_assign - 1, axis=1)[:, :n_assign]
+                # stable order within the pick set (argpartition is not)
+                row = np.arange(len(picks))[:, None]
+                picks = picks[row, np.argsort(-sims[row, picks], axis=1)]
+            vals = np.empty(len(picks), dtype=object)
+            vals[:] = [[int(c) for c in p] for p in picks]
+            out[mask] = vals
+        return pd.Series(out)
+
+    return cells
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    centroids: np.ndarray | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF approximate top-k: score only vectors whose cell is among the
+    query's ``n_probe`` nearest cells. Same output shape as
+    ``brute_force_topk``. The vector side carries one extra INT column
+    (its cell — map-side GEMM, no shuffle); the query side explodes to
+    ``n_probe`` rows and is broadcast, so the probe is a broadcast-hash
+    join touching ~``n_probe/n_cells`` of the data."""
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            vectors, n_cells=n_cells, id_col=id_col, vec_col=vec_col
+        )
+    one = ivf_cell_assigner(centroids, n_assign=1)
+    probe = ivf_cell_assigner(centroids, n_assign=n_probe)
+    v = vectors.select(
+        id_col, vec_col, F.element_at(one(F.col(vec_col)), 1).alias("cell")
+    )
+    q = queries.select(
+        query_id_col,
+        F.col(vec_col).alias("_qvec"),
+        F.explode(probe(F.col(vec_col))).alias("cell"),
+    )
+    cands = v.join(F.broadcast(q), "cell")
+    scored = cands.select(
+        query_id_col,
+        id_col,
+        F.round(cosine_sim(F.col(vec_col), F.col("_qvec")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.col(id_col).asc())
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def ivf_near_dupes(
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    n_cells: int = 16,
+    n_assign: int = 2,
+    centroids: np.ndarray | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via IVF cells: multi-assign
+    every vector to its ``n_assign`` nearest cells, self-join within
+    cells, exact-cosine confirm ≥ threshold.
+    → (id_a, id_b, cosine), id_a < id_b — same contract as
+    ``embedding_near_dupes`` (the LSH variant).
+
+    Same slim-shuffle shape as the LSH path: the cell self-join carries
+    ONLY (cell, id); vectors re-join pair-side after pair dedup."""
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            vectors, n_cells=n_cells, id_col=id_col, vec_col=vec_col
+        )
+    assign = ivf_cell_assigner(centroids, n_assign=n_assign)
+    b = vectors.select(
+        F.col(id_col), F.explode(assign(F.col(vec_col))).alias("cell")
+    )
+    left = b.select(F.col("cell"), F.col(id_col).alias("id_a"))
+    right = b.select(F.col("cell"), F.col(id_col).alias("id_b"))
+    pairs = (
+        left.join(right, "cell")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    va = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    vb = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    return (
+        pairs.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine_sim(F.col("_va"), F.col("_vb")), 6).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
 
 
 def embedding_near_dupes(

@@ -1350,6 +1350,25 @@ def q_embedding_lsh_pairs(spark, sf_dir):
 SQL_EMBEDDING_LSH_PAIRS = _SQL_PLANTED_PAIRS
 
 
+def q_embedding_ivf_pairs(spark, sf_dir):
+    """IVF-indexed embedding near-dup pairs (the data-adaptive scale
+    path; Jégou et al. 2011) over base ∪ planted twins. Oracle = the
+    same exhaustive all-pairs SQL as the LSH variant: with 2-way
+    multi-assignment every planted twin co-locates with its base in at
+    least one k-means cell and the cosine confirm kills every false
+    candidate, so a hash-match against the brute-force answer set IS
+    the recall check. Centroid training is parallelism-invariant
+    (hash-ordered bounded sample, seeded init), so the result is stable
+    across cluster sizes."""
+    from .operators.ann import ivf_near_dupes
+
+    allv = _planted_embeddings(spark, sf_dir)
+    return ivf_near_dupes(allv, threshold=0.8, n_cells=8, n_assign=2)
+
+
+SQL_EMBEDDING_IVF_PAIRS = _SQL_PLANTED_PAIRS
+
+
 def q_media_features(spark, sf_dir):
     """Multimodal plumbing: binary payloads → mapInPandas features
     (decode stubbed deterministically — no codecs in this container).
@@ -1433,6 +1452,7 @@ QUERIES = {
     "dedup_cluster_stats": q_dedup_cluster_stats,
     "minhash_pair_stats": q_minhash_pair_stats,
     "embedding_lsh_pairs": q_embedding_lsh_pairs,
+    "embedding_ivf_pairs": q_embedding_ivf_pairs,
     # rows-only (UDF pipelines; tests/ + the stat twins above carry the
     # correctness gate)
     "pages_dedup_clusters": q_pages_dedup_clusters,
@@ -1484,6 +1504,7 @@ ORACLES = {
     "levenshtein_sim": SQL_LEVENSHTEIN_SIM,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "embedding_lsh_pairs": SQL_EMBEDDING_LSH_PAIRS,
+    "embedding_ivf_pairs": SQL_EMBEDDING_IVF_PAIRS,
     "pages_dedup_exact": SQL_PAGES_DEDUP_EXACT,
     "dedup_cluster_stats": SQL_DEDUP_CLUSTER_STATS,
     "minhash_pair_stats": SQL_MINHASH_PAIR_STATS,

@@ -82,6 +82,60 @@ def test_embedding_near_dupes_symmetry_and_threshold(spark, emb):
     assert pairs.duplicated(["id_a", "id_b"]).sum() == 0
 
 
+def test_ivf_training_is_deterministic_and_bounded(spark, emb):
+    from dedupe_algo_spark.operators.ann import train_ivf_centroids
+
+    c1 = train_ivf_centroids(emb, n_cells=8, sample_cap=256)
+    # repartitioning must not change the index (parallelism invariance)
+    c2 = train_ivf_centroids(emb.repartition(7), n_cells=8, sample_cap=256)
+    assert c1.shape == (8, 64)
+    assert np.array_equal(c1, c2)
+    # spherical: centroids are unit-norm
+    assert np.allclose(np.linalg.norm(c1, axis=1), 1.0, atol=1e-5)
+
+
+def test_ivf_topk_recall(spark, emb):
+    """IVF probe recall on near-orthogonal vectors — the adversarial
+    case: k-means cells on isotropic data are near-random partitions,
+    so recall ≈ n_probe/n_cells plus the own-cell bias. Probing 6 of 8
+    cells must surface most of the true top-5; self-retrieval is
+    certain (a vector's own cell is always its best cell)."""
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    from dedupe_algo_spark.operators.ann import ivf_topk
+
+    exact = brute_force_topk(emb, queries, k=5).toPandas()
+    approx = ivf_topk(emb, queries, k=5, n_cells=8, n_probe=6).toPandas()
+    e = set(map(tuple, exact[["query_id", "vec_id"]].values))
+    a = set(map(tuple, approx[["query_id", "vec_id"]].values))
+    assert len(e & a) / len(e) >= 0.6
+    r1 = approx[approx["rank"] == 1]
+    assert (r1["query_id"] == r1["vec_id"]).all()
+    assert (r1["cosine"] == 1.0).all()
+
+
+def test_ivf_pairs_match_exhaustive_on_planted(spark):
+    """The CORRECTNESS contract for embedding_ivf_pairs: on planted
+    near-dup twins, IVF with 2-way multi-assignment finds EXACTLY the
+    brute-force ≥0.8 pair set (recall 1.0, precision 1.0 — the cosine
+    confirm kills every false candidate)."""
+    from dedupe_algo_spark.queries import (
+        q_embedding_allpairs_sim,
+        q_embedding_ivf_pairs,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    brute = {
+        (r["id_a"], r["id_b"]) for r in q_embedding_allpairs_sim(spark, sf).collect()
+    }
+    ivf = {
+        (r["id_a"], r["id_b"]) for r in q_embedding_ivf_pairs(spark, sf).collect()
+    }
+    assert brute
+    assert ivf == brute
+
+
 def test_lsh_subset_and_recall_on_driver_embeddings(spark):
     """VERDICT round-2 item 2: LSH pairs must be a subset of the exact
     brute-force pairs with a recall floor, on the DRIVER's embeddings
