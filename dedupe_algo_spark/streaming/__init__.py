@@ -13,6 +13,11 @@ analogs as real Structured Streaming jobs:
   map-side hash projection the batch pipeline uses, so new data can be
   hashed as it lands and merged into the memo (the streaming face of
   the reference's incremental cache).
+* ``dedup_pages_stream`` — stateful first-seen exact dedup: the batch
+  cascade's pass-2 (sha256 grouping, lib.rs:130-160's full-hash confirm)
+  as a custom stateful streaming operator via ``applyInPandasWithState``
+  keyed on the content hash. Only the first-arriving page per hash is
+  ever emitted, across batches, backed by the state store.
 """
 
 from __future__ import annotations
@@ -52,11 +57,19 @@ def progress_stream(
 
 
 def ingest_pages_stream(
-    spark: SparkSession, source_dir: str, min_len: int = 10
+    spark: SparkSession,
+    source_dir: str,
+    min_len: int = 10,
+    options: dict | None = None,
 ) -> DataFrame:
     """Streaming page ingestion with the batch pipeline's projection:
-    filter + map-side partial/full hash (F5 + C1/C2 as a stream)."""
-    raw = spark.readStream.schema(PAGES_SCHEMA).parquet(source_dir)
+    filter + map-side partial/full hash (F5 + C1/C2 as a stream).
+    ``options`` are file-source options (e.g. ``maxFilesPerTrigger`` to
+    bound micro-batch size on a backlogged directory)."""
+    reader = spark.readStream.schema(PAGES_SCHEMA)
+    if options:
+        reader = reader.options(**options)
+    raw = reader.parquet(source_dir)
     return (
         raw.where(F.length("text") >= min_len)
         .select(
@@ -66,6 +79,67 @@ def ingest_pages_stream(
             partial_sha256_col(F.col("text")).alias("partial_hash"),
             sha256_col(F.col("text")).alias("content_sha256"),
         )
+    )
+
+
+STREAM_DEDUP_OUT = (
+    "url string, warc_ts timestamp, text_len long, content_sha256 string"
+)
+STREAM_DEDUP_STATE = "seen boolean"
+
+
+def _first_seen(key, pdfs, state):
+    """Per-hash group handler: emit the first-ever row for this content
+    hash (min (warc_ts, url) within the batch for determinism), then
+    remember the hash in the state store so later batches emit nothing.
+    Pure pandas on slim metadata rows — text never reaches this shuffle."""
+    import pandas as pd
+
+    if state.exists:
+        return
+    cols = ["url", "warc_ts", "text_len", "content_sha256"]
+    best = None
+    for pdf in pdfs:
+        cand = pdf.sort_values(["warc_ts", "url"]).head(1)
+        best = (
+            cand
+            if best is None
+            else pd.concat([best, cand]).sort_values(["warc_ts", "url"]).head(1)
+        )
+    state.update((True,))
+    if best is not None:
+        yield best[cols]
+
+
+def dedup_pages_stream(
+    spark: SparkSession,
+    source_dir: str,
+    min_len: int = 10,
+    options: dict | None = None,
+) -> DataFrame:
+    """Streaming exact dedup: incremental ingestion (map-side sha256 —
+    the only pass over text) followed by a **custom stateful operator**
+    (``applyInPandasWithState``) keyed on ``content_sha256``. State is a
+    single boolean per distinct hash, so the state store grows with
+    distinct content, not with input — the streaming twin of the batch
+    exact tier, with the same text-never-shuffles property: the stateful
+    exchange carries only (url, ts, len, hash).
+
+    Emits each distinct page exactly once, on first arrival, across
+    micro-batches (state is checkpoint-backed). Keeper choice within a
+    batch is deterministic: min (warc_ts, url).
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    meta = ingest_pages_stream(
+        spark, source_dir, min_len=min_len, options=options
+    ).select("url", "warc_ts", "text_len", "content_sha256")
+    return meta.groupBy("content_sha256").applyInPandasWithState(
+        _first_seen,
+        outputStructType=STREAM_DEDUP_OUT,
+        stateStructType=STREAM_DEDUP_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )
 
 

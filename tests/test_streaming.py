@@ -29,6 +29,79 @@ def test_progress_stream_windows(spark, tmp_path):
     assert got == {"hash": 12, "score": 2}
 
 
+def test_dedup_pages_stream_first_seen(spark, tmp_path):
+    """Stateful streaming exact dedup (applyInPandasWithState): each
+    distinct content hash is emitted exactly once across micro-batches,
+    and the keeper is the deterministic min (warc_ts, url)."""
+    import pandas as pd
+
+    from dedupe_algo_spark.streaming import dedup_pages_stream
+
+    src = tmp_path / "pages"
+    src.mkdir()
+    from dedupe_algo_spark.synth import synth_pages
+
+    pages = synth_pages(spark, 200).cache()
+    # deterministic 60%/60% split with a 20%-bucket overlap: overlapping
+    # urls arrive in BOTH waves = cross-batch duplicates. Each wave lands
+    # as ONE flat file so maxFilesPerTrigger=1 makes one micro-batch per
+    # wave (wave1 copied first → older mtime → first batch).
+    import glob
+    import shutil
+    import time
+
+    for i, pred in ((1, "pmod(xxhash64(url), 10) < 6"),
+                    (2, "pmod(xxhash64(url), 10) >= 4")):
+        d = tmp_path / f"w{i}"
+        pages.where(pred).coalesce(1).write.parquet(str(d), mode="overwrite")
+        shutil.copy(glob.glob(str(d / "part-*.parquet"))[0],
+                    str(src / f"wave{i}.parquet"))
+        time.sleep(1.1)  # file-source batch order is by mtime
+    out = dedup_pages_stream(
+        spark, str(src), options={"maxFilesPerTrigger": "1"}
+    )
+    run_to_memory(out, "dedup_stream_t", output_mode="append")
+    got = spark.sql("select * from dedup_stream_t").toPandas()
+
+    # ground truth from the batch side: one keeper per distinct hash
+    batch = (
+        pages.selectExpr(
+            "url", "warc_ts", "sha2(text, 256) as content_sha256"
+        )
+        .toPandas()
+        .sort_values(["warc_ts", "url"])
+        .groupby("content_sha256", as_index=False)
+        .first()
+    )
+    assert len(got) == len(batch)  # exactly once per distinct hash
+    assert got["content_sha256"].is_unique
+
+    # every emitted keeper is a genuine (url, hash) row of the input
+    full = pages.selectExpr(
+        "url", "sha2(text, 256) as content_sha256"
+    ).toPandas()
+    pairs = set(map(tuple, full[["url", "content_sha256"]].values))
+    assert all(
+        (u, h) in pairs for u, h in got[["url", "content_sha256"]].values
+    )
+
+    # for hashes whose rows all arrive in one micro-batch, the keeper is
+    # the deterministic global min (warc_ts, url); a hash spanning both
+    # waves keeps the FIRST batch's local min (first-arrival wins), so
+    # compare only the single-wave hashes
+    w1 = set(pd.read_parquet(str(src / "wave1.parquet"))["url"])
+    w2 = set(pd.read_parquet(str(src / "wave2.parquet"))["url"])
+    by_hash = full.groupby("content_sha256")["url"].agg(set)
+    single_wave = by_hash[
+        by_hash.apply(lambda us: us <= w1 or us.isdisjoint(w1) and us <= w2)
+    ].index
+    merged = got.merge(batch, on="content_sha256", suffixes=("_s", "_b"))
+    one = merged[merged["content_sha256"].isin(single_wave)]
+    assert len(one) > 0
+    assert (one["url_s"] == one["url_b"]).all()
+    spark.catalog.dropTempView("dedup_stream_t")
+
+
 def test_ingest_pages_stream_hashes(spark, tmp_path):
     from dedupe_algo_spark.synth import synth_pages
 
