@@ -85,13 +85,16 @@ def confirm_pairs(
     """Exact token-Jaccard confirm on estimate survivors.
     → (url_a, url_b, score).
 
-    ``scorer`` selects the pass-3 similarity (north_star names all
-    three): ``"jaccard"`` (default — exact token-set Jaccard, the right
-    scorer for whole web pages), ``"jaro_winkler"`` (batched pandas UDF
-    on 512-char prefixes), or ``"levenshtein"`` (JVM built-in 1−dist/max
-    on 512-char prefixes). The edit-distance scorers exist for
-    fielded-record linkage (names, titles); they reuse the exact same
-    carve-out/join shape, so text still never shuffles.
+    ``scorer`` selects the pass-3 similarity (north_star names the
+    first three): ``"jaccard"`` (default — exact token-set Jaccard, the
+    right scorer for whole web pages), ``"jaro_winkler"`` (batched
+    pandas UDF on 512-char prefixes), ``"levenshtein"`` (JVM built-in
+    1−dist/max on 512-char prefixes), or ``"ngram_jaccard"`` (JVM
+    character-5-gram set Jaccard on the same prefixes — order-robust
+    like token Jaccard but sub-word-granular, the dial for boilerplate
+    with small edits). The prefix scorers exist for fielded-record
+    linkage (names, titles); they reuse the exact same carve-out/join
+    shape, so text still never shuffles.
 
     The text column is read from the source exactly ONCE: a semi-join
     against the candidate url set carves out the text slice (≤2×|pairs|
@@ -138,6 +141,7 @@ def confirm_pairs(
         from ..functions.similarity import (
             LEV_CAP,
             levenshtein_sim_col,
+            ngram_jaccard_col,
             pair_jaro_winkler_udf,
         )
 
@@ -150,6 +154,8 @@ def confirm_pairs(
             score = pair_jaro_winkler_udf(F.col("_ta"), F.col("_tb"))
         elif scorer == "levenshtein":
             score = levenshtein_sim_col(F.col("_ta"), F.col("_tb"))
+        elif scorer == "ngram_jaccard":
+            score = ngram_jaccard_col(F.col("_ta"), F.col("_tb"))
         else:
             raise ValueError(f"unknown scorer {scorer!r}")
         scored = cand.join(ta, "url_a").join(tb, "url_b").withColumn("score", score)

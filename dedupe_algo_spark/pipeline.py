@@ -109,7 +109,8 @@ def dedup_pipeline(
     ``exact_confirm=False`` skips tier-2 (signature estimate only —
     cheaper, slightly softer precision near the threshold).
     ``scorer`` selects the tier-2 similarity ("jaccard" | "jaro_winkler"
-    | "levenshtein" — see :func:`~.operators.scoring.confirm_pairs`).
+    | "levenshtein" | "ngram_jaccard" — see
+    :func:`~.operators.scoring.confirm_pairs`).
     ``memo`` (a :class:`~dedupe_algo_spark.sources.memo.HashMemo`)
     switches the meta scan to the incremental path: hashes memoized
     under a matching (url, text_len, warc_ts) are REUSED instead of

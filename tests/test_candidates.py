@@ -145,6 +145,17 @@ def test_confirm_pairs_scorer_options(spark):
     assert lev == ref(
         lambda a, b: 1.0 - _levenshtein(a, b) / max(len(a), len(b))
     )
+
+    def py_ngram_jac(a, b, n=5):
+        ga = {a[i : i + n] for i in range(max(1, len(a) - n + 1))}
+        gb = {b[i : i + n] for i in range(max(1, len(b) - n + 1))}
+        return len(ga & gb) / len(ga | gb)
+
+    ng = {
+        (r["url_a"], r["url_b"]): r["score"]
+        for r in confirm_pairs(pairs, pages, 0.0, scorer="ngram_jaccard").collect()
+    }
+    assert ng == ref(py_ngram_jac)
     with pytest.raises(ValueError):
         confirm_pairs(pairs, pages, 0.0, scorer="nope").collect()
 
