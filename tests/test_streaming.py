@@ -102,6 +102,45 @@ def test_dedup_pages_stream_first_seen(spark, tmp_path):
     spark.catalog.dropTempView("dedup_stream_t")
 
 
+def test_dedup_stream_job_resumes_from_checkpoint(spark, tmp_path):
+    """north_rule resume contract on the streaming face: a second job
+    run against the same checkpoint suppresses every hash the first run
+    committed — the output union is exactly-once per distinct hash."""
+    import pandas as pd
+
+    from jobs.dedup_stream_job import run_stream
+
+    from dedupe_algo_spark.synth import synth_pages
+
+    src = tmp_path / "in"
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+    src.mkdir()
+    pages = synth_pages(spark, 150).cache()
+
+    # run 1: 60% of pages land, job drains the backlog and exits
+    pages.where("pmod(xxhash64(url), 10) < 6").coalesce(1).write.parquet(
+        str(src / "w1"), mode="overwrite"
+    )
+    run_stream(spark, str(src / "w*"), str(out), str(ckpt)).awaitTermination(120)
+    first = pd.read_parquet(str(out))
+    assert len(first) > 0 and first["content_sha256"].is_unique
+
+    # run 2 (same checkpoint): an overlapping 60% lands — re-submitted
+    # job must emit ONLY hashes the first run never committed
+    pages.where("pmod(xxhash64(url), 10) >= 4").coalesce(1).write.parquet(
+        str(src / "w2"), mode="overwrite"
+    )
+    run_stream(spark, str(src / "w*"), str(out), str(ckpt)).awaitTermination(120)
+    both = pd.read_parquet(str(out))
+    assert both["content_sha256"].is_unique  # no re-emission, ever
+    # union covers every distinct hash in the input
+    n_distinct = (
+        pages.selectExpr("sha2(text, 256) as h").distinct().count()
+    )
+    assert len(both) == n_distinct
+
+
 def test_ingest_pages_stream_hashes(spark, tmp_path):
     from dedupe_algo_spark.synth import synth_pages
 
