@@ -184,14 +184,22 @@ def ngram_grams_col(t: Column, n: int = 5) -> Column:
 
 def ngram_jaccard_col(a: Column, b: Column, n: int = 5) -> Column:
     """Character n-gram Jaccard — JVM-side twin of
-    ``pair_ngram_jaccard_udf``. Set sizes are integers, so the double
-    division is bit-identical across Spark / Python / DuckDB."""
+    ``pair_ngram_jaccard_udf``, including on nulls (either side null →
+    NULL, like the UDF's NaN; without the explicit gate a null side
+    grams to ``[null]``, which scores null-vs-null as 1.0 and
+    null-vs-text as 0.0 — a phantom confirmed-duplicate). Set sizes
+    are integers, so the double division is bit-identical across
+    Spark / Python / DuckDB."""
     ga, gb = ngram_grams_col(a, n), ngram_grams_col(b, n)
     inter = F.size(F.array_intersect(ga, gb)).cast("double")
     union = F.size(F.array_union(ga, gb))
-    # union >= 1 always (even '' contributes one gram), but keep the
-    # guard for null-safety parity with the UDF's u==0 branch.
-    return F.when(union == 0, F.lit(1.0)).otherwise(inter / union)
+    return F.when(
+        a.isNull() | b.isNull(), F.lit(None).cast("double")
+    ).otherwise(
+        # union >= 1 for any non-null input (even '' contributes one
+        # gram); the guard mirrors the UDF's u==0 branch for safety
+        F.when(union == 0, F.lit(1.0)).otherwise(inter / union)
+    )
 
 
 @pandas_udf(DoubleType())

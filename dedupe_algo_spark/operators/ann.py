@@ -55,6 +55,66 @@ def cosine_sim(a: Column, b: Column) -> Column:
     return F.when((na == 0) | (nb == 0), F.lit(0.0)).otherwise(dot / (na * nb))
 
 
+def _score_and_rank(
+    cands: DataFrame, k: int, id_col: str, vec_col: str, query_id_col: str
+) -> DataFrame:
+    """Shared top-k tail: exact cosine against the carried ``_qvec``,
+    then a per-query ranking window (ties broken by id for determinism).
+    Every search variant ends here, so precision/tie-break fixes land
+    once."""
+    scored = cands.select(
+        query_id_col,
+        id_col,
+        F.round(cosine_sim(F.col(vec_col), F.col("_qvec")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cosine"), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def _confirm_keyed_pairs(
+    keyed: DataFrame,
+    vectors: DataFrame,
+    threshold: float,
+    id_col: str,
+    vec_col: str,
+    key: str,
+) -> DataFrame:
+    """Shared pair tail for the bucketed near-dup variants (LSH buckets,
+    IVF cells): self-join the slim (key, id) frame, dedup pairs, re-join
+    vectors pair-side, exact-cosine confirm ≥ threshold.
+
+    The self-join carries ONLY (key, id): the exploded key rows never
+    duplicate the vector payload through the shuffle. Vectors re-join
+    after pair dedup — the same slim-join shape as
+    scoring.confirm_pairs — so the wide column moves once per
+    *surviving pair side*, not once per key row."""
+    left = keyed.select(F.col(key), F.col(id_col).alias("id_a"))
+    right = keyed.select(F.col(key), F.col(id_col).alias("id_b"))
+    pairs = (
+        left.join(right, key)
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    va = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    vb = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    return (
+        pairs.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine_sim(F.col("_va"), F.col("_vb")), 6).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
+
+
 def brute_force_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -72,18 +132,7 @@ def brute_force_topk(
         )
     )
     crossed = vectors.select(id_col, vec_col).crossJoin(q)
-    scored = crossed.select(
-        query_id_col,
-        id_col,
-        F.round(cosine_sim(F.col(vec_col), F.col("_qvec")), 6).alias("cosine"),
-    )
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.desc("cosine"), F.col(id_col).asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-    )
+    return _score_and_rank(crossed, k, id_col, vec_col, query_id_col)
 
 
 def _hyperplanes(dim: int, n_bits: int, n_tables: int) -> np.ndarray:
@@ -150,13 +199,7 @@ def lsh_topk(
         F.explode(bucketer(F.col(vec_col))).alias("bucket"),
     )
     cands = v.join(F.broadcast(q), "bucket").dropDuplicates([query_id_col, id_col])
-    scored = cands.select(
-        query_id_col,
-        id_col,
-        F.round(cosine_sim(F.col(vec_col), F.col("_qvec")), 6).alias("cosine"),
-    )
-    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.col(id_col).asc())
-    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+    return _score_and_rank(cands, k, id_col, vec_col, query_id_col)
 
 
 _IVF_SEED = 0x1F5EED
@@ -275,13 +318,7 @@ def ivf_topk(
         F.explode(probe(F.col(vec_col))).alias("cell"),
     )
     cands = v.join(F.broadcast(q), "cell")
-    scored = cands.select(
-        query_id_col,
-        id_col,
-        F.round(cosine_sim(F.col(vec_col), F.col("_qvec")), 6).alias("cosine"),
-    )
-    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.col(id_col).asc())
-    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+    return _score_and_rank(cands, k, id_col, vec_col, query_id_col)
 
 
 def ivf_near_dupes(
@@ -296,11 +333,9 @@ def ivf_near_dupes(
     """Embedding-cosine near-duplicate pairs via IVF cells: multi-assign
     every vector to its ``n_assign`` nearest cells, self-join within
     cells, exact-cosine confirm ≥ threshold.
-    → (id_a, id_b, cosine), id_a < id_b — same contract as
-    ``embedding_near_dupes`` (the LSH variant).
-
-    Same slim-shuffle shape as the LSH path: the cell self-join carries
-    ONLY (cell, id); vectors re-join pair-side after pair dedup."""
+    → (id_a, id_b, cosine), id_a < id_b — same contract and
+    slim-shuffle shape as ``embedding_near_dupes`` (the LSH variant);
+    see ``_confirm_keyed_pairs``."""
     if centroids is None:
         centroids = train_ivf_centroids(
             vectors, n_cells=n_cells, id_col=id_col, vec_col=vec_col
@@ -309,26 +344,7 @@ def ivf_near_dupes(
     b = vectors.select(
         F.col(id_col), F.explode(assign(F.col(vec_col))).alias("cell")
     )
-    left = b.select(F.col("cell"), F.col(id_col).alias("id_a"))
-    right = b.select(F.col("cell"), F.col(id_col).alias("id_b"))
-    pairs = (
-        left.join(right, "cell")
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    va = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
-    vb = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
-    return (
-        pairs.join(va, "id_a")
-        .join(vb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            F.round(cosine_sim(F.col("_va"), F.col("_vb")), 6).alias("cosine"),
-        )
-        .where(F.col("cosine") >= threshold)
-    )
+    return _confirm_keyed_pairs(b, vectors, threshold, id_col, vec_col, "cell")
 
 
 def embedding_near_dupes(
@@ -344,11 +360,8 @@ def embedding_near_dupes(
     LSH-bucket self-join + built-in cosine ≥ threshold.
     → (id_a, id_b, cosine), id_a < id_b.
 
-    The bucket self-join carries ONLY (bucket, id): the exploded bucket
-    rows never duplicate the vector payload ×n_tables through the
-    shuffle. Vectors re-join pair-side after pair dedup — the same
-    slim-join shape as scoring.confirm_pairs — so the wide column moves
-    once per *surviving pair side*, not once per bucket row."""
+    The bucket self-join carries ONLY (bucket, id) — never the vector
+    payload ×n_tables; see ``_confirm_keyed_pairs``."""
     if dim is None:
         first = vectors.select(F.size(vec_col).alias("d")).first()
         dim = int(first["d"])
@@ -356,23 +369,4 @@ def embedding_near_dupes(
     b = vectors.select(
         F.col(id_col), F.explode(bucketer(F.col(vec_col))).alias("bucket")
     )
-    left = b.select(F.col("bucket"), F.col(id_col).alias("id_a"))
-    right = b.select(F.col("bucket"), F.col(id_col).alias("id_b"))
-    pairs = (
-        left.join(right, "bucket")
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    va = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
-    vb = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
-    return (
-        pairs.join(va, "id_a")
-        .join(vb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            F.round(cosine_sim(F.col("_va"), F.col("_vb")), 6).alias("cosine"),
-        )
-        .where(F.col("cosine") >= threshold)
-    )
+    return _confirm_keyed_pairs(b, vectors, threshold, id_col, vec_col, "bucket")

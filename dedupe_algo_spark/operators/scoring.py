@@ -148,6 +148,10 @@ def confirm_pairs(
         slice_ = _persist(
             sliced.select("url", F.substring("text", 1, LEV_CAP).alias("_t"))
         )
+        # materialize before the double join — same duplicate-pass race
+        # as the jvm_tokens branch below: the ta/tb exchange children
+        # otherwise each re-run the scan+semi-join while filling the cache
+        slice_.count()
         ta = slice_.select(F.col("url").alias("url_a"), F.col("_t").alias("_ta"))
         tb = slice_.select(F.col("url").alias("url_b"), F.col("_t").alias("_tb"))
         if scorer == "jaro_winkler":

@@ -101,7 +101,12 @@ def main() -> None:
         follow_seconds=args.follow,
     )
     q.awaitTermination()
-    n = spark.read.parquet(args.output).count()
+    try:
+        n = spark.read.parquet(args.output).count()
+    except Exception:
+        # a drain with no input files commits no batch — the sink never
+        # creates the output path; that is a successful (empty) run
+        n = 0
     print(f"dedup_stream_job: {n} distinct pages committed to {args.output}")
     spark.stop()
 

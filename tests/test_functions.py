@@ -136,16 +136,26 @@ def test_ngram_jaccard_col_matches_udf(spark):
             ("héllo wörld", "héllo wörld2"),
             ("aaaaaaa", "aaaaaab"),
             ("The quick brown fox", "The quick brown fax"),
+            (None, None),
+            (None, "abcdef"),
         ],
         "a string, b string",
     )
     out = df.select(
+        "a",
+        "b",
         ngram_jaccard_col(F.col("a"), F.col("b")).alias("col"),
         pair_ngram_jaccard_udf("a", "b").alias("udf"),
     ).toPandas()
-    assert (out["col"] == out["udf"]).all(), out
+    nulls = out["a"].isna() | out["b"].isna()
+    # null on either side → null/NaN on BOTH paths (without the explicit
+    # gate the column form scored null-vs-null 1.0: a phantom duplicate)
+    assert out.loc[nulls, "col"].isna().all()
+    assert out.loc[nulls, "udf"].isna().all()
+    ok = out[~nulls]
+    assert (ok["col"] == ok["udf"]).all(), ok
     # spot-check one exact value (11-char vs 12-char: 7 shared of 8 grams)
-    assert out["col"].iloc[0] == 0.875
+    assert ok["col"].iloc[0] == 0.875
 
 
 def test_jaro_winkler_levenshtein_duckdb_bitwise_parity():

@@ -30,7 +30,9 @@ SAMPLE = [
     "simhash_signatures",
     "embedding_allpairs_sim",
     "embedding_lsh_pairs",
+    "embedding_ivf_pairs",
     "minhash_pair_stats",
+    "ngram_jaccard",
 ]
 
 
