@@ -158,6 +158,48 @@ def test_ngram_jaccard_col_matches_udf(spark):
     assert ok["col"].iloc[0] == 0.875
 
 
+def test_ngram_jaccard_fuzz_three_way_parity(spark):
+    """400 seeded random pairs over an adversarial alphabet (ASCII,
+    combining accents, NBSP/thin-space whitespace, CJK, and ASTRAL-plane
+    emoji/math — Java's UTF-16 vs Python's codepoints is exactly where
+    substring semantics could diverge): the JVM column form, the pandas
+    UDF, and a driver-side Python reference must agree bit-for-bit."""
+    import random
+
+    from dedupe_algo_spark.functions.similarity import (
+        ngram_jaccard_col,
+        pair_ngram_jaccard_udf,
+    )
+
+    alphabet = "ab é́  漢字\U0001f680\U0001d54a"
+    rng = random.Random(0xA5EED)
+
+    def rand_s():
+        return "".join(
+            rng.choice(alphabet) for _ in range(rng.randrange(0, 24))
+        )
+
+    def pyjac(a, b, n=5):
+        ga = {a[i : i + n] for i in range(max(1, len(a) - n + 1))}
+        gb = {b[i : i + n] for i in range(max(1, len(b) - n + 1))}
+        u = len(ga | gb)
+        return (len(ga & gb) / u) if u else 1.0
+
+    pairs = [(rand_s(), rand_s()) for _ in range(380)]
+    # near-identical pairs too (high-similarity region)
+    pairs += [(s, s + rng.choice(alphabet)) for s, _ in pairs[:20]]
+    df = spark.createDataFrame(pairs, "a string, b string")
+    out = df.select(
+        "a",
+        "b",
+        ngram_jaccard_col(F.col("a"), F.col("b")).alias("col"),
+        pair_ngram_jaccard_udf("a", "b").alias("udf"),
+    ).toPandas()
+    for _, r in out.iterrows():
+        want = pyjac(r["a"], r["b"])
+        assert r["col"] == want == r["udf"], (r["a"], r["b"], want, r["col"], r["udf"])
+
+
 def test_jaro_winkler_levenshtein_duckdb_bitwise_parity():
     """The CORRECTNESS oracle hashes stringified doubles, so our JW/Lev
     must equal DuckDB's builtins BIT-FOR-BIT (classic window, integer
