@@ -1,0 +1,85 @@
+"""Fixed-cluster DATA-size scaling: the amortization axis.
+
+The cluster-size sessions (bench/scaling.py) attribute the 4N residual
+largely to terms that are CONSTANT in data size — per-job submit
+latency, broadcast builds, CC superstep barriers, and per-stage
+write-stall windows. If that attribution is right, throughput at a
+fixed cluster size must RISE with input size as those constants
+amortize — which is also the operative regime for the 10^12-document
+target, where per-stage data grows ~10^6× beyond this sandbox.
+
+This harness measures it directly: the same dedup job on the same
+standalone cluster at the hi config (8 executors × 4 cores), over
+1M / 2M / 4M pages, rounds interleaved size-major (each round visits
+every size once) with min-of-K per size — the same era-robust protocol
+as the cluster-size sessions.
+
+Usage:  DATA_SCALING_ROUNDS=2 python bench/data_scaling.py
+Writes: BENCH/data_scaling_<tag>.json  (tag via DATA_SCALING_TAG)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "bench"))
+
+from scaling import ensure_master, run  # noqa: E402  (bench/ sibling)
+
+
+def materialize(n_pages: int) -> str:
+    path = os.path.join(REPO, ".bench_cache", f"pages_{n_pages}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        from dedupe_algo_spark.session import get_spark
+        from dedupe_algo_spark.synth import synth_pages
+
+        spark = get_spark(app_name=f"gen-{n_pages}", master="local[32]")
+        synth_pages(spark, n_pages).write.mode("overwrite").parquet(path)
+        spark.stop()
+    return path
+
+
+def main() -> None:
+    sizes = [
+        int(s) for s in os.environ.get(
+            "DATA_SCALING_SIZES", "1000000,2000000,4000000"
+        ).split(",")
+    ]
+    rounds = int(os.environ.get("DATA_SCALING_ROUNDS", "2"))
+    cores = int(os.environ.get("DATA_SCALING_CORES", "32"))
+    paths = {n: materialize(n) for n in sizes}
+    ensure_master()
+
+    walls: dict[int, list[float]] = {n: [] for n in sizes}
+    for _ in range(rounds):
+        for n in sizes:  # size-major interleave: every size sees every era
+            walls[n].append(run(cores, paths[n], n)["sec"])
+
+    result = {
+        "config": f"{cores // 4} executors x 4 cores (the 4N cluster)",
+        "rounds": rounds,
+        "sizes": {
+            str(n): {
+                "sec": min(ws),
+                "pages_per_sec": round(n / min(ws), 1),
+                "all_runs": ws,
+            }
+            for n, ws in walls.items()
+        },
+    }
+    lo, hi = min(sizes), max(sizes)
+    result["throughput_gain_small_to_large"] = round(
+        (hi / min(walls[hi])) / (lo / min(walls[lo])), 3
+    )
+    print(json.dumps(result))
+    tag = os.environ.get("DATA_SCALING_TAG", "r4")
+    with open(os.path.join(REPO, "BENCH", f"data_scaling_{tag}.json"), "w") as f:
+        json.dump(result, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()
