@@ -34,12 +34,22 @@ from scaling import ensure_master, run  # noqa: E402  (bench/ sibling)
 def materialize(n_pages: int) -> str:
     path = os.path.join(REPO, ".bench_cache", f"pages_{n_pages}")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        from dedupe_algo_spark.session import get_spark
-        from dedupe_algo_spark.synth import synth_pages
+        # Generate in a SUBPROCESS: spark.stop() in-process leaves the
+        # py4j gateway JVM alive (with its multi-GB heap) for the rest
+        # of this script — measured 18GB of dead RSS squatting on the
+        # page cache during the timed runs. A child process exits and
+        # frees everything before timing starts.
+        import subprocess
 
-        spark = get_spark(app_name=f"gen-{n_pages}", master="local[32]")
-        synth_pages(spark, n_pages).write.mode("overwrite").parquet(path)
-        spark.stop()
+        code = (
+            "import sys; sys.path.insert(0, {repo!r})\n"
+            "from dedupe_algo_spark.session import get_spark\n"
+            "from dedupe_algo_spark.synth import synth_pages\n"
+            "spark = get_spark(app_name='gen-{n}', master='local[32]')\n"
+            "synth_pages(spark, {n}).write.mode('overwrite').parquet({path!r})\n"
+            "spark.stop()\n"
+        ).format(repo=REPO, n=n_pages, path=path)
+        subprocess.run([sys.executable, "-c", code], check=True)
     return path
 
 
