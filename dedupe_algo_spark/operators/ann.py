@@ -23,6 +23,14 @@ module provides BOTH scale variants):
   parallelism-invariant (hash-ordered sample, seeded init, fixed Lloyd
   iterations) so the index — and every result — is reproducible across
   cluster sizes.
+
+Plus the dedup-side consumer of those pair generators:
+
+* **Semantic dedup (SemDeDup, Abbas et al. 2023, public)** —
+  near-duplicate *pairs* are only half the training-data story; the
+  pipeline must decide which rows to KEEP. ``semantic_dedup`` closes
+  pairs into clusters with the same large-star/small-star CC the text
+  pipeline uses and applies a keeper policy per semantic cluster.
 """
 
 from __future__ import annotations
@@ -33,7 +41,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import ArrayType, IntegerType, StringType
+from pyspark.sql.types import ArrayType, DoubleType, IntegerType, StringType
 
 _HP_SEED = 0xA11CE
 
@@ -370,3 +378,144 @@ def embedding_near_dupes(
         F.col(id_col), F.explode(bucketer(F.col(vec_col))).alias("bucket")
     )
     return _confirm_keyed_pairs(b, vectors, threshold, id_col, vec_col, "bucket")
+
+
+def ivf_centroid_sim(centroids: np.ndarray):
+    """Arrow-batched UDF: vector → cosine to its NEAREST centroid
+    (double). One GEMM per batch, like the cell assigner; used by the
+    SemDeDup keeper policy (keep the cluster member farthest from its
+    centroid — i.e. lowest nearest-centroid cosine — to maximize the
+    diversity of what survives dedup)."""
+    cent = centroids.astype(np.float32).T.copy()  # (dim, n_cells)
+
+    @pandas_udf(DoubleType())
+    def sim(vecs: pd.Series) -> pd.Series:
+        out = np.full(len(vecs), np.nan)
+        mask = vecs.notna().to_numpy()
+        if mask.any():
+            x = np.vstack([np.asarray(v, dtype=np.float32) for v in vecs[mask]])
+            norms = np.linalg.norm(x, axis=1, keepdims=True)
+            sims = (x / np.where(norms == 0, 1.0, norms)) @ cent
+            out[mask] = sims.max(axis=1).astype(np.float64)
+        return pd.Series(out)
+
+    return sim
+
+
+def semantic_dedup(
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    pairs: DataFrame | None = None,
+    n_cells: int = 16,
+    n_assign: int = 2,
+    centroids: np.ndarray | None = None,
+    keep_policy: str = "min_id",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    tracker=None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al., "SemDeDup:
+    Data-efficient learning at web-scale through semantic deduplication",
+    2023 — public): embedding near-dup PAIRS → transitive CLUSTERS → one
+    KEEPER per cluster. → (``id_col``, sem_cluster, keep) with exactly
+    one row per input vector; ``sem_cluster`` is the numeric-min member
+    id; singletons keep themselves.
+
+    ``pairs`` defaults to :func:`ivf_near_dupes` at (``n_cells``,
+    ``n_assign``) — the data-adaptive scale path (SemDeDup's own recipe:
+    k-means first, pairwise cosine only within cells). Pass pairs from
+    :func:`embedding_near_dupes` (LSH) or an exhaustive join to trade
+    recall/cost; any (id_a, id_b[, ...]) frame works.
+
+    Clustering reuses :func:`~.cluster.connected_components` — the same
+    large-star/small-star operator (and its driver union-find fast path
+    + checkpoint hygiene) the text pipeline runs, so its 10^12-row story
+    carries over. CC's node ids are strings with lexicographic min;
+    integral ids are therefore zero-padded to fixed width (20 digits —
+    lexicographic order == numeric order for non-negative int64) and
+    cast back on the way out, keeping ``sem_cluster = min(member ids)``
+    exactly reproducible by a SQL oracle's numeric ``MIN``.
+
+    ``keep_policy``:
+
+    * ``"min_id"`` (default) — keeper is the min-id member.
+      Deterministic, engine-independent, SQL-expressible (the
+      CORRECTNESS oracle covers this policy end-to-end via a recursive
+      transitive-closure CTE).
+    * ``"farthest_from_centroid"`` — the SemDeDup paper's policy: keep
+      the member with the LOWEST cosine to its nearest IVF centroid
+      (the least prototypical example survives, preserving diversity).
+      Ties broken by id. Needs ``centroids`` (trained here if absent).
+
+    Scale shape: pair generation is the bucketed slim self-join
+    (``_confirm_keyed_pairs``), CC runs on the pair list (tiny vs N),
+    the final join back to the full id set is a broadcast of the
+    clustered minority in practice, and the centroid policy adds one
+    map-side GEMM column + a per-cluster window over the same join —
+    no new wide shuffle anywhere.
+    """
+    from .cluster import connected_components
+
+    id_type = vectors.schema[id_col].dataType.simpleString()
+    integral = id_type in ("int", "bigint", "smallint", "tinyint")
+
+    def _pad(c):
+        return F.lpad(c.cast("string"), 20, "0") if integral else c.cast("string")
+
+    if pairs is None:
+        if centroids is None:
+            centroids = train_ivf_centroids(
+                vectors, n_cells=n_cells, id_col=id_col, vec_col=vec_col
+            )
+        pairs = ivf_near_dupes(
+            vectors,
+            threshold=threshold,
+            n_cells=n_cells,
+            n_assign=n_assign,
+            centroids=centroids,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
+    edges = pairs.select(
+        _pad(F.col("id_a")).alias("src"), _pad(F.col("id_b")).alias("dst")
+    )
+    comp = connected_components(edges, tracker=tracker).select(
+        F.col("url").alias("_pid"),
+        (
+            F.col("component").cast(id_type)
+            if integral
+            else F.col("component")
+        ).alias("_comp"),
+    )
+    assigned = (
+        vectors.select(id_col, vec_col)
+        .join(comp, _pad(F.col(id_col)) == F.col("_pid"), "left")
+        .select(
+            id_col,
+            vec_col,
+            F.coalesce(F.col("_comp"), F.col(id_col)).alias("sem_cluster"),
+        )
+    )
+    if keep_policy == "min_id":
+        out = assigned.select(
+            id_col,
+            "sem_cluster",
+            (F.col(id_col) == F.col("sem_cluster")).alias("keep"),
+        )
+    elif keep_policy == "farthest_from_centroid":
+        if centroids is None:
+            centroids = train_ivf_centroids(
+                vectors, n_cells=n_cells, id_col=id_col, vec_col=vec_col
+            )
+        sim = ivf_centroid_sim(centroids)
+        w = Window.partitionBy("sem_cluster").orderBy(
+            F.asc("_csim"), F.col(id_col).asc()
+        )
+        out = (
+            assigned.withColumn("_csim", sim(F.col(vec_col)))
+            .withColumn("_rn", F.row_number().over(w))
+            .select(id_col, "sem_cluster", (F.col("_rn") == 1).alias("keep"))
+        )
+    else:
+        raise ValueError(f"unknown keep_policy {keep_policy!r}")
+    return out

@@ -1369,6 +1369,51 @@ def q_embedding_ivf_pairs(spark, sf_dir):
 SQL_EMBEDDING_IVF_PAIRS = _SQL_PLANTED_PAIRS
 
 
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style semantic dedup (pairs → transitive clusters →
+    keeper) over base ∪ planted twins, with the min-id keeper policy.
+    Pair generation is the IVF path at the exact settings
+    ``embedding_ivf_pairs`` proves exhaustive-recall on this data; the
+    oracle then re-derives the WHOLE op in SQL — exhaustive cosine
+    pairs, transitive closure via a recursive min-label CTE, numeric
+    MIN keeper — so pair recall, the CC operator (through the
+    zero-padded string round-trip), and the keeper policy are all
+    hash-checked end-to-end."""
+    from .operators.ann import semantic_dedup
+
+    allv = _planted_embeddings(spark, sf_dir)
+    return semantic_dedup(allv, threshold=0.9, n_cells=8, n_assign=2)
+
+
+SQL_SEMANTIC_DEDUP = """
+WITH RECURSIVE base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+  FROM embeddings WHERE vec_id < 60
+), planted AS (
+  SELECT a.vec_id + 1000 AS vec_id,
+         list_transform(range(1, len(a.emb) + 1),
+                        i -> a.emb[i] + 0.1 * b.emb[i]) AS emb
+  FROM base a JOIN base b ON b.vec_id = a.vec_id + 1
+), allv AS (
+  SELECT * FROM base UNION ALL SELECT * FROM planted
+), pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM allv a JOIN allv b ON a.vec_id < b.vec_id
+  WHERE ROUND(list_cosine_similarity(a.emb, b.emb), 6) >= 0.9
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs
+), reach(id, lab) AS (
+  SELECT vec_id, vec_id FROM allv
+  UNION
+  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id
+)
+SELECT id AS vec_id, MIN(lab) AS sem_cluster, (id = MIN(lab)) AS keep
+FROM reach GROUP BY id
+"""
+
+
 def q_media_features(spark, sf_dir):
     """Multimodal plumbing: binary payloads → mapInPandas features
     (decode stubbed deterministically — no codecs in this container).
@@ -1453,6 +1498,7 @@ QUERIES = {
     "minhash_pair_stats": q_minhash_pair_stats,
     "embedding_lsh_pairs": q_embedding_lsh_pairs,
     "embedding_ivf_pairs": q_embedding_ivf_pairs,
+    "semantic_dedup": q_semantic_dedup,
     # rows-only (UDF pipelines; tests/ + the stat twins above carry the
     # correctness gate)
     "pages_dedup_clusters": q_pages_dedup_clusters,
@@ -1505,6 +1551,7 @@ ORACLES = {
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "embedding_lsh_pairs": SQL_EMBEDDING_LSH_PAIRS,
     "embedding_ivf_pairs": SQL_EMBEDDING_IVF_PAIRS,
+    "semantic_dedup": SQL_SEMANTIC_DEDUP,
     "pages_dedup_exact": SQL_PAGES_DEDUP_EXACT,
     "dedup_cluster_stats": SQL_DEDUP_CLUSTER_STATS,
     "minhash_pair_stats": SQL_MINHASH_PAIR_STATS,

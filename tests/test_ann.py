@@ -155,3 +155,93 @@ def test_lsh_subset_and_recall_on_driver_embeddings(spark):
     assert brute, "brute-force pair set must be non-empty (was vacuous in r2)"
     assert lsh <= brute
     assert len(lsh) / len(brute) >= 0.95
+
+
+def test_semantic_dedup_min_id_on_planted(spark):
+    """SemDeDup min-id policy vs planted ground truth: every planted
+    twin (v, v+1000) clusters to v with the base row as keeper; the one
+    unpaired base row is its own singleton keeper."""
+    from dedupe_algo_spark.operators.ann import semantic_dedup
+    from dedupe_algo_spark.queries import _planted_embeddings
+
+    allv = _planted_embeddings(spark, "/root/testdata/sf0.001")
+    out = semantic_dedup(allv, threshold=0.9, n_cells=8, n_assign=2).toPandas()
+    assert len(out) == allv.count()  # one row per vector, none dropped
+    got = dict(zip(out["vec_id"], out["sem_cluster"]))
+    keep = dict(zip(out["vec_id"], out["keep"]))
+    for v in range(59):
+        assert got[v + 1000] == v and got[v] == v
+        assert keep[v] and not keep[v + 1000]
+    assert got[59] == 59 and keep[59]  # singleton: no (58+1)-join partner
+
+
+def test_semantic_dedup_pairs_injection_agrees(spark):
+    """Passing exhaustive pairs must give the same clustering as the
+    default IVF pair generator (IVF recall is exactly 1.0 here)."""
+    from dedupe_algo_spark.operators.ann import semantic_dedup
+    from dedupe_algo_spark.queries import (
+        _planted_embeddings,
+        q_embedding_allpairs_sim,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    allv = _planted_embeddings(spark, sf)
+    brute_pairs = q_embedding_allpairs_sim(spark, sf).where(F.col("cosine") >= 0.9)
+    a = semantic_dedup(allv, threshold=0.9, n_cells=8, n_assign=2).toPandas()
+    b = semantic_dedup(allv, pairs=brute_pairs).toPandas()
+    key = lambda df: sorted(map(tuple, df[["vec_id", "sem_cluster", "keep"]].values))
+    assert key(a) == key(b)
+
+
+def test_semantic_dedup_centroid_policy(spark):
+    """SemDeDup paper policy: exactly one keeper per cluster — the
+    member with the LOWEST cosine to its nearest IVF centroid."""
+    from dedupe_algo_spark.operators.ann import (
+        ivf_centroid_sim,
+        semantic_dedup,
+        train_ivf_centroids,
+    )
+    from dedupe_algo_spark.queries import _planted_embeddings
+
+    allv = _planted_embeddings(spark, "/root/testdata/sf0.001").cache()
+    cent = train_ivf_centroids(allv, n_cells=8)
+    out = semantic_dedup(
+        allv,
+        threshold=0.9,
+        n_cells=8,
+        n_assign=2,
+        centroids=cent,
+        keep_policy="farthest_from_centroid",
+    ).toPandas()
+    per = out.groupby("sem_cluster")["keep"].sum()
+    assert (per == 1).all()  # exactly one keeper per cluster
+    # keeper is the argmin of nearest-centroid cosine within the cluster
+    sims = (
+        allv.select("vec_id", ivf_centroid_sim(cent)(F.col("embedding")).alias("s"))
+        .toPandas()
+        .set_index("vec_id")["s"]
+    )
+    for comp, grp in out.groupby("sem_cluster"):
+        kept = grp[grp["keep"]]["vec_id"].iloc[0]
+        want = min(grp["vec_id"], key=lambda v: (sims[v], v))
+        assert kept == want
+    allv.unpersist()
+
+
+def test_semantic_dedup_string_ids(spark):
+    """Non-integral id columns skip the zero-pad round-trip and cluster
+    by lexicographic min — the text-url contract of the CC operator."""
+    from dedupe_algo_spark.operators.ann import semantic_dedup
+
+    rows = [
+        ("a", [1.0, 0.0]),
+        ("b", [1.0, 0.001]),
+        ("z", [0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id string, embedding array<float>")
+    pairs = spark.createDataFrame([("a", "b")], "id_a string, id_b string")
+    out = {
+        r["vec_id"]: (r["sem_cluster"], r["keep"])
+        for r in semantic_dedup(df, pairs=pairs).collect()
+    }
+    assert out == {"a": ("a", True), "b": ("a", False), "z": ("z", True)}

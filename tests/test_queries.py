@@ -31,6 +31,7 @@ SAMPLE = [
     "embedding_allpairs_sim",
     "embedding_lsh_pairs",
     "embedding_ivf_pairs",
+    "semantic_dedup",
     "minhash_pair_stats",
     "ngram_jaccard",
 ]
