@@ -1128,7 +1128,16 @@ SELECT * FROM (VALUES
 
 
 def q_minhash_dup_pairs(spark, sf_dir):
-    """MinHash-LSH near-dup pairs on synthetic pages (UDF path)."""
+    """MinHash-LSH near-dup pairs (banding candidates → exact
+    token-Jaccard confirm) at a FIXED n=2,000 pages — the size of the
+    committed parquet snapshot, so the run is sf-independent and the
+    DuckDB twin can recompute the FULL answer: expected pair membership
+    from the planted-role index arithmetic (pure function of the url's
+    row index — synth.py `_role`) and every score from the snapshot
+    texts (distinct-token Jaccard via list_intersect). A single extra,
+    missing, or mis-scored pair breaks the hash — this is a complete
+    recall+precision+score gate on banding, the hot-bucket path, and
+    the confirm tier at once."""
     from .operators.candidates import bucket_table, candidate_pairs
     from .operators.scoring import score_pairs
     from .synth import synth_pages
@@ -1136,13 +1145,74 @@ def q_minhash_dup_pairs(spark, sf_dir):
     from .tracking import PersistTracker
 
     tracker = PersistTracker()
-    n = max(500, int(20_000 * _sf_of(sf_dir) / 0.1))
-    pages = synth_pages(spark, n).select("url", "text")
+    pages = synth_pages(spark, 2_000).select("url", "text")
     pairs = candidate_pairs(bucket_table(pages, use_cheap_key=False))
     out = score_pairs(pairs, pages, tracker=tracker).select(
         "url_a", "url_b", F.round("score", 4).alias("score")
     )
     return _eager(out, tracker.release)
+
+
+# Planted-role index arithmetic shared by the two snapshot oracles
+# below: the synthetic corpus is a pure function of the row index
+# (synth.py `_role`), and every url ends in the 10-digit index — so
+# expected duplicate-group membership is derivable in SQL from the url
+# alone. Group key = donor row index; NULL = must not cluster (base
+# rows, distractors, non-dup edge rows).
+_SQL_PLANTED_ROLES = """
+WITH p AS (
+  SELECT url, text, CAST(substr(url, length(url) - 9, 10) AS BIGINT) AS i
+  FROM read_parquet('/root/repo/fixtures/pages_2000.parquet')
+), g AS (
+  SELECT url, text, i,
+    CASE
+      WHEN i % 100 >= 90 THEN (i // 100) * 100 + 5 + (i % 100 - 90) % 5
+      WHEN i % 100 >= 80 THEN (i // 100) * 100 + (i % 100 - 80) % 5
+      WHEN i % 100 = 69 AND (i // 100) % 4 = 3 THEN (i // 100) * 100
+      WHEN (i // 100) % 50 = 0 AND i % 100 BETWEEN 30 AND 68
+        THEN (i // 100) * 100
+      WHEN i % 100 < 10 THEN i
+      ELSE NULL END AS grp,
+    CASE WHEN i % 100 >= 90 OR (i % 100 BETWEEN 5 AND 9) THEN 'near'
+         ELSE 'exact' END AS match_kind
+  FROM p
+)
+"""
+
+SQL_MINHASH_DUP_PAIRS = _SQL_PLANTED_ROLES + """
+, t AS (
+  SELECT url, grp, list_distinct(string_split(text, ' ')) AS toks
+  FROM g WHERE grp IS NOT NULL
+)
+SELECT a.url AS url_a, b.url AS url_b,
+       ROUND(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.toks, b.toks))), 4) AS score
+FROM t a JOIN t b ON a.grp = b.grp AND a.url < b.url
+"""
+
+
+def q_pages_dedup_clusters_2k(spark, sf_dir):
+    """The COMPLETE flagship (exact tier + MinHash near tier + CC +
+    match_kind) at the committed-snapshot size n=2,000 — the value-level
+    twin of the sf-scaled rows-only flagship above. The DuckDB oracle
+    re-derives every output row from the planted-role index arithmetic:
+    membership (banding recall + confirm precision + CC transitivity),
+    cluster_id (min-url representative election through exact-group
+    collapse AND near-component closure), and per-url match_kind
+    (exact-group size ≥ 2 vs near singleton). Any clustering defect —
+    a merged pair of planted groups, a missed copy, a wrong
+    representative — breaks the hash."""
+    from .pipeline import dedup_pipeline
+    from .synth import synth_pages
+
+    res = dedup_pipeline(synth_pages(spark, 2_000))
+    return _eager(res.clusters, res.unpersist)
+
+
+SQL_PAGES_DEDUP_CLUSTERS_2K = _SQL_PLANTED_ROLES + """
+SELECT url, MIN(url) OVER (PARTITION BY grp) AS cluster_id, match_kind
+FROM g WHERE grp IS NOT NULL
+"""
 
 
 def q_simhash_signatures(spark, sf_dir):
@@ -1499,10 +1569,11 @@ QUERIES = {
     "embedding_lsh_pairs": q_embedding_lsh_pairs,
     "embedding_ivf_pairs": q_embedding_ivf_pairs,
     "semantic_dedup": q_semantic_dedup,
-    # rows-only (UDF pipelines; tests/ + the stat twins above carry the
-    # correctness gate)
-    "pages_dedup_clusters": q_pages_dedup_clusters,
+    "pages_dedup_clusters_2k": q_pages_dedup_clusters_2k,
     "minhash_dup_pairs": q_minhash_dup_pairs,
+    # rows-only (the sf-scaled flagship; its full value-level twin is
+    # pages_dedup_clusters_2k above, plus the stat twins)
+    "pages_dedup_clusters": q_pages_dedup_clusters,
     "simhash_signatures": q_simhash_signatures,
     "doc_fingerprint": q_doc_fingerprint,
     "media_features": q_media_features,
@@ -1553,6 +1624,8 @@ ORACLES = {
     "embedding_ivf_pairs": SQL_EMBEDDING_IVF_PAIRS,
     "semantic_dedup": SQL_SEMANTIC_DEDUP,
     "pages_dedup_exact": SQL_PAGES_DEDUP_EXACT,
+    "pages_dedup_clusters_2k": SQL_PAGES_DEDUP_CLUSTERS_2K,
+    "minhash_dup_pairs": SQL_MINHASH_DUP_PAIRS,
     "dedup_cluster_stats": SQL_DEDUP_CLUSTER_STATS,
     "minhash_pair_stats": SQL_MINHASH_PAIR_STATS,
     "media_features": SQL_MEDIA_FEATURES,
