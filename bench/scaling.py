@@ -417,6 +417,19 @@ def main() -> None:
     # hypervisor era must not clobber it — opt in to the rewrite.
     if os.environ.get("SCALING_SKIP_MD"):
         return
+    # Only the auto-generated headline (everything before the curated
+    # marker) is replaced; the curated history after it is preserved.
+    # A previous session wiped 450 lines of curated narrative because
+    # this writer truncated the whole file.
+    marker = "## Reading values above 1.0"
+    tail = ""
+    try:
+        with open(os.path.join(md, "BASELINE.md")) as f:
+            old = f.read()
+        if marker in old:
+            tail = old[old.index(marker):]
+    except FileNotFoundError:
+        pass
     with open(os.path.join(md, "BASELINE.md"), "w") as f:
         f.write(
             "# BENCH — scaling evidence (north_rule stand-in)\n\n"
@@ -480,6 +493,8 @@ def main() -> None:
             "holds it accountable for what this single box can physically\n"
             "scale. Per-stage evidence: bench/profile_scaling.py.\n"
         )
+        if tail:
+            f.write("\n" + tail)
 
 
 if __name__ == "__main__":
