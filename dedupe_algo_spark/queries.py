@@ -1024,7 +1024,10 @@ def _eager(df, release):
 
 def q_pages_dedup_clusters(spark, sf_dir):
     """Flagship: full exact+near dedup on the synthetic pages table
-    (size scaled to the sf of the given directory)."""
+    (size scaled to the sf of the given directory). Rows-only by
+    design (the answer depends on sf); its complete value-level twin
+    at the committed-snapshot size is ``pages_dedup_clusters_2k``, and
+    ``dedup_cluster_stats`` pins the planted truth at 10× that size."""
     from .pipeline import dedup_pipeline
     from .synth import synth_pages
 

@@ -228,6 +228,58 @@ def test_semantic_dedup_centroid_policy(spark):
     allv.unpersist()
 
 
+def test_semantic_dedup_random_graph_matches_union_find(spark):
+    """Injected random pair graphs (chains, triangles, isolated nodes —
+    seeded) must cluster exactly like a reference union-find with
+    numeric-min labels, and keep must mark exactly the min of each
+    cluster — the invariant the zero-pad round-trip exists to protect
+    (lexicographic CC min == numeric min)."""
+    from dedupe_algo_spark.operators.ann import semantic_dedup
+
+    rng = np.random.default_rng(7)
+    n = 200
+    edges = [
+        (int(a), int(b))
+        for a, b in rng.integers(0, n, size=(150, 2))
+        if a != b
+    ]
+    # ids deliberately straddle a digit-length boundary (8..207) so a
+    # plain string sort would misorder ("100" < "99") without the pad
+    ids = [i + 8 for i in range(n)]
+    edges = [(a + 8, b + 8) for a, b in edges]
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    want_comp = {}
+    for i in ids:
+        r = find(i)
+        want_comp.setdefault(r, []).append(i)
+    want = {}
+    for members in want_comp.values():
+        m = min(members)
+        for i in members:
+            want[i] = m
+
+    vecs = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in ids], "vec_id bigint, embedding array<float>"
+    )
+    pairs = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+    out = semantic_dedup(vecs, pairs=pairs).toPandas()
+    got = dict(zip(out["vec_id"], out["sem_cluster"]))
+    assert got == want
+    keep = dict(zip(out["vec_id"], out["keep"]))
+    assert all(keep[i] == (want[i] == i) for i in ids)
+
+
 def test_semantic_dedup_string_ids(spark):
     """Non-integral id columns skip the zero-pad round-trip and cluster
     by lexicographic min — the text-url contract of the CC operator."""
