@@ -428,6 +428,15 @@ def main() -> None:
             old = f.read()
         if marker in old:
             tail = old[old.index(marker):]
+        else:
+            # fail safe: an existing BASELINE.md without the curated
+            # marker means the layout changed — refuse to truncate it
+            # (the session JSON above already carries the numbers)
+            print(
+                "BASELINE.md exists but lacks the curated marker "
+                f"{marker!r}; leaving it untouched", file=sys.stderr
+            )
+            return
     except FileNotFoundError:
         pass
     with open(os.path.join(md, "BASELINE.md"), "w") as f:

@@ -261,6 +261,16 @@ def train_ivf_centroids(
     return cent.astype(np.float32)
 
 
+def _unit_sims(vecs_masked, cent: np.ndarray) -> np.ndarray:
+    """Shared normalize-and-GEMM prologue of the IVF UDFs: masked Arrow
+    batch → (N, n_cells) cosine matrix against the (dim, n_cells)
+    centroid matrix (float32 cast, zero-norm guard) — one place for the
+    dtype/norm handling instead of a copy per UDF."""
+    x = np.vstack([np.asarray(v, dtype=np.float32) for v in vecs_masked])
+    norms = np.linalg.norm(x, axis=1, keepdims=True)
+    return (x / np.where(norms == 0, 1.0, norms)) @ cent
+
+
 def ivf_cell_assigner(centroids: np.ndarray, n_assign: int = 1):
     """Arrow-batched UDF: vector → its ``n_assign`` nearest cells
     (array<int>). One ``(N, dim) @ (dim, n_cells)`` GEMM per batch;
@@ -276,9 +286,7 @@ def ivf_cell_assigner(centroids: np.ndarray, n_assign: int = 1):
         mask = vecs.notna().to_numpy()
         out = np.empty(len(vecs), dtype=object)
         if mask.any():
-            x = np.vstack([np.asarray(v, dtype=np.float32) for v in vecs[mask]])
-            norms = np.linalg.norm(x, axis=1, keepdims=True)
-            sims = (x / np.where(norms == 0, 1.0, norms)) @ cent
+            sims = _unit_sims(vecs[mask], cent)
             if n_assign == 1:
                 picks = sims.argmax(axis=1)[:, None]
             else:
@@ -393,10 +401,7 @@ def ivf_centroid_sim(centroids: np.ndarray):
         out = np.full(len(vecs), np.nan)
         mask = vecs.notna().to_numpy()
         if mask.any():
-            x = np.vstack([np.asarray(v, dtype=np.float32) for v in vecs[mask]])
-            norms = np.linalg.norm(x, axis=1, keepdims=True)
-            sims = (x / np.where(norms == 0, 1.0, norms)) @ cent
-            out[mask] = sims.max(axis=1).astype(np.float64)
+            out[mask] = _unit_sims(vecs[mask], cent).max(axis=1).astype(np.float64)
         return pd.Series(out)
 
     return sim
@@ -431,10 +436,15 @@ def semantic_dedup(
     large-star/small-star operator (and its driver union-find fast path
     + checkpoint hygiene) the text pipeline runs, so its 10^12-row story
     carries over. CC's node ids are strings with lexicographic min;
-    integral ids are therefore zero-padded to fixed width (20 digits —
-    lexicographic order == numeric order for non-negative int64) and
-    cast back on the way out, keeping ``sem_cluster = min(member ids)``
-    exactly reproducible by a SQL oracle's numeric ``MIN``.
+    integral ids are therefore encoded to a fixed-width decimal string
+    (offset by 2^63, so the FULL signed int64 range orders
+    lexicographically == numerically) and decoded on the way out.
+    ``sem_cluster`` is re-derived as the min id among members PRESENT
+    in ``vectors`` — so even a ``pairs`` frame referencing ids absent
+    from ``vectors`` (a stale pair list against a filtered table)
+    yields a present keeper per cluster instead of silently electing
+    nobody — and stays exactly reproducible by a SQL oracle's numeric
+    ``MIN``.
 
     ``keep_policy``:
 
@@ -448,19 +458,30 @@ def semantic_dedup(
       Ties broken by id. Needs ``centroids`` (trained here if absent).
 
     Scale shape: pair generation is the bucketed slim self-join
-    (``_confirm_keyed_pairs``), CC runs on the pair list (tiny vs N),
-    the final join back to the full id set is a broadcast of the
-    clustered minority in practice, and the centroid policy adds one
-    map-side GEMM column + a per-cluster window over the same join —
-    no new wide shuffle anywhere.
+    (``_confirm_keyed_pairs``), CC and the min-present relabel run on
+    the pair-node frame (tiny vs N), the final join back to the full id
+    set is a broadcast of the clustered minority in practice, and the
+    centroid policy adds one map-side GEMM column + a per-cluster
+    window — no new wide shuffle anywhere.
     """
     from .cluster import connected_components
 
     id_type = vectors.schema[id_col].dataType.simpleString()
     integral = id_type in ("int", "bigint", "smallint", "tinyint")
+    # 2^63 as a decimal literal: id + offset maps signed int64 onto
+    # [0, 2^64), which zero-padded to 20 digits orders lexicographically
+    # exactly like the signed numeric order (decimal(21,0) arithmetic is
+    # exact; a plain lpad of the signed string would misorder negatives
+    # and NULL-out on the cast back under ANSI mode)
+    _off = F.lit("9223372036854775808").cast("decimal(21,0)")
 
     def _pad(c):
-        return F.lpad(c.cast("string"), 20, "0") if integral else c.cast("string")
+        if not integral:
+            return c.cast("string")
+        return F.lpad((c.cast("decimal(21,0)") + _off).cast("string"), 20, "0")
+
+    def _unpad(c):
+        return (c.cast("decimal(21,0)") - _off).cast(id_type) if integral else c
 
     if pairs is None:
         if centroids is None:
@@ -480,20 +501,24 @@ def semantic_dedup(
         _pad(F.col("id_a")).alias("src"), _pad(F.col("id_b")).alias("dst")
     )
     comp = connected_components(edges, tracker=tracker).select(
-        F.col("url").alias("_pid"),
-        (
-            F.col("component").cast(id_type)
-            if integral
-            else F.col("component")
-        ).alias("_comp"),
+        F.col("url").alias("_pid"), F.col("component").alias("_comp")
+    )
+    # Relabel each component to its min PRESENT member — all on the
+    # slim pair-node frame (|comp| ≈ clustered nodes, not N).
+    present = vectors.select(
+        _pad(F.col(id_col)).alias("_pid"), F.col(id_col).alias("_id")
+    ).join(comp, "_pid")
+    relabel = present.groupBy("_comp").agg(F.min("_id").alias("_sem"))
+    node_map = present.select("_pid", "_comp").join(relabel, "_comp").select(
+        "_pid", "_sem"
     )
     assigned = (
         vectors.select(id_col, vec_col)
-        .join(comp, _pad(F.col(id_col)) == F.col("_pid"), "left")
+        .join(node_map, _pad(F.col(id_col)) == F.col("_pid"), "left")
         .select(
             id_col,
             vec_col,
-            F.coalesce(F.col("_comp"), F.col(id_col)).alias("sem_cluster"),
+            F.coalesce(F.col("_sem"), F.col(id_col)).alias("sem_cluster"),
         )
     )
     if keep_policy == "min_id":

@@ -31,6 +31,16 @@ from .operators import views
 from .operators.ann import brute_force_topk, cosine_sim
 from .sources.tables import load_table
 
+# Committed snapshot the DuckDB snapshot-oracles read — resolved from
+# this module's location at import time so the oracles work from any
+# checkout root, not just /root/repo (byte-identity between snapshot
+# and live generator is pinned by test_synth).
+import os as _os
+
+SNAPSHOT_2K = _os.path.abspath(
+    _os.path.join(_os.path.dirname(__file__), "..", "fixtures", "pages_2000.parquet")
+)
+
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "documents")
@@ -1083,10 +1093,10 @@ def q_pages_dedup_exact(spark, sf_dir):
     return _eager(res.exact, res.unpersist)
 
 
-SQL_PAGES_DEDUP_EXACT = """
+SQL_PAGES_DEDUP_EXACT = f"""
 WITH m AS (
   SELECT url, length(text) AS text_len, sha256(text) AS content_sha256
-  FROM read_parquet('/root/repo/fixtures/pages_2000.parquet')
+  FROM read_parquet('{SNAPSHOT_2K}')
   WHERE length(text) >= 10
 )
 SELECT url, text_len, content_sha256,
@@ -1162,10 +1172,10 @@ def q_minhash_dup_pairs(spark, sf_dir):
 # expected duplicate-group membership is derivable in SQL from the url
 # alone. Group key = donor row index; NULL = must not cluster (base
 # rows, distractors, non-dup edge rows).
-_SQL_PLANTED_ROLES = """
+_SQL_PLANTED_ROLES = f"""
 WITH p AS (
   SELECT url, text, CAST(substr(url, length(url) - 9, 10) AS BIGINT) AS i
-  FROM read_parquet('/root/repo/fixtures/pages_2000.parquet')
+  FROM read_parquet('{SNAPSHOT_2K}')
 ), g AS (
   SELECT url, text, i,
     CASE

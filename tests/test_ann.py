@@ -280,6 +280,50 @@ def test_semantic_dedup_random_graph_matches_union_find(spark):
     assert all(keep[i] == (want[i] == i) for i in ids)
 
 
+def test_semantic_dedup_negative_ids(spark):
+    """Signed ids must order numerically through the CC string
+    round-trip: the offset-decimal encoding maps the full int64 range
+    onto lexicographic order (a plain zero-pad would misorder
+    negatives and NULL-out the cast back under ANSI mode)."""
+    from dedupe_algo_spark.operators.ann import semantic_dedup
+
+    rows = [(i, [float(i), 1.0]) for i in (-5, -1, 3, 10, 42)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    pairs = spark.createDataFrame(
+        [(-5, 3), (3, 10), (-1, 42)], "id_a bigint, id_b bigint"
+    )
+    out = {
+        r["vec_id"]: (r["sem_cluster"], r["keep"])
+        for r in semantic_dedup(df, pairs=pairs).collect()
+    }
+    assert out == {
+        -5: (-5, True),
+        3: (-5, False),
+        10: (-5, False),
+        -1: (-1, True),
+        42: (-1, False),
+    }
+
+
+def test_semantic_dedup_foreign_pair_ids_elect_present_keeper(spark):
+    """A pairs frame referencing ids absent from vectors (stale pair
+    list vs a filtered table) must still elect exactly one PRESENT
+    keeper per surviving cluster — not zero (the min-id policy would
+    otherwise point every member at the absent min and drop the whole
+    cluster downstream)."""
+    from dedupe_algo_spark.operators.ann import semantic_dedup
+
+    rows = [(i, [float(i), 1.0]) for i in (5, 9)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    # id 1 (the numeric min of the component) is NOT in vectors
+    pairs = spark.createDataFrame([(1, 5), (1, 9)], "id_a bigint, id_b bigint")
+    out = {
+        r["vec_id"]: (r["sem_cluster"], r["keep"])
+        for r in semantic_dedup(df, pairs=pairs).collect()
+    }
+    assert out == {5: (5, True), 9: (5, False)}
+
+
 def test_semantic_dedup_string_ids(spark):
     """Non-integral id columns skip the zero-pad round-trip and cluster
     by lexicographic min — the text-url contract of the CC operator."""
