@@ -1239,7 +1239,11 @@ def q_simhash_signatures(spark, sf_dir):
     return sh.select("doc_id", "simhash", F.explode(simhash_bands(F.col("simhash"))).alias("band"))
 
 
-SQL_SIMHASH_SIGNATURES = r"""
+# Shared DuckDB re-derivation of the full 64-bit SimHash (dual 31-bit
+# polynomial token hash → per-bit majority → packing → signed view);
+# both the signature/band oracle and the hamming-distance oracle below
+# compose on the `signed` CTE.
+_SQL_SIMHASH_CHAIN = r"""
 WITH toks AS (
   SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
   FROM documents
@@ -1272,10 +1276,45 @@ WITH toks AS (
                    ELSE COALESCE(p.u64, 0) END AS BIGINT) AS simhash
   FROM documents d LEFT JOIN packed p ON d.doc_id = p.doc_id
 )
+"""
+
+SQL_SIMHASH_SIGNATURES = _SQL_SIMHASH_CHAIN + """
 SELECT doc_id, simhash,
        's' || CAST(k AS VARCHAR) || ':' ||
        CAST((u64 // CAST(power(2, k * 16) AS HUGEINT)) % 65536 AS VARCHAR) AS band
 FROM signed CROSS JOIN (SELECT unnest(range(0, 4)) AS k) ks
+"""
+
+
+def q_simhash_hamming(spark, sf_dir):
+    """SimHash near-duplicate DISTANCES (the dedup primitive the bands
+    accelerate): hamming distance between consecutive documents'
+    64-bit signatures, flagged at the k≤3 near-dup radius of Manku,
+    Jain & Das Sarma, "Detecting near-duplicates for web crawling"
+    (WWW 2007, public). Distance is JVM ``bit_count(a XOR b)`` over the
+    pandas-UDF signatures; the oracle re-derives the full signature
+    chain AND the xor/popcount in DuckDB, so signature packing, the
+    signed round-trip, and the distance math are all hash-checked."""
+    from .functions.simhash import hamming64, simhash64_udf
+
+    docs = _docs(spark, sf_dir)
+    sh = docs.select("doc_id", simhash64_udf(F.col("text")).alias("simhash"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("_ha"))
+    b = sh.select((F.col("doc_id") - 1).alias("doc_a"), F.col("simhash").alias("_hb"))
+    ham = hamming64(F.col("_ha"), F.col("_hb")).cast("int")
+    return a.join(b, "doc_a").select(
+        "doc_a",
+        (F.col("doc_a") + 1).alias("doc_b"),
+        ham.alias("hamming"),
+        (ham <= 3).alias("near"),
+    )
+
+
+SQL_SIMHASH_HAMMING = _SQL_SIMHASH_CHAIN + """
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming,
+       (bit_count(xor(a.simhash, b.simhash)) <= 3) AS near
+FROM signed a JOIN signed b ON b.doc_id = a.doc_id + 1
 """
 
 
@@ -1584,6 +1623,7 @@ QUERIES = {
     "semantic_dedup": q_semantic_dedup,
     "pages_dedup_clusters_2k": q_pages_dedup_clusters_2k,
     "minhash_dup_pairs": q_minhash_dup_pairs,
+    "simhash_hamming": q_simhash_hamming,
     # rows-only (the sf-scaled flagship; its full value-level twin is
     # pages_dedup_clusters_2k above, plus the stat twins)
     "pages_dedup_clusters": q_pages_dedup_clusters,
@@ -1644,4 +1684,5 @@ ORACLES = {
     "media_features": SQL_MEDIA_FEATURES,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "simhash_signatures": SQL_SIMHASH_SIGNATURES,
+    "simhash_hamming": SQL_SIMHASH_HAMMING,
 }

@@ -36,6 +36,7 @@ SAMPLE = [
     "ngram_jaccard",
     "minhash_dup_pairs",
     "pages_dedup_clusters_2k",
+    "simhash_hamming",
 ]
 
 
