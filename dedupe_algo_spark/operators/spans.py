@@ -1,0 +1,78 @@
+"""Substring-level dedup: duplicated n-gram span detection.
+
+Document-level dedup (exact/MinHash/SimHash/embedding — the rest of
+this package) misses the pervasive web failure mode of COPIED SPANS:
+boilerplate, quoted passages, and train/test contamination, where two
+otherwise-distinct documents share an exact run of tokens. The public
+treatment is Lee et al., "Deduplicating Training Data Makes Language
+Models Better" (ACL 2022) — exact substring dedup via suffix arrays.
+A suffix array is a single-machine construction; the Spark-native
+equivalent for a fixed span length is an n-gram inverted index: every
+document emits its token n-grams with positions, and a gram appearing
+in ≥ ``min_docs`` distinct documents marks a duplicated span at every
+site where it occurs.
+
+Scale shape: one explode (≈ tokens-per-doc rows, slim (id, pos, gram)
+triples — the text column itself never shuffles as a whole), one
+groupBy on the gram key (map-side partial aggregation applies), one
+join back to the exploded sites. With ``hashed=True`` the shuffle key
+is a 64-bit ``xxhash64`` of the gram instead of the string — the
+production dial at 10^12 documents (bytes per key drop ~6×; collisions
+≈ n²/2⁶⁴ merge unrelated spans) — while the default string key is
+exactly reproducible by engines without xxhash64 (the DuckDB oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_RE = r"\s+"
+
+
+def duplicate_ngram_spans(
+    docs: DataFrame,
+    n: int = 8,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hashed: bool = False,
+) -> DataFrame:
+    """→ (``id_col``, pos, gram, n_docs): every site of a token n-gram
+    that occurs in ≥ ``min_docs`` distinct documents. ``pos`` is the
+    1-based token offset of the span start; ``gram`` is the
+    space-joined span (or its xxhash64 when ``hashed``); ``n_docs`` is
+    the distinct-document frequency of that gram over the corpus.
+
+    Downstream: a training-data pipeline drops or clips the flagged
+    spans (Lee et al.'s substring cut), or joins train-side grams
+    against an eval corpus's grams for contamination reports.
+
+    Whole-stage-codegen only — tokenize/slice/concat are built-ins; no
+    Python in the plan.
+    """
+    toks = F.split(F.trim(F.col(text_col)), TOKEN_RE)
+    # sequence(1, 0) would generate a DESCENDING [1, 0] — guard short docs
+    starts = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    gram = lambda i: F.concat_ws(" ", F.slice(toks, i, n))  # noqa: E731
+    sites = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                starts,
+                lambda i: F.struct(
+                    i.cast("int").alias("pos"), gram(i).alias("gram")
+                ),
+            )
+        ).alias("_g"),
+    ).select(id_col, F.col("_g.pos").alias("pos"), F.col("_g.gram").alias("gram"))
+    if hashed:
+        sites = sites.withColumn("gram", F.xxhash64("gram"))
+    freq = (
+        sites.groupBy("gram")
+        .agg(F.countDistinct(id_col).alias("n_docs"))
+        .where(F.col("n_docs") >= min_docs)
+    )
+    return sites.join(freq, "gram").select(id_col, "pos", "gram", "n_docs")

@@ -1318,6 +1318,54 @@ FROM signed a JOIN signed b ON b.doc_id = a.doc_id + 1
 """
 
 
+def q_duplicate_spans(spark, sf_dir):
+    """Substring-level dedup (Lee et al., ACL 2022 family): duplicated
+    token-5-gram spans across base documents ∪ planted twins (twin =
+    the first 7 tokens of its base doc, sharing exactly its leading
+    5-gram sites). The oracle re-derives the whole inverted index in
+    DuckDB — tokenize, slide, distinct-doc frequency, site join — so
+    every flagged (doc, pos, gram, n_docs) row is hash-checked."""
+    from .operators.spans import duplicate_ngram_spans
+
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 100)
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    twins = docs.select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(toks, 1, 7)).alias("text"),
+    )
+    alld = docs.select("doc_id", "text").unionByName(twins)
+    return duplicate_ngram_spans(alld, n=5, min_docs=2)
+
+
+SQL_DUPLICATE_SPANS = r"""
+WITH base AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 100
+), twins AS (
+  SELECT doc_id + 10000 AS doc_id,
+         array_to_string(
+           list_slice(regexp_split_to_array(trim(text), '\s+'), 1, 7), ' '
+         ) AS text
+  FROM base
+), alld AS (
+  SELECT * FROM base UNION ALL SELECT * FROM twins
+), toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM alld
+), idx AS (
+  SELECT doc_id, t, unnest(range(1, greatest(len(t) - 4, 0) + 1)) AS i
+  FROM toks
+), sites AS (
+  SELECT doc_id, CAST(i AS INTEGER) AS pos,
+         array_to_string(list_slice(t, i, i + 4), ' ') AS gram
+  FROM idx
+), freq AS (
+  SELECT gram, COUNT(DISTINCT doc_id) AS n_docs
+  FROM sites GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+)
+SELECT s.doc_id, s.pos, s.gram, f.n_docs
+FROM sites s JOIN freq f USING (gram)
+"""
+
+
 def q_doc_fingerprint(spark, sf_dir):
     """Rolling-hash document fingerprint (UDF path; the dual polynomial
     chains are modular arithmetic, reproduced exactly by the oracle)."""
@@ -1624,6 +1672,7 @@ QUERIES = {
     "pages_dedup_clusters_2k": q_pages_dedup_clusters_2k,
     "minhash_dup_pairs": q_minhash_dup_pairs,
     "simhash_hamming": q_simhash_hamming,
+    "duplicate_spans": q_duplicate_spans,
     # rows-only (the sf-scaled flagship; its full value-level twin is
     # pages_dedup_clusters_2k above, plus the stat twins)
     "pages_dedup_clusters": q_pages_dedup_clusters,
@@ -1685,4 +1734,5 @@ ORACLES = {
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "simhash_signatures": SQL_SIMHASH_SIGNATURES,
     "simhash_hamming": SQL_SIMHASH_HAMMING,
+    "duplicate_spans": SQL_DUPLICATE_SPANS,
 }

@@ -37,6 +37,7 @@ SAMPLE = [
     "minhash_dup_pairs",
     "pages_dedup_clusters_2k",
     "simhash_hamming",
+    "duplicate_spans",
 ]
 
 
