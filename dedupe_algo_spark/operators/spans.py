@@ -20,6 +20,15 @@ is a 64-bit ``xxhash64`` of the gram instead of the string — the
 production dial at 10^12 documents (bytes per key drop ~6×; collisions
 ≈ n²/2⁶⁴ merge unrelated spans) — while the default string key is
 exactly reproducible by engines without xxhash64 (the DuckDB oracle).
+
+The physical plan scans the input TWICE (once under the frequency
+aggregate, once for the probe side) — deliberate: the duplicate-heavy
+alternative is caching the exploded site table, which is ~n tokens ×
+gram bytes per doc, i.e. several times LARGER than the input text;
+re-scanning parquet and re-running the codegen explode is cheaper at
+any scale where this operator matters. The frequency table (grams
+seen in ≥ min_docs docs, post-filter) broadcasts; the probe side
+never shuffles.
 """
 
 from __future__ import annotations
