@@ -5,7 +5,7 @@ custom function is either a built-in ``pyspark.sql.functions`` expression
 (JVM side, whole-stage-codegen eligible) or an Arrow-batched pandas UDF.
 """
 
-from .urls import registered_domain
+from .urls import canonical_url, registered_domain
 from .hashing import sha256_udf, partial_sha256_udf, length_bucket
 from .simhash import simhash64_udf, simhash_bands
 from .minhash import minhash_udf, minhash_bands, minhash_jaccard_udf
@@ -18,6 +18,7 @@ from .similarity import (
 )
 
 __all__ = [
+    "canonical_url",
     "registered_domain",
     "sha256_udf",
     "partial_sha256_udf",

@@ -23,8 +23,40 @@ TWO_LABEL_SUFFIXES = [
 def host_of(url: Column) -> Column:
     """Hostname of an http(s) url, lowercased."""
     return F.lower(
-        F.regexp_extract(url, r"^[a-z][a-z0-9+.-]*://([^/:?#]+)", 1)
+        F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)", 1)
     )
+
+
+def canonical_url(url: Column) -> Column:
+    """Canonical form for URL-level dedup (the cheapest dedup key a
+    crawl pipeline has — dedupe BEFORE fetching/hashing content):
+
+    - scheme and host lowercased
+    - a leading ``www.`` label dropped
+    - the scheme's default port dropped (``:80`` http, ``:443`` https)
+    - the fragment (``#…``) dropped — never sent to the server
+    - a trailing ``/`` dropped (the root path ``/`` canonicalizes to
+      the empty path — ``https://a.com/`` ≡ ``https://a.com``)
+    - the query string kept verbatim (reordering parameters can change
+      server semantics, so a canonicalizer must not sort them)
+
+    Pure regexp/string built-ins — whole-stage codegen, and exactly
+    reproducible in any engine with RE2-style regexes (the DuckDB
+    oracle runs the same patterns).
+    """
+    scheme = F.lower(F.regexp_extract(url, r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+    host = F.regexp_replace(host_of(url), r"^www\.", "")
+    port = F.regexp_extract(url, r"^[^/?#]*://[^/:?#]+:(\d+)", 1)
+    port = F.when(
+        ((scheme == "http") & (port == "80"))
+        | ((scheme == "https") & (port == "443"))
+        | (port == ""),
+        F.lit(""),
+    ).otherwise(F.concat(F.lit(":"), port))
+    path = F.regexp_extract(url, r"^[^/?#]*://[^/?#]*(/[^?#]*)", 1)
+    path = F.regexp_replace(path, r"/$", "")
+    query = F.regexp_extract(url, r"^[^?#]*(\?[^#]*)", 1)
+    return F.concat(scheme, F.lit("://"), host, port, path, query)
 
 
 def registered_domain(url: Column) -> Column:

@@ -85,3 +85,53 @@ def duplicate_ngram_spans(
         .where(F.col("n_docs") >= min_docs)
     )
     return sites.join(freq, "gram").select(id_col, "pos", "gram", "n_docs")
+
+
+def remove_duplicate_spans(
+    docs: DataFrame,
+    n: int = 8,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Lee et al.'s substring CUT: rewrite each document with every
+    token covered by a cross-document duplicated n-gram removed.
+
+    → (``id_col``, n_tokens, n_removed, kept_text): ``kept_text`` is
+    the surviving tokens (space-joined, original order), ``n_removed``
+    the count of token positions covered by at least one flagged span
+    site (overlapping spans count each position once).
+
+    Scale shape on top of :func:`duplicate_ngram_spans`: the flagged
+    sites explode to slim (id, covered-position) pairs, aggregate to
+    one sorted-positions array per FLAGGED doc (bounded by tokens per
+    doc), and join back to the input on the id key; the token filter
+    and re-join then run map-side inside codegen. Documents with no
+    flagged span pass through the left join untouched — at web scale
+    the flagged side is the small side and AQE sizes the join.
+    """
+    spans = duplicate_ngram_spans(
+        docs, n=n, min_docs=min_docs, id_col=id_col, text_col=text_col
+    )
+    covered = (
+        spans.select(
+            id_col,
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + (n - 1))
+            ).alias("cov"),
+        )
+        .groupBy(id_col)
+        .agg(F.collect_set("cov").alias("_cov"))
+    )
+    toks = F.split(F.trim(F.col(text_col)), TOKEN_RE)
+    cov = F.coalesce(F.col("_cov"), F.array().cast("array<int>"))
+    kept = F.filter(toks, lambda t, i: ~F.array_contains(cov, i + 1))
+    return (
+        docs.join(covered, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.size(toks).cast("long").alias("n_tokens"),
+            (F.size(toks) - F.size(kept)).cast("long").alias("n_removed"),
+            F.concat_ws(" ", kept).alias("kept_text"),
+        )
+    )

@@ -1620,6 +1620,233 @@ FROM documents d JOIN feat f ON d.doc_id = f.doc_id
 """
 
 
+def q_rep_signals(spark, sf_dir):
+    """Gopher-style repetition quality signals (Rae et al. 2021) —
+    exact-integer numerators/denominators per doc, so the DuckDB twin
+    reproduces every value bit-for-bit (no float thresholds in the
+    checked output). Uses the explode+groupBy long-document scale path;
+    the zero-shuffle higher-order-function twin is parity-pinned by
+    test_repetition."""
+    from .operators.repetition import repetition_signals
+
+    return repetition_signals(_docs(spark, sf_dir), mode="groupby")
+
+
+SQL_REP_SIGNALS = r"""
+WITH base AS (
+  SELECT doc_id, length(trim(text)) AS n_chars,
+         regexp_split_to_array(trim(text), '\s+') AS t
+  FROM documents
+), stats AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+         CAST(len(t) AS BIGINT) AS n_tokens,
+         CAST(len(t) - len(list_distinct(t)) AS BIGINT) AS n_dup_tokens
+  FROM base
+), g2 AS (
+  SELECT doc_id, array_to_string(list_slice(t, i, i + 1), ' ') AS gram
+  FROM (SELECT doc_id, t, unnest(range(1, greatest(len(t) - 1, 0) + 1)) AS i
+        FROM base)
+), c2 AS (
+  SELECT doc_id, gram, COUNT(*) AS cnt FROM g2 GROUP BY 1, 2
+), top2 AS (
+  SELECT doc_id, gram AS top_bigram, cnt AS top_bigram_count
+  FROM (SELECT doc_id, gram, cnt,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY cnt DESC, gram DESC) AS rn
+        FROM c2)
+  WHERE rn = 1
+), g5 AS (
+  SELECT doc_id, array_to_string(list_slice(t, i, i + 4), ' ') AS gram
+  FROM (SELECT doc_id, t, unnest(range(1, greatest(len(t) - 4, 0) + 1)) AS i
+        FROM base)
+), c5 AS (
+  SELECT doc_id, gram, COUNT(*) AS cnt FROM g5 GROUP BY 1, 2
+), d5 AS (
+  SELECT doc_id, SUM(cnt * length(gram)) AS dup_5gram_chars
+  FROM c5 WHERE cnt >= 2 GROUP BY doc_id
+)
+SELECT s.doc_id, s.n_chars, s.n_tokens, s.n_dup_tokens,
+       t.top_bigram,
+       CAST(COALESCE(t.top_bigram_count, 0) AS BIGINT) AS top_bigram_count,
+       CAST(COALESCE(d.dup_5gram_chars, 0) AS BIGINT) AS dup_5gram_chars
+FROM stats s
+LEFT JOIN top2 t USING (doc_id)
+LEFT JOIN d5 d USING (doc_id)
+"""
+
+
+def q_rep_filter(spark, sf_dir):
+    """Gopher repetition drop-verdict per doc: keep + integer bitmask of
+    which caps fired (1 dup-word, 2 top-bigram chars, 4 dup-5-gram
+    chars), at the paper's published thresholds. The comparisons happen
+    in exact integer×rational arithmetic on both sides."""
+    from .operators.repetition import repetition_filter, repetition_signals
+
+    return repetition_filter(repetition_signals(_docs(spark, sf_dir)))
+
+
+SQL_REP_FILTER = f"""
+WITH sig AS ({SQL_REP_SIGNALS}),
+mask AS (
+  SELECT doc_id,
+         (CASE WHEN n_dup_tokens > 0.63 * n_tokens THEN 1 ELSE 0 END)
+         + (CASE WHEN COALESCE(top_bigram_count * length(top_bigram), 0)
+                      > 0.20 * n_chars THEN 2 ELSE 0 END)
+         + (CASE WHEN dup_5gram_chars > 0.15 * n_chars THEN 4 ELSE 0 END)
+           AS fail_mask
+  FROM sig
+)
+SELECT doc_id, fail_mask = 0 AS keep, CAST(fail_mask AS INTEGER) AS fail_mask
+FROM mask
+"""
+
+
+def q_span_removal(spark, sf_dir):
+    """Lee et al.'s substring CUT over the same base∪twin corpus as
+    ``duplicate_spans``: every token covered by a cross-doc duplicated
+    5-gram is removed; the oracle re-derives the inverted index AND the
+    surviving text (order-preserving string_agg) in DuckDB, so the
+    rewritten documents are value-checked end-to-end."""
+    from .operators.spans import remove_duplicate_spans
+
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 100)
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    twins = docs.select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(toks, 1, 7)).alias("text"),
+    )
+    alld = docs.select("doc_id", "text").unionByName(twins)
+    return remove_duplicate_spans(alld, n=5, min_docs=2)
+
+
+SQL_SPAN_REMOVAL = r"""
+WITH base AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 100
+), twins AS (
+  SELECT doc_id + 10000 AS doc_id,
+         array_to_string(
+           list_slice(regexp_split_to_array(trim(text), '\s+'), 1, 7), ' '
+         ) AS text
+  FROM base
+), alld AS (
+  SELECT * FROM base UNION ALL SELECT * FROM twins
+), toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM alld
+), idx AS (
+  SELECT doc_id, t, unnest(range(1, greatest(len(t) - 4, 0) + 1)) AS i
+  FROM toks
+), sites AS (
+  SELECT doc_id, CAST(i AS INTEGER) AS pos,
+         array_to_string(list_slice(t, i, i + 4), ' ') AS gram
+  FROM idx
+), freq AS (
+  SELECT gram FROM sites GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+), covered AS (
+  SELECT DISTINCT s.doc_id, CAST(unnest(range(s.pos, s.pos + 5)) AS INTEGER) AS i
+  FROM sites s JOIN freq f USING (gram)
+), words AS (
+  SELECT doc_id, CAST(unnest(range(1, len(t) + 1)) AS INTEGER) AS i, t
+  FROM toks
+), kept AS (
+  SELECT w.doc_id, w.i, w.t[w.i] AS tok
+  FROM words w ANTI JOIN covered c ON w.doc_id = c.doc_id AND w.i = c.i
+), rebuilt AS (
+  SELECT doc_id, COUNT(*) AS n_kept,
+         string_agg(tok, ' ' ORDER BY i) AS kept_text
+  FROM kept GROUP BY doc_id
+)
+SELECT k.doc_id,
+       CAST(len(k.t) AS BIGINT) AS n_tokens,
+       CAST(len(k.t) - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed,
+       COALESCE(r.kept_text, '') AS kept_text
+FROM toks k LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
+def q_url_canonical_dedup(spark, sf_dir):
+    """URL-level dedup — the cheapest crawl-pipeline dedup key, applied
+    BEFORE any content hashing. Four deterministic surface variants of
+    every snapshot url (verbatim; HTTPS://WWW. + uppercased host +
+    #fragment; trailing slash; explicit :443 default port) collapse to
+    one canonical form; the oracle reruns the identical regexp algebra
+    in DuckDB over the same committed snapshot."""
+    from .functions.urls import canonical_url
+    from .synth import synth_pages
+
+    urls = synth_pages(spark, 2_000).select("url")
+    host = F.split(F.col("url"), "/")[2]
+    rest = F.expr("substring(url, 9 + length(split(url, '/')[2]))")
+    variants = (
+        urls.select(F.col("url").alias("raw"))
+        .unionByName(
+            urls.select(
+                F.concat(
+                    F.lit("HTTPS://WWW."), F.upper(host), rest, F.lit("#frag")
+                ).alias("raw")
+            )
+        )
+        .unionByName(urls.select(F.concat("url", F.lit("/")).alias("raw")))
+        .unionByName(
+            urls.select(
+                F.concat(
+                    F.lit("https://"), host, F.lit(":443"), rest
+                ).alias("raw")
+            )
+        )
+    )
+    return (
+        variants.groupBy(canonical_url(F.col("raw")).alias("canonical_url"))
+        .agg(
+            F.count(F.lit(1)).alias("n_variants"),
+            F.countDistinct("raw").alias("n_distinct_raw"),
+        )
+    )
+
+
+SQL_URL_CANONICAL_DEDUP = rf"""
+WITH urls AS (
+  SELECT url FROM read_parquet('{SNAPSHOT_2K}')
+), variants AS (
+  SELECT url AS raw FROM urls
+  UNION ALL
+  SELECT 'HTTPS://WWW.' || upper(split_part(url, '/', 3))
+         || substr(url, 9 + length(split_part(url, '/', 3))) || '#frag'
+  FROM urls
+  UNION ALL
+  SELECT url || '/' FROM urls
+  UNION ALL
+  SELECT 'https://' || split_part(url, '/', 3) || ':443'
+         || substr(url, 9 + length(split_part(url, '/', 3)))
+  FROM urls
+), canon AS (
+  SELECT raw,
+         lower(regexp_extract(raw, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1))
+           AS scheme,
+         regexp_replace(
+           lower(regexp_extract(raw, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)', 1)),
+           '^www\.', '') AS host,
+         regexp_extract(raw, '^[^/?#]*://[^/:?#]+:(\d+)', 1) AS port,
+         regexp_replace(
+           regexp_extract(raw, '^[^/?#]*://[^/?#]*(/[^?#]*)', 1), '/$', '')
+           AS path,
+         regexp_extract(raw, '^[^?#]*(\?[^#]*)', 1) AS query
+  FROM variants
+), built AS (
+  SELECT raw,
+         scheme || '://' || host
+         || (CASE WHEN (scheme = 'http' AND port = '80')
+                    OR (scheme = 'https' AND port = '443')
+                    OR port = '' THEN ''
+                  ELSE ':' || port END)
+         || path || query AS canonical_url
+  FROM canon
+)
+SELECT canonical_url, COUNT(*) AS n_variants,
+       COUNT(DISTINCT raw) AS n_distinct_raw
+FROM built GROUP BY canonical_url
+"""
+
+
 QUERIES = {
     "size_clusters": q_size_clusters,
     "singleton_prune": q_singleton_prune,
@@ -1673,6 +1900,10 @@ QUERIES = {
     "minhash_dup_pairs": q_minhash_dup_pairs,
     "simhash_hamming": q_simhash_hamming,
     "duplicate_spans": q_duplicate_spans,
+    "span_removal": q_span_removal,
+    "rep_signals": q_rep_signals,
+    "rep_filter": q_rep_filter,
+    "url_canonical_dedup": q_url_canonical_dedup,
     # rows-only (the sf-scaled flagship; its full value-level twin is
     # pages_dedup_clusters_2k above, plus the stat twins)
     "pages_dedup_clusters": q_pages_dedup_clusters,
@@ -1735,4 +1966,8 @@ ORACLES = {
     "simhash_signatures": SQL_SIMHASH_SIGNATURES,
     "simhash_hamming": SQL_SIMHASH_HAMMING,
     "duplicate_spans": SQL_DUPLICATE_SPANS,
+    "span_removal": SQL_SPAN_REMOVAL,
+    "rep_signals": SQL_REP_SIGNALS,
+    "rep_filter": SQL_REP_FILTER,
+    "url_canonical_dedup": SQL_URL_CANONICAL_DEDUP,
 }
