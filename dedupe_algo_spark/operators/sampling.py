@@ -1,0 +1,128 @@
+"""Deterministic hash-based sampling and splitting for data mixing.
+
+A training-data pipeline ends with MIXING: per-source / per-language
+rates (e.g. upsample books, downsample Common Crawl) and a
+train/validation holdout. At 10^12 documents both must be (a) exactly
+reproducible across reruns and engines — ``df.sample()`` is seeded
+per-partition, so ANY change in partitioning silently reshuffles the
+sample — and (b) pure narrow filters: no shuffle, no state, no RNG.
+
+The public construction (used by CCNet's hash-sharding and by every
+reservoir-free web pipeline) keys the decision on a content hash of a
+stable per-row key: a row is kept iff ``h(key) / H < rate``. Here the
+hash is the first 12 hex chars of ``md5(key || ':' || seed)`` —
+md5 because Spark and DuckDB (and essentially every engine) produce
+the identical lowercase hex digest, so the comparison can stay
+LEXICOGRAPHIC on the hex prefix against a precomputed threshold
+string: no integer conversion, no floats in the filter, bit-identical
+across engines. 48 hash bits bound the rate resolution at 2^-48.
+
+Plan shape: a ``CASE`` over the stratum column picking the threshold
+literal, one md5 over a short key string, one string compare — all
+whole-stage codegen; the physical plan is Scan → Filter with the
+predicate eligible for parquet row-group pruning on the stratum
+column. Nothing shuffles; scaling is embarrassingly parallel.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_HEX_DIGITS = 12  # 48 bits: exact in float64, far beyond rate precision
+
+
+def _threshold_hex(rate: float) -> str:
+    """Inclusive-exclusive upper bound for ``rate`` on the first 12 hex
+    chars of an md5 digest: keep iff ``digest[:12] < threshold``."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    bound = int(rate * (16**_HEX_DIGITS))
+    if bound >= 16**_HEX_DIGITS:
+        # 'g' sorts above every hex digit: keep-all without leaving the
+        # fixed 12-char lexicographic domain
+        return "g"
+    return format(bound, f"0{_HEX_DIGITS}x")
+
+
+def _bucket(key: Column, seed: int) -> Column:
+    return F.substring(
+        F.md5(F.concat_ws(":", key.cast("string"), F.lit(str(seed)))),
+        1,
+        _HEX_DIGITS,
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+    stratum_col: str = "lang",
+    key_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Keep each row with its stratum's rate, decided by a deterministic
+    content hash of ``key_col`` — rerun-stable under any partitioning,
+    any cluster size, any row order. Appends ``sample_weight`` =
+    1/rate (the Horvitz–Thompson inverse-probability weight, so
+    downstream token counts stay unbiased estimates of the full
+    corpus). Rows whose stratum is not in ``rates`` use
+    ``default_rate``; rate 0 drops the stratum entirely.
+
+    Nested sampling property: because the keep test is
+    ``hash < threshold(rate)``, the rate-0.25 sample is an exact
+    SUBSET of the rate-0.5 sample for the same seed — re-mixing at a
+    new rate never churns previously selected documents (the property
+    data-mixing ablations rely on).
+    """
+    thr = F.lit(_threshold_hex(default_rate))
+    for stratum, rate in sorted(rates.items()):
+        thr = F.when(
+            F.col(stratum_col) == stratum, F.lit(_threshold_hex(rate))
+        ).otherwise(thr)
+    wt = F.lit(float(1.0 / default_rate if default_rate else 0.0))
+    for stratum, rate in sorted(rates.items()):
+        wt = F.when(
+            F.col(stratum_col) == stratum,
+            F.lit(float(1.0 / rate if rate else 0.0)),
+        ).otherwise(wt)
+    return df.where(_bucket(F.col(key_col), seed) < thr).withColumn(
+        "sample_weight", wt
+    )
+
+
+def deterministic_split(
+    df: DataFrame,
+    fractions: dict[str, float],
+    key_col: str = "doc_id",
+    seed: int = 7,
+) -> DataFrame:
+    """Assign every row to exactly one split ("train"/"valid"/...) by
+    consecutive hash ranges over the same 48-bit md5 prefix — a
+    partition of the corpus (disjoint, exhaustive when fractions sum
+    to 1; any remainder mass lands in the LAST split by insertion
+    order, which absorbs the <2^-48 rounding slack). Appends
+    ``split``; no rows are dropped.
+
+    The split is a function of the KEY alone: adding, removing, or
+    re-sharding other rows never moves a document between train and
+    valid — the invariant that keeps a holdout honest across corpus
+    versions.
+    """
+    if not fractions:
+        raise ValueError("fractions must be non-empty")
+    total = sum(fractions.values())
+    if total > 1.0 + 1e-9:
+        raise ValueError(f"fractions sum to {total} > 1")
+    names = list(fractions)
+    bucket = _bucket(F.col(key_col), seed)
+    # ascending CASE over cumulative thresholds: first matching range wins
+    cum = 0.0
+    cases = []
+    for name in names[:-1]:
+        cum += fractions[name]
+        cases.append((name, _threshold_hex(cum)))
+    expr: Column = F.lit(names[-1])
+    for name, upper in reversed(cases):
+        expr = F.when(bucket < F.lit(upper), F.lit(name)).otherwise(expr)
+    return df.withColumn("split", expr)

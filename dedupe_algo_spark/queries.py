@@ -1847,6 +1847,189 @@ FROM built GROUP BY canonical_url
 """
 
 
+def q_line_dedup(spark, sf_dir):
+    """CCNet-style line-level boilerplate removal over a multi-line
+    corpus derived from ``documents``: every doc gets its body plus one
+    of two planted footers plus a 'Page N of 10' line (whose digit runs
+    normalize to the SAME key across docs — the CCNet normalization at
+    work). Lines whose normalized form appears in ≥3 distinct docs are
+    cut; the oracle re-derives the inverted index AND the rewritten
+    text in DuckDB, value-checking the rewrite end-to-end."""
+    from .operators.lines import remove_duplicate_lines
+
+    docs = _docs(spark, sf_dir)
+    multi = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 2 == 0, F.lit("Copyright 2024 Example Corp")
+            ).otherwise(F.lit("Subscribe to our newsletter!")),
+            F.concat(
+                F.lit("Page "),
+                (F.col("doc_id") % 7).cast("string"),
+                F.lit(" of 10"),
+            ),
+        ).alias("text"),
+    )
+    return remove_duplicate_lines(multi, min_docs=3)
+
+
+SQL_LINE_DEDUP = r"""
+WITH multi AS (
+  SELECT doc_id,
+         text || chr(10)
+         || CASE WHEN doc_id % 2 = 0 THEN 'Copyright 2024 Example Corp'
+                 ELSE 'Subscribe to our newsletter!' END
+         || chr(10) || 'Page ' || CAST(doc_id % 7 AS VARCHAR) || ' of 10'
+           AS text
+  FROM documents
+), docl AS (
+  SELECT doc_id, string_split(text, chr(10)) AS l FROM multi
+), idx AS (
+  SELECT doc_id, l, unnest(range(1, len(l) + 1)) AS i FROM docl
+), sites AS (
+  SELECT doc_id, CAST(i - 1 AS INTEGER) AS line_no, l[i] AS raw,
+         regexp_replace(lower(trim(l[i])), '[0-9]+', '0', 'g') AS key
+  FROM idx
+), freq AS (
+  SELECT key FROM sites WHERE key <> ''
+  GROUP BY key HAVING COUNT(DISTINCT doc_id) >= 3
+), dropped AS (
+  SELECT DISTINCT s.doc_id, s.line_no
+  FROM sites s JOIN freq f USING (key) WHERE s.key <> ''
+), kept AS (
+  SELECT s.doc_id, s.line_no, s.raw
+  FROM sites s ANTI JOIN dropped d
+    ON s.doc_id = d.doc_id AND s.line_no = d.line_no
+), rebuilt AS (
+  SELECT doc_id, COUNT(*) AS n_kept,
+         string_agg(raw, chr(10) ORDER BY line_no) AS kept_text
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(len(d.l) AS BIGINT) AS n_lines,
+       CAST(len(d.l) - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed,
+       COALESCE(r.kept_text, '') AS kept_text
+FROM docl d LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
+def q_decontam_report(spark, sf_dir):
+    """GPT-3-style benchmark decontamination: the eval corpus is a
+    planted contamination — a 9-token slice of every 5th document — and
+    the report lists every training doc sharing a 5-gram with it, with
+    hit counts and earliest position. The eval gram set broadcasts;
+    training text never shuffles."""
+    from .operators.decontam import contamination_report
+
+    docs = _docs(spark, sf_dir)
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    ev = docs.where(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 50000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(toks, 3, 9)).alias("text"),
+    )
+    return contamination_report(docs, ev, n=5)
+
+
+SQL_DECONTAM_REPORT = r"""
+WITH ev AS (
+  SELECT array_to_string(
+           list_slice(regexp_split_to_array(trim(text), '\s+'), 3, 11), ' '
+         ) AS text
+  FROM documents WHERE doc_id % 5 = 0
+), ev_toks AS (
+  SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM ev
+), ev_grams AS (
+  SELECT DISTINCT array_to_string(list_slice(t, i, i + 4), ' ') AS gram
+  FROM (SELECT t, unnest(range(1, greatest(len(t) - 4, 0) + 1)) AS i
+        FROM ev_toks)
+), tr AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  FROM documents
+), sites AS (
+  SELECT doc_id, CAST(len(t) - 4 AS BIGINT) AS n_grams,
+         CAST(i AS INTEGER) AS pos,
+         array_to_string(list_slice(t, i, i + 4), ' ') AS gram
+  FROM (SELECT doc_id, t, unnest(range(1, greatest(len(t) - 4, 0) + 1)) AS i
+        FROM tr)
+)
+SELECT doc_id, n_grams,
+       CAST(COUNT(*) AS BIGINT) AS n_hits,
+       CAST(MIN(pos) AS INTEGER) AS first_hit_pos
+FROM sites JOIN ev_grams USING (gram)
+GROUP BY doc_id, n_grams
+"""
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic per-language sampling for data mixing: keep-iff
+    ``md5(doc_id:seed)[:12] < threshold(rate)`` — a pure codegen filter
+    with zero shuffle, rerun-stable under any partitioning. Rates are
+    dyadic so the inverse-probability weights are float-exact on both
+    engines; the oracle replays the identical md5-prefix algebra."""
+    from .operators.sampling import stratified_sample
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang")
+    return stratified_sample(
+        docs, {"en": 0.5, "de": 0.25, "zh": 0.125}, default_rate=1.0, seed=42
+    )
+
+
+def _sql_stratified_sample() -> str:
+    from .operators.sampling import _threshold_hex as th
+
+    return f"""
+WITH hashed AS (
+  SELECT doc_id, lang,
+         substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 12) AS h
+  FROM documents
+)
+SELECT doc_id, lang,
+       CASE lang WHEN 'en' THEN 2.0 WHEN 'de' THEN 4.0
+            WHEN 'zh' THEN 8.0 ELSE 1.0 END AS sample_weight
+FROM hashed
+WHERE h < CASE lang WHEN 'en' THEN '{th(0.5)}' WHEN 'de' THEN '{th(0.25)}'
+               WHEN 'zh' THEN '{th(0.125)}' ELSE 'g' END
+"""
+
+
+def q_deterministic_split(spark, sf_dir):
+    """Hash-range train/valid/test assignment: a partition of the
+    corpus that is a function of the doc key alone — resharding or
+    shrinking the corpus never moves a document between splits. The
+    oracle replays the cumulative-threshold CASE with thresholds
+    computed by the SAME Python float arithmetic (0.8, 0.8+0.1)."""
+    from .operators.sampling import deterministic_split
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang")
+    return deterministic_split(
+        docs, {"train": 0.8, "valid": 0.1, "test": 0.1}, seed=7
+    )
+
+
+def _sql_deterministic_split() -> str:
+    from .operators.sampling import _threshold_hex as th
+
+    return f"""
+WITH hashed AS (
+  SELECT doc_id, lang,
+         substr(md5(CAST(doc_id AS VARCHAR) || ':7'), 1, 12) AS h
+  FROM documents
+)
+SELECT doc_id, lang,
+       CASE WHEN h < '{th(0.8)}' THEN 'train'
+            WHEN h < '{th(0.8 + 0.1)}' THEN 'valid'
+            ELSE 'test' END AS split
+FROM hashed
+"""
+
+
+SQL_STRATIFIED_SAMPLE = _sql_stratified_sample()
+SQL_DETERMINISTIC_SPLIT = _sql_deterministic_split()
+
+
 QUERIES = {
     "size_clusters": q_size_clusters,
     "singleton_prune": q_singleton_prune,
@@ -1904,6 +2087,10 @@ QUERIES = {
     "rep_signals": q_rep_signals,
     "rep_filter": q_rep_filter,
     "url_canonical_dedup": q_url_canonical_dedup,
+    "line_dedup": q_line_dedup,
+    "decontam_report": q_decontam_report,
+    "stratified_sample": q_stratified_sample,
+    "deterministic_split": q_deterministic_split,
     # rows-only (the sf-scaled flagship; its full value-level twin is
     # pages_dedup_clusters_2k above, plus the stat twins)
     "pages_dedup_clusters": q_pages_dedup_clusters,
@@ -1970,4 +2157,8 @@ ORACLES = {
     "rep_signals": SQL_REP_SIGNALS,
     "rep_filter": SQL_REP_FILTER,
     "url_canonical_dedup": SQL_URL_CANONICAL_DEDUP,
+    "line_dedup": SQL_LINE_DEDUP,
+    "decontam_report": SQL_DECONTAM_REPORT,
+    "stratified_sample": SQL_STRATIFIED_SAMPLE,
+    "deterministic_split": SQL_DETERMINISTIC_SPLIT,
 }

@@ -1,0 +1,91 @@
+"""Line-level boilerplate dedup (CCNet-style)."""
+
+from __future__ import annotations
+
+from dedupe_algo_spark.operators.lines import (
+    duplicate_line_stats,
+    remove_duplicate_lines,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_shared_footer_flagged_everywhere(spark):
+    """A footer line shared by 3 docs is flagged at each site with the
+    right distinct-doc count; unique lines are untouched."""
+    docs = _docs(
+        spark,
+        [
+            (1, "my unique story\nCopyright 2024 Example Corp"),
+            (2, "another body\nCopyright 2024 Example Corp\ntrailing bit"),
+            (3, "Copyright 2024 Example Corp"),
+            (4, "nothing shared here"),
+        ],
+    )
+    out = duplicate_line_stats(docs).toPandas()
+    got = sorted(map(tuple, out[["doc_id", "line_no"]].values))
+    assert got == [(1, 1), (2, 1), (3, 0)]
+    assert (out["n_docs"] == 3).all()
+    # digit runs collapse to 0 in the key
+    assert set(out["line_key"]) == {"copyright 0 example corp"}
+
+
+def test_normalization_merges_case_and_digits(spark):
+    """'Page 12 of 99' and 'page 3 of 4' are the same boilerplate line
+    after CCNet normalization (lowercase, digit runs → 0)."""
+    docs = _docs(spark, [(1, "body a\nPage 12 of 99"), (2, "page 3 of 4")])
+    out = duplicate_line_stats(docs).toPandas()
+    assert len(out) == 2
+    assert set(out["line_key"]) == {"page 0 of 0"}
+
+
+def test_within_doc_repeat_not_boilerplate(spark):
+    """min_docs counts DISTINCT docs — a line repeated inside one doc
+    only is not flagged; blank lines never count."""
+    docs = _docs(
+        spark, [(1, "same line\n\nsame line"), (2, "other\n   \nother2")]
+    )
+    assert duplicate_line_stats(docs).count() == 0
+
+
+def test_remove_rewrites_and_preserves_order(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "first body line\nSHARED FOOTER\nlast body line"),
+            (2, "shared footer"),
+            (3, "untouched\ndoc"),
+        ],
+    )
+    out = (
+        remove_duplicate_lines(docs)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert out.loc[1, "kept_text"] == "first body line\nlast body line"
+    assert (out.loc[1, "n_lines"], out.loc[1, "n_removed"]) == (3, 1)
+    assert out.loc[2, "kept_text"] == ""
+    assert out.loc[3, "kept_text"] == "untouched\ndoc"
+    assert out.loc[3, "n_removed"] == 0
+
+
+def test_hashed_key_matches_string_key_sites(spark):
+    """hashed=True must flag exactly the same (doc, line_no) sites as
+    the string key — only the key representation changes."""
+    docs = _docs(
+        spark,
+        [
+            (1, "aa\nbb\ncc"),
+            (2, "bb\ndd"),
+            (3, "cc\nbb"),
+        ],
+    )
+    a = duplicate_line_stats(docs, hashed=False).toPandas()
+    b = duplicate_line_stats(docs, hashed=True).toPandas()
+    key = lambda df: sorted(  # noqa: E731
+        map(tuple, df[["doc_id", "line_no", "n_docs"]].values)
+    )
+    assert key(a) == key(b)

@@ -1,0 +1,108 @@
+"""Deterministic hash-based sampling and splitting."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from dedupe_algo_spark.operators.sampling import (
+    _threshold_hex,
+    deterministic_split,
+    stratified_sample,
+)
+
+
+def _expected_keep(key, seed, rate):
+    h = hashlib.md5(f"{key}:{seed}".encode()).hexdigest()[:12]
+    return h < _threshold_hex(rate)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [(i, ["en", "de", "zh"][i % 3]) for i in range(600)]
+    return spark.createDataFrame(rows, "doc_id bigint, lang string").cache()
+
+
+def test_sample_matches_reference_hash_exactly(spark, corpus):
+    """Every keep/drop decision equals the hashlib.md5 reference — the
+    sample is a pure function of (key, seed, rate), no RNG."""
+    rates = {"en": 0.5, "de": 0.25}
+    out = stratified_sample(corpus, rates, default_rate=1.0, seed=42).toPandas()
+    kept = set(out["doc_id"])
+    for i in range(600):
+        lang = ["en", "de", "zh"][i % 3]
+        rate = rates.get(lang, 1.0)
+        assert (i in kept) == _expected_keep(i, 42, rate), (i, lang)
+    # weights are the inverse rates
+    w = out.set_index("doc_id")["sample_weight"]
+    for i in kept:
+        lang = ["en", "de", "zh"][i % 3]
+        assert w[i] == 1.0 / rates.get(lang, 1.0)
+
+
+def test_partitioning_invariance(spark, corpus):
+    """The same sample regardless of physical layout — the property
+    df.sample() does NOT have."""
+    a = stratified_sample(corpus, {"en": 0.5}, seed=1).toPandas()
+    b = stratified_sample(
+        corpus.repartition(17, "lang"), {"en": 0.5}, seed=1
+    ).toPandas()
+    assert sorted(a["doc_id"]) == sorted(b["doc_id"])
+
+
+def test_nested_samples(spark, corpus):
+    """rate 0.25 ⊂ rate 0.5 at the same seed (threshold monotonicity)."""
+    small = set(
+        stratified_sample(corpus, {}, default_rate=0.25, seed=9)
+        .toPandas()["doc_id"]
+    )
+    big = set(
+        stratified_sample(corpus, {}, default_rate=0.5, seed=9)
+        .toPandas()["doc_id"]
+    )
+    assert small <= big
+    assert len(small) < len(big)
+
+
+def test_rate_zero_and_one(spark, corpus):
+    out = stratified_sample(
+        corpus, {"en": 0.0}, default_rate=1.0, seed=3
+    ).toPandas()
+    assert not (out["lang"] == "en").any()
+    n_other = corpus.where(F.col("lang") != "en").count()
+    assert len(out) == n_other
+
+
+def test_split_partitions_corpus(spark, corpus):
+    """Splits are disjoint, exhaustive, reference-exact, and stable
+    under corpus changes (a key's split never depends on other rows)."""
+    fr = {"train": 0.8, "valid": 0.1, "test": 0.1}
+    out = deterministic_split(corpus, fr, seed=7).toPandas()
+    assert len(out) == 600
+    for _, row in out.iterrows():
+        h = hashlib.md5(f"{row.doc_id}:7".encode()).hexdigest()[:12]
+        if h < _threshold_hex(0.8):
+            want = "train"
+        elif h < _threshold_hex(0.9):
+            want = "valid"
+        else:
+            want = "test"
+        assert row.split == want
+    # dropping half the corpus moves nobody
+    sub = deterministic_split(
+        corpus.where(F.col("doc_id") < 300), fr, seed=7
+    ).toPandas()
+    merged = out.set_index("doc_id")["split"]
+    for _, row in sub.iterrows():
+        assert row.split == merged[row.doc_id]
+
+
+def test_split_validates_fractions(spark, corpus):
+    with pytest.raises(ValueError):
+        deterministic_split(corpus, {})
+    with pytest.raises(ValueError):
+        deterministic_split(corpus, {"a": 0.9, "b": 0.2})
+    with pytest.raises(ValueError):
+        stratified_sample(corpus, {"en": 1.5})
