@@ -1,0 +1,134 @@
+"""Corpus-level token statistics: IDF salience and unigram-LM quality.
+
+Two training-data operators that need a CORPUS-WIDE pass before the
+per-document verdict — the pattern that separates them from the pure
+narrow maps elsewhere in this package:
+
+* **TF-IDF salient terms** — per-document top-k tokens by term
+  frequency weighted against corpus document frequency. Used for
+  keyword extraction, dedup-key enrichment, and topic-mix audits.
+* **Unigram-LM cross-entropy** — CCNet (Wenzek et al. 2020) scores
+  every paragraph with a KenLM 5-gram LM and drops the worst tail;
+  the engine-level surrogate with no external model is the corpus's
+  OWN unigram distribution: a document's per-token cross-entropy
+  under corpus token frequencies. Gibberish and boilerplate-free
+  natural text separate cleanly; the ordering is what the quality
+  tail-cut consumes.
+
+Scale shape: one explode to slim ``(id, token)`` pairs (the text
+column never shuffles), one groupBy(token) aggregate with map-side
+partial combine for the corpus table — vocabulary-sized, i.e. tiny
+relative to the corpus by Heaps' law — then one join from per-doc
+term counts back to that table on the token key. The corpus scalar
+(total docs / total tokens) rides a 1-row broadcast cross join. At
+10^12 docs the vocab table is the natural bucketing candidate; the
+join key is already the aggregate's shuffle key, so AQE reuses the
+exchange.
+
+Determinism contract: ranking uses INTEGER keys only (tf desc, df
+asc, token asc) — float scores are reported, never sorted on, so the
+top-k set is bit-stable across engines and partitionings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+TOKEN_RE = r"\s+"
+
+
+def _tokens(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, token) per occurrence, lowercased whitespace tokens; empty
+    documents emit nothing."""
+    return docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), TOKEN_RE)).alias(
+            "token"
+        ),
+    ).where(F.col("token") != "")
+
+
+def document_frequency(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """→ (token, df): distinct-document frequency of every token."""
+    return (
+        _tokens(docs, id_col, text_col)
+        .groupBy("token")
+        .agg(F.countDistinct(id_col).alias("df"))
+    )
+
+
+def tfidf_topk(
+    docs: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """→ (``id_col``, rank, token, tf, df, tfidf): each document's top-k
+    salient tokens. Order: tf desc, df asc (rarer wins ties), token
+    asc — a total order on integers+string, so the selection is exact;
+    ``tfidf`` = round(tf · ln((N+1)/(df+1)), 6) is the reported
+    smoothed score (never the sort key)."""
+    toks = _tokens(docs, id_col, text_col)
+    tf = toks.groupBy(id_col, "token").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    dfreq = toks.groupBy("token").agg(
+        F.countDistinct(id_col).cast("long").alias("df")
+    )
+    n_docs = docs.select(
+        F.count(F.lit(1)).cast("double").alias("_n")
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("token").asc()
+    )
+    return (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            id_col,
+            "rank",
+            "token",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf") * F.log((F.col("_n") + 1) / (F.col("df") + 1)), 6
+            ).alias("tfidf"),
+        )
+    )
+
+
+def unigram_lm_quality(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """→ (``id_col``, n_tokens, cross_entropy): per-document cross-
+    entropy (bits/token) under the corpus's own unigram distribution,
+    computed as ``log2(T) − mean(log2 c_t)`` over token OCCURRENCES
+    (T = total corpus tokens, c_t = corpus count of the occurrence's
+    token). Lower = more typical text; the quality cut drops the high
+    tail. Empty documents are excluded (entropy undefined).
+
+    Consumers that need a drop VERDICT should quantile-cut this column
+    (``F.percentile_approx`` / ``approxQuantile``) rather than fix a
+    threshold — the CCNet protocol is distribution-relative.
+    """
+    toks = _tokens(docs, id_col, text_col)
+    counts = toks.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    total = counts.select(F.sum("c").cast("double").alias("_t"))
+    return (
+        toks.join(counts, "token")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            (F.log2(F.first("_t")) - F.avg(F.log2("c"))).alias(
+                "cross_entropy"
+            ),
+        )
+    )

@@ -2030,6 +2030,188 @@ SQL_STRATIFIED_SAMPLE = _sql_stratified_sample()
 SQL_DETERMINISTIC_SPLIT = _sql_deterministic_split()
 
 
+def _pii_planted(spark, sf_dir):
+    """Documents with deterministically planted PII: every 3rd doc gets
+    an email, every 4th an IPv4, every 5th a phone (overlapping — a doc
+    divisible by 12 carries both email and IP)."""
+    d = F.col("doc_id")
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                d % 3 == 0,
+                F.concat(
+                    F.lit(" Contact: user"), d.cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                d % 4 == 0,
+                F.concat(
+                    F.lit(" host "), (d % 256).cast("string"),
+                    F.lit(".0.113."), (d % 200).cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                d % 5 == 0,
+                F.concat(
+                    F.lit(" tel +1-555-"), (d % 900 + 100).cast("string")
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+
+
+# the identical planting in DuckDB (f-string shared by both PII oracles)
+_SQL_PII_PLANTED = """
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 3 = 0
+                 THEN ' Contact: user' || CAST(doc_id AS VARCHAR)
+                      || '@example.com' ELSE '' END
+         || CASE WHEN doc_id % 4 = 0
+                 THEN ' host ' || CAST(doc_id % 256 AS VARCHAR)
+                      || '.0.113.' || CAST(doc_id % 200 AS VARCHAR)
+                 ELSE '' END
+         || CASE WHEN doc_id % 5 = 0
+                 THEN ' tel +1-555-' || CAST(doc_id % 900 + 100 AS VARCHAR)
+                 ELSE '' END AS text
+  FROM documents
+"""
+
+
+def q_pii_report(spark, sf_dir):
+    """Dolma-style PII tagging over planted emails/IPs/phones: per-doc
+    match counts per class, counted progressively on the redacted text
+    (an email's inner dotted quad never double-counts as an IP). Pure
+    codegen regexes restricted to the Java∩RE2 dialect, so the DuckDB
+    twin replays them verbatim."""
+    from .operators.pii import pii_counts
+
+    return pii_counts(_pii_planted(spark, sf_dir))
+
+
+def q_pii_redact(spark, sf_dir):
+    """The redaction itself, value-checked byte-for-byte: every PII
+    match replaced with its class sentinel in the fixed EMAIL → IPV4 →
+    PHONE order on both engines."""
+    from .operators.pii import redact_pii
+
+    return redact_pii(_pii_planted(spark, sf_dir))
+
+
+def _sql_pii(report: bool) -> str:
+    from .operators.pii import PII_PATTERNS
+
+    email, ipv4, phone = (
+        PII_PATTERNS["email"], PII_PATTERNS["ipv4"], PII_PATTERNS["phone"],
+    )
+    body = f"""
+WITH planted AS ({_SQL_PII_PLANTED}), steps AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '{email}')) AS BIGINT) AS n_email,
+         regexp_replace(text, '{email}', '|||EMAIL|||', 'g') AS s1
+  FROM planted
+), steps2 AS (
+  SELECT doc_id, n_email,
+         CAST(len(regexp_extract_all(s1, '{ipv4}')) AS BIGINT) AS n_ipv4,
+         regexp_replace(s1, '{ipv4}', '|||IPV4|||', 'g') AS s2
+  FROM steps
+), steps3 AS (
+  SELECT doc_id, n_email, n_ipv4,
+         CAST(len(regexp_extract_all(s2, '{phone}')) AS BIGINT) AS n_phone,
+         regexp_replace(s2, '{phone}', '|||PHONE|||', 'g') AS s3
+  FROM steps2
+)
+"""
+    if report:
+        return body + (
+            "SELECT doc_id, n_email, n_ipv4, n_phone,\n"
+            "       n_email + n_ipv4 + n_phone AS n_pii FROM steps3"
+        )
+    return body + (
+        "SELECT doc_id, s3 AS redacted_text,\n"
+        "       n_email + n_ipv4 + n_phone AS n_pii FROM steps3"
+    )
+
+
+SQL_PII_REPORT = _sql_pii(report=True)
+SQL_PII_REDACT = _sql_pii(report=False)
+
+
+def q_tfidf_topk(spark, sf_dir):
+    """Per-document top-3 salient tokens by TF-IDF. The selection order
+    is integer-exact (tf desc, df asc, token asc) so the top-k set is
+    engine-stable; the smoothed float score is reported rounded on
+    both sides, never sorted on."""
+    from .operators.corpus_stats import tfidf_topk
+
+    return tfidf_topk(_docs(spark, sf_dir), k=3)
+
+
+SQL_TFIDF_TOPK = r"""
+WITH toks AS (
+  SELECT doc_id, token FROM (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+    FROM documents
+  ) WHERE token <> ''
+), tf AS (
+  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks GROUP BY 1, 2
+), dfreq AS (
+  SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+  FROM toks GROUP BY 1
+), n AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS _n FROM documents
+), ranked AS (
+  SELECT tf.doc_id, tf.token, tf.tf, d.df,
+         row_number() OVER (PARTITION BY tf.doc_id
+                            ORDER BY tf.tf DESC, d.df ASC, tf.token ASC)
+           AS rank
+  FROM tf JOIN dfreq d USING (token)
+)
+SELECT doc_id, CAST(rank AS INTEGER) AS rank, token, tf, df,
+       ROUND(tf * ln((_n + 1) / (df + 1)), 6) AS tfidf
+FROM ranked, n WHERE rank <= 3
+"""
+
+
+def q_lm_quality(spark, sf_dir):
+    """CCNet-style quality ordering without an external model: per-doc
+    cross-entropy under the corpus's own unigram distribution
+    (bits/token, lower = more typical). Rounded to 4 decimals on both
+    sides — the per-doc mean of ~50 log2 terms carries sub-1e-10
+    summation-order drift."""
+    from .operators.corpus_stats import unigram_lm_quality
+
+    return unigram_lm_quality(_docs(spark, sf_dir)).select(
+        "doc_id",
+        "n_tokens",
+        F.round("cross_entropy", 4).alias("cross_entropy"),
+    )
+
+
+SQL_LM_QUALITY = r"""
+WITH toks AS (
+  SELECT doc_id, token FROM (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+    FROM documents
+  ) WHERE token <> ''
+), counts AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(c) AS DOUBLE) AS _t FROM counts
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       ROUND(log2(MIN(_t)) - AVG(log2(c)), 4) AS cross_entropy
+FROM toks JOIN counts USING (token), tot
+GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "size_clusters": q_size_clusters,
     "singleton_prune": q_singleton_prune,
@@ -2091,6 +2273,10 @@ QUERIES = {
     "decontam_report": q_decontam_report,
     "stratified_sample": q_stratified_sample,
     "deterministic_split": q_deterministic_split,
+    "pii_report": q_pii_report,
+    "pii_redact": q_pii_redact,
+    "tfidf_topk": q_tfidf_topk,
+    "lm_quality": q_lm_quality,
     # rows-only (the sf-scaled flagship; its full value-level twin is
     # pages_dedup_clusters_2k above, plus the stat twins)
     "pages_dedup_clusters": q_pages_dedup_clusters,
@@ -2161,4 +2347,8 @@ ORACLES = {
     "decontam_report": SQL_DECONTAM_REPORT,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "deterministic_split": SQL_DETERMINISTIC_SPLIT,
+    "pii_report": SQL_PII_REPORT,
+    "pii_redact": SQL_PII_REDACT,
+    "tfidf_topk": SQL_TFIDF_TOPK,
+    "lm_quality": SQL_LM_QUALITY,
 }
