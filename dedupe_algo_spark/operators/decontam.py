@@ -33,12 +33,20 @@ from pyspark.sql import functions as F
 TOKEN_RE = r"\s+"
 
 
-def _grams(text: Column, n: int) -> Column:
-    """Array of space-joined token n-grams of ``text`` (empty when the
-    document is shorter than ``n`` tokens). Normalization is
-    lowercasing only — the GPT-3 protocol's punctuation strip is a
-    tokenizer concern; both engines reproduce ``lower`` identically."""
-    toks = F.split(F.trim(F.lower(text)), TOKEN_RE)
+def _toks(text: Column) -> Column:
+    """Lowercased whitespace token array. Normalization is lowercasing
+    only — the GPT-3 protocol's punctuation strip is a tokenizer
+    concern; both engines reproduce ``lower`` identically."""
+    return F.split(F.trim(F.lower(text)), TOKEN_RE)
+
+
+def _grams(toks: Column, n: int) -> Column:
+    """Array of space-joined token n-grams (empty when the document is
+    shorter than ``n`` tokens). ``toks`` MUST be a materialized column
+    attribute, never an inline split expression: the transform lambda
+    re-evaluates its free expressions per element (no CSE across the
+    higher-order-function boundary), which would make gram construction
+    O(tokens²) per document."""
     starts = F.when(
         F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
     ).otherwise(F.array().cast("array<int>"))
@@ -69,14 +77,17 @@ def contamination_report(
     if hashed:
         key = F.xxhash64("gram").alias("gram")
     eval_grams = (
-        eval_docs.select(F.explode(_grams(F.col(text_col), n)).alias("gram"))
+        eval_docs.select(_toks(F.col(text_col)).alias("_toks"))
+        .select(F.explode(_grams(F.col("_toks"), n)).alias("gram"))
         .select(key)
         .distinct()
     )
     sites = train.select(
+        F.col(id_col), _toks(F.col(text_col)).alias("_toks")
+    ).select(
         F.col(id_col),
-        F.size(F.split(F.trim(F.lower(F.col(text_col))), TOKEN_RE)).alias("_nt"),
-        F.posexplode(_grams(F.col(text_col), n)).alias("_p", "gram"),
+        F.size(F.col("_toks")).alias("_nt"),
+        F.posexplode(_grams(F.col("_toks"), n)).alias("_p", "gram"),
     ).select(
         id_col,
         (F.col("_nt") - (n - 1)).cast("long").alias("n_grams"),

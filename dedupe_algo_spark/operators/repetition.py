@@ -56,6 +56,22 @@ def _toks(text_col: str):
     return F.split(F.trim(F.col(text_col)), TOKEN_RE)
 
 
+def _with_toks(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, text, _toks): the token array MATERIALIZED as a column.
+
+    Building grams as ``transform(starts, i -> slice(split(text), i, n))``
+    with the split inlined re-evaluates the split PER ARRAY ELEMENT
+    (higher-order lambdas are interpreted; no common-subexpression
+    elimination crosses the lambda boundary) — O(tokens²) per document,
+    measured 55× slower at ~600-token pages. Referencing a projected
+    attribute keeps the split once-per-row; Catalyst's CollapseProject
+    leaves the alias alone because it is non-cheap and multiply
+    referenced."""
+    return docs.select(
+        F.col(id_col), F.col(text_col), _toks(text_col).alias("_toks")
+    )
+
+
 def _doc_stats(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Map-side per-doc stats — array_distinct is linear, no shuffle."""
     toks = _toks(text_col)
@@ -93,10 +109,11 @@ def repetition_signals(
         raise ValueError(f"mode must be 'groupby' or 'hof', got {mode!r}")
 
     stats = _doc_stats(docs, id_col, text_col)
-    toks = _toks(text_col)
+    toks = F.col("_toks")
     # One explode for both gram sizes: slim (id, n, gram) triples only —
-    # the text column never shuffles.
-    sites = docs.select(
+    # the text column never shuffles. Token array materialized once per
+    # row (see _with_toks — inlining it is quadratic in tokens).
+    sites = _with_toks(docs, id_col, text_col).select(
         F.col(id_col),
         F.explode(
             F.concat(
@@ -150,7 +167,7 @@ def repetition_signals(
 
 def _signals_hof(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Zero-shuffle variant: every signal inside whole-stage codegen."""
-    toks = _toks(text_col)
+    toks = F.col("_toks")
 
     def counted(grams):
         # struct(cnt, gram) per DISTINCT gram; array_max gives the
@@ -166,8 +183,18 @@ def _signals_hof(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
             ),
         )
 
-    c2 = counted(_grams(toks, 2))
-    c5 = counted(_grams(toks, 5))
+    # gram arrays materialized per row before counted() consumes them
+    # — counted re-reads its input per distinct gram, so an inlined
+    # gram-construction would re-run O(distinct) times per document
+    staged = _with_toks(docs, id_col, text_col).select(
+        id_col,
+        text_col,
+        "_toks",
+        _grams(toks, 2).alias("_g2"),
+        _grams(toks, 5).alias("_g5"),
+    )
+    c2 = counted(F.col("_g2"))
+    c5 = counted(F.col("_g5"))
     top2 = F.array_max(c2)
     dup5 = F.aggregate(
         c5,
@@ -177,7 +204,7 @@ def _signals_hof(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
             s["cnt"] >= 2, s["cnt"] * F.length(s["gram"]).cast("long")
         ).otherwise(F.lit(0).cast("long")),
     )
-    return docs.select(
+    return staged.select(
         F.col(id_col),
         F.length(F.trim(F.col(text_col))).cast("long").alias("n_chars"),
         F.size(toks).cast("long").alias("n_tokens"),

@@ -60,13 +60,21 @@ def duplicate_ngram_spans(
     Whole-stage-codegen only — tokenize/slice/concat are built-ins; no
     Python in the plan.
     """
-    toks = F.split(F.trim(F.col(text_col)), TOKEN_RE)
+    # token array MATERIALIZED as a column before the per-element
+    # lambda touches it: an inlined split would be re-evaluated per
+    # transform element (no CSE across the higher-order-function
+    # boundary) — O(tokens²) per document
+    toked = docs.select(
+        F.col(id_col),
+        F.split(F.trim(F.col(text_col)), TOKEN_RE).alias("_toks"),
+    )
+    toks = F.col("_toks")
     # sequence(1, 0) would generate a DESCENDING [1, 0] — guard short docs
     starts = F.when(
         F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
     ).otherwise(F.array().cast("array<int>"))
     gram = lambda i: F.concat_ws(" ", F.slice(toks, i, n))  # noqa: E731
-    sites = docs.select(
+    sites = toked.select(
         F.col(id_col),
         F.explode(
             F.transform(

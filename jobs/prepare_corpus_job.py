@@ -1,0 +1,223 @@
+"""spark-submit entry point for end-to-end training-corpus preparation.
+
+Chains the full training-data pipeline this package implements, in the
+order a production crawl-to-corpus run applies it — each stage only
+consuming what the previous one kept, each stage's surviving row count
+reported as lineage:
+
+    1. URL dedup        keep the newest snapshot per canonical url
+                        (zero-content dedup — cheapest cut first)
+    2. quality gate     Gopher repetition caps (exact-integer verdicts)
+    3. PII redaction    email/IPv4/phone → class sentinels (codegen)
+    4. content dedup    exact + near (hash cascade → MinHash/LSH →
+                        confirm → connected components); keep one
+                        representative per cluster (min url — the same
+                        keeper rule the reference's UI defaults to)
+    5. decontamination  drop docs sharing an n-gram with --eval docs
+    6. mixing           deterministic per-language sampling rates +
+                        hash-range train/valid/test split
+
+Run on any cluster as:
+
+    spark-submit --master <master> --py-files dedupe_algo_spark.zip \
+        jobs/prepare_corpus_job.py \
+        --input /path/to/pages_parquet --output /path/to/corpus_out \
+        [--eval /path/to/eval_parquet] [--contam-ngram 13] \
+        [--rates en=1.0,de=0.5] [--default-rate 1.0] \
+        [--train 0.98 --valid 0.01 --test 0.01] [--seed 42] \
+        [--synth N]   (generate N synthetic pages instead of --input)
+
+Input schema (input_hint): url:string, warc_ts:timestamp, html:binary,
+text:string, lang:string. Output: the kept rows with redacted text,
+``sample_weight`` and ``split`` columns, partitioned by split. A JSON
+lineage line ({stage: rows_kept}) prints to stdout; per-stage audit
+rows additionally flow to the default-on audit table.
+
+Lineage cost: each stage boundary that is consumed again downstream is
+persisted before its count, so counting reads block-manager blocks
+instead of re-running the upstream stages; every persist is released
+as soon as its last consumer has run.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def _parse_rates(spec: str) -> dict[str, float]:
+    if not spec:
+        return {}
+    out = {}
+    for part in spec.split(","):
+        k, v = part.split("=")
+        out[k.strip()] = float(v)
+    return out
+
+
+def prepare(
+    spark,
+    pages,
+    eval_docs=None,
+    contam_ngram: int = 13,
+    rates: dict[str, float] | None = None,
+    default_rate: float = 1.0,
+    fractions: dict[str, float] | None = None,
+    seed: int = 42,
+    threshold: float = 0.8,
+):
+    """Run the six-stage preparation over a pages DataFrame. Returns
+    (mixed DataFrame ready to write, lineage dict of per-stage counts,
+    release callable). The heavy intermediates are unpersisted inside;
+    the final kept set stays persisted because ``mixed`` is a lazy
+    narrow view of it — call ``release()`` once the output is
+    committed."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from dedupe_algo_spark.functions.urls import canonical_url
+    from dedupe_algo_spark.operators.decontam import decontaminate
+    from dedupe_algo_spark.operators.pii import redact_pii
+    from dedupe_algo_spark.operators.repetition import (
+        repetition_filter,
+        repetition_signals,
+    )
+    from dedupe_algo_spark.operators.sampling import (
+        deterministic_split,
+        stratified_sample,
+    )
+    from dedupe_algo_spark.pipeline import dedup_pipeline
+
+    lineage: dict[str, int] = {"input": pages.count()}
+
+    # 1. URL dedup: newest snapshot per canonical url; warc_ts ties
+    # break on raw url for determinism. One shuffle on the slim key.
+    w = Window.partitionBy("_canon").orderBy(
+        F.col("warc_ts").desc(), F.col("url").asc()
+    )
+    pages = (
+        pages.withColumn("_canon", canonical_url(F.col("url")))
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_canon", "_rn")
+    )
+    # slim recount (url + warc_ts only — column pruning keeps the
+    # window pass cheap) so url-dedup and quality-gate attribute
+    # separately in the lineage
+    lineage["url_dedup"] = pages.select("url").count()
+
+    # 2. Gopher repetition gate (keep verdicts are exact-integer)
+    keep = repetition_filter(
+        repetition_signals(pages, id_col="url", text_col="text"),
+        id_col="url",
+    ).where("keep").select("url")
+    pages = pages.join(keep, "url", "left_semi")
+
+    # 3. PII redaction — REPLACES text downstream, so hashes and
+    # signatures dedup the redacted bytes users will actually train on
+    red = redact_pii(pages, id_col="url", text_col="text")
+    pages = pages.drop("text").join(
+        red.select("url", F.col("redacted_text").alias("text")), "url"
+    )
+    # consumed by the dedup pipeline AND twice by the keeper joins
+    pages = pages.persist()
+    lineage["quality_gate"] = pages.select("url").count()
+
+    # 4. content dedup → keep the min-url representative per cluster
+    result = dedup_pipeline(pages, threshold=threshold)
+    reps = (
+        result.clusters.groupBy("cluster_id")
+        .agg(F.min("url").alias("url"))
+        .select("url")
+    )
+    clustered = result.clusters.select("url").distinct()
+    kept = (
+        pages.join(clustered, "url", "left_anti")
+        .unionByName(pages.join(reps, "url", "left_semi"))
+        .persist()
+    )
+    lineage["content_dedup"] = kept.count()
+    result.unpersist()
+    pages.unpersist()
+
+    # 5. decontamination against the eval corpus (optional)
+    final = kept
+    if eval_docs is not None:
+        final = decontaminate(
+            kept, eval_docs, n=contam_ngram, id_col="url", text_col="text"
+        ).persist()
+        lineage["decontam"] = final.count()
+        kept.unpersist()
+
+    # 6. mixing: deterministic sample + split (pure narrow filters)
+    mixed = stratified_sample(
+        final,
+        rates or {},
+        default_rate=default_rate,
+        stratum_col="lang",
+        key_col="url",
+        seed=seed,
+    )
+    mixed = deterministic_split(
+        mixed,
+        fractions or {"train": 0.98, "valid": 0.01, "test": 0.01},
+        key_col="url",
+        seed=seed + 1,
+    )
+    return mixed, lineage, lambda: final.unpersist()
+
+
+def main() -> None:
+    p = argparse.ArgumentParser(description="end-to-end corpus preparation")
+    p.add_argument("--input")
+    p.add_argument("--synth", type=int, default=0)
+    p.add_argument("--output", required=True)
+    p.add_argument("--eval", dest="eval_path")
+    p.add_argument("--contam-ngram", type=int, default=13)
+    p.add_argument("--rates", default="")
+    p.add_argument("--default-rate", type=float, default=1.0)
+    p.add_argument("--train", type=float, default=0.98)
+    p.add_argument("--valid", type=float, default=0.01)
+    p.add_argument("--test", type=float, default=0.01)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--threshold", type=float, default=0.8)
+    args = p.parse_args()
+    if bool(args.input) == bool(args.synth):
+        p.error("exactly one of --input / --synth required")
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = SparkSession.builder.getOrCreate()
+    if args.synth:
+        from dedupe_algo_spark.synth import synth_pages
+
+        pages = synth_pages(spark, args.synth)
+    else:
+        pages = spark.read.parquet(args.input)
+    eval_docs = (
+        spark.read.parquet(args.eval_path) if args.eval_path else None
+    )
+    mixed, lineage, release = prepare(
+        spark,
+        pages,
+        eval_docs=eval_docs,
+        contam_ngram=args.contam_ngram,
+        rates=_parse_rates(args.rates),
+        default_rate=args.default_rate,
+        fractions={"train": args.train, "valid": args.valid, "test": args.test},
+        seed=args.seed,
+        threshold=args.threshold,
+    )
+    mixed.write.mode("overwrite").partitionBy("split").parquet(args.output)
+    release()
+    out = spark.read.parquet(args.output)
+    lineage["output"] = out.count()
+    for s in ("train", "valid", "test"):
+        lineage[f"output_{s}"] = out.where(F.col("split") == s).count()
+    print(json.dumps({"lineage": lineage}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
