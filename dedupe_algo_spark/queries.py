@@ -2140,6 +2140,48 @@ SQL_PII_REPORT = _sql_pii(report=True)
 SQL_PII_REDACT = _sql_pii(report=False)
 
 
+def q_asof_click_view(spark, sf_dir):
+    """As-of backward join over events: each click joined to the same
+    user's latest prior (inclusive) view. Spark has no ASOF operator;
+    this is the tagged-union window encoding (one shuffle on the key,
+    zero row amplification — operators/asof.py) checked value-level
+    against DuckDB's native ASOF LEFT JOIN. Timestamps leave as
+    formatted strings, nulls as '' / -1.0 (engine-stable hashing)."""
+    from .operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id", "ts", "value"
+    )
+    out = asof_join(clicks, views, on="user_id", right_cols=["value"])
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", fmt).alias("click_ts"),
+        F.coalesce(F.date_format("ts_asof", fmt), F.lit("")).alias("view_ts"),
+        F.coalesce(F.col("value_asof"), F.lit(-1.0)).alias("view_value"),
+    )
+
+
+SQL_ASOF_CLICK_VIEW = """
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+), views AS (
+  SELECT user_id, ts, value FROM events WHERE event_type = 'view'
+)
+SELECT c.event_id, c.user_id,
+       strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+       COALESCE(strftime(v.ts, '%Y-%m-%d %H:%M:%S.%f'), '') AS view_ts,
+       COALESCE(v.value, -1.0) AS view_value
+FROM clicks c ASOF LEFT JOIN views v
+  ON c.user_id = v.user_id AND c.ts >= v.ts
+"""
+
+
 def q_tfidf_topk(spark, sf_dir):
     """Per-document top-3 salient tokens by TF-IDF. The selection order
     is integer-exact (tf desc, df asc, token asc) so the top-k set is
@@ -2277,6 +2319,7 @@ QUERIES = {
     "pii_redact": q_pii_redact,
     "tfidf_topk": q_tfidf_topk,
     "lm_quality": q_lm_quality,
+    "asof_click_view": q_asof_click_view,
     # rows-only (the sf-scaled flagship; its full value-level twin is
     # pages_dedup_clusters_2k above, plus the stat twins)
     "pages_dedup_clusters": q_pages_dedup_clusters,
@@ -2351,4 +2394,5 @@ ORACLES = {
     "pii_redact": SQL_PII_REDACT,
     "tfidf_topk": SQL_TFIDF_TOPK,
     "lm_quality": SQL_LM_QUALITY,
+    "asof_click_view": SQL_ASOF_CLICK_VIEW,
 }
