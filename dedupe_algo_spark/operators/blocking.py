@@ -62,3 +62,118 @@ def salted(df: DataFrame, key: str = "block_key", buckets: int = 16) -> DataFram
         "salted_key",
         F.concat_ws("#", F.col(key), (F.crc32(F.col("url")) % buckets).cast("string")),
     )
+
+
+def global_sort_rank(
+    df: DataFrame,
+    sort_cols: list[str],
+    partitions: int | None = None,
+    tracker=None,
+) -> DataFrame:
+    """Append ``_rank``: the 0-based position of each row in the TOTAL
+    order by ``sort_cols`` (which must be a unique key — pass the id
+    last). The naive ``row_number().over(Window.orderBy(...))`` drags
+    every row through ONE task; this is the scale-honest two-pass form:
+
+    1. one range exchange + partition-local sort (Spark's distributed
+       sort — exactly what ``df.sort`` plans),
+    2. partition-local ordinals assigned in Arrow batches (mapInPandas,
+       zero shuffle, preserves the sorted order),
+    3. per-partition row counts (a P-row aggregate over the same cached
+       projection) cumulated into offsets and broadcast-joined back.
+
+    The rank is a property of the total order alone, so it is
+    deterministic even though the range partitioner samples its
+    boundaries. Only ``sort_cols`` move through the exchange — project
+    first, join the rank back by id if other columns are needed.
+    """
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    spark = df.sparkSession
+    if partitions is None:
+        partitions = df.sparkSession.sparkContext.defaultParallelism
+    srt = (
+        df.repartitionByRange(partitions, *sort_cols)
+        .sortWithinPartitions(*sort_cols)
+    )
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    # fresh StructType — .add() mutates, and srt.schema is the frame's
+    # own cached schema object
+    out_schema = StructType(
+        [*srt.schema.fields]
+        + [StructField("_pid", IntegerType()), StructField("_local", LongType())]
+    )
+
+    def ordinals(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        seen = 0
+        for pdf in batches:
+            pdf = pdf.assign(_pid=pid, _local=range(seen, seen + len(pdf)))
+            seen += len(pdf)
+            yield pdf
+
+    # persisted: the counts pass and the rank join both consume the
+    # sorted ordinals; registered on the tracker (if given) so the
+    # caller can release the blocks once the ranks are consumed
+    local = srt.mapInPandas(ordinals, out_schema)
+    local = tracker.persist(local) if tracker is not None else local.persist()
+    counts = local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
+    offsets = counts.toPandas().sort_values("_pid")
+    offsets["_offset"] = offsets["_n"].cumsum() - offsets["_n"]
+    off = F.broadcast(
+        spark.createDataFrame(
+            offsets[["_pid", "_offset"]], "_pid int, _offset long"
+        )
+    )
+    return (
+        local.join(off, "_pid")
+        .withColumn("_rank", F.col("_offset") + F.col("_local"))
+        .drop("_pid", "_local", "_offset")
+    )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    sort_cols: list[str],
+    id_col: str = "url",
+    window: int = 4,
+    partitions: int | None = None,
+    tracker=None,
+) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernández & Stolfo 1995): order the
+    corpus by a fuzzy key and emit every pair within ``window`` rank
+    positions → (url_a, url_b), url_a < url_b lexicographically, each
+    unordered pair once. Complements hash blocking: near-boundary
+    records (a length one byte over the bucket edge, a typo'd domain)
+    land in ADJACENT sort positions even when their hash keys differ.
+
+    Scale shape: ranking as :func:`global_sort_rank` (one range
+    exchange of the slim (key, id) projection); pairing explodes each
+    row to its ``window−1`` successor ranks (slim long rows) and
+    equi-joins rank→rank — integer-key hash join, AQE-planned, no
+    theta join and no single-task stage anywhere.
+    """
+    from pyspark.sql import functions as F
+
+    slim = df.select(*dict.fromkeys([*sort_cols, id_col]))
+    ranked = global_sort_rank(
+        slim, [*sort_cols, id_col], partitions=partitions, tracker=tracker
+    )
+    ranked = ranked.select(id_col, "_rank")
+    probes = ranked.select(
+        F.col(id_col).alias("_ida"),
+        F.explode(
+            F.sequence(F.col("_rank") + 1, F.col("_rank") + (window - 1))
+        ).alias("_rank"),
+    )
+    return (
+        probes.join(ranked, "_rank")
+        .select(
+            F.least(F.col("_ida"), F.col(id_col)).alias("url_a"),
+            F.greatest(F.col("_ida"), F.col(id_col)).alias("url_b"),
+        )
+    )

@@ -14,6 +14,11 @@ narrow maps elsewhere in this package:
   under corpus token frequencies. Gibberish and boilerplate-free
   natural text separate cleanly; the ordering is what the quality
   tail-cut consumes.
+* **Bigram-LM cross-entropy** — the same perplexity-filter protocol
+  one order up: a Laplace-smoothed corpus bigram model
+  ``P(w2|w1) = (C(w1,w2)+1) / (C(w1)+V)``. Word-order scrambles and
+  template stutter that unigram statistics cannot see (identical
+  token multiset, broken transitions) surface here.
 
 Scale shape: one explode to slim ``(id, token)`` pairs (the text
 column never shuffles), one groupBy(token) aggregate with map-side
@@ -130,5 +135,70 @@ def unigram_lm_quality(
             (F.log2(F.first("_t")) - F.avg(F.log2("c"))).alias(
                 "cross_entropy"
             ),
+        )
+    )
+
+
+def _bigrams(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, w1, w2) per adjacent token pair, in document order. Documents
+    with fewer than two tokens emit nothing (an all-whitespace or empty
+    text splits to a single empty token and is excluded by the size
+    gate, so no empty-token filter can shift adjacency)."""
+    return (
+        docs.select(
+            F.col(id_col),
+            F.split(F.trim(F.lower(F.col(text_col))), TOKEN_RE).alias("_a"),
+        )
+        .where(F.size("_a") >= 2)
+        .select(
+            id_col,
+            F.explode(
+                F.expr(
+                    "transform(slice(_a, 1, size(_a)-1),"
+                    " (w, i) -> struct(w AS w1, _a[i+1] AS w2))"
+                )
+            ).alias("_bg"),
+        )
+        .select(id_col, F.col("_bg.w1").alias("w1"), F.col("_bg.w2").alias("w2"))
+    )
+
+
+def bigram_lm_quality(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """→ (``id_col``, n_bigrams, cross_entropy): per-document cross-
+    entropy (bits/transition) under the corpus's own Laplace-smoothed
+    bigram model ``P(w2|w1) = (C(w1,w2)+1) / (C(w1)+V)``, where
+    ``C(w1)`` counts w1's occurrences as a bigram CONTEXT (so the model
+    normalizes per context) and ``V`` is the corpus vocabulary size.
+    Documents with fewer than two tokens are excluded (no transitions).
+
+    Scale shape: bigram occurrences are slim ``(id, w1, w2)`` rows —
+    text never shuffles. The model is two aggregates (bigram counts,
+    then context counts derived FROM the bigram counts, so the corpus
+    is tokenized once); the context join touches only model-sized
+    rows. One occurrence-side join on (w1, w2) — the model table is
+    bounded by the corpus's distinct-bigram count, which grows far
+    sublinearly in tokens, and at 10^12 docs it is the bucketing
+    candidate exactly like the unigram table above. The vocabulary
+    scalar rides a 1-row broadcast cross join.
+    """
+    toks = _tokens(docs, id_col, text_col)
+    bigr = _bigrams(docs, id_col, text_col)
+    bg_counts = bigr.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("c12")
+    )
+    ctx = bg_counts.groupBy("w1").agg(F.sum("c12").cast("long").alias("c1"))
+    model = bg_counts.join(ctx, "w1")
+    vocab = toks.agg(F.countDistinct("token").cast("double").alias("_v"))
+    return (
+        bigr.join(model, ["w1", "w2"])
+        .crossJoin(F.broadcast(vocab))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            (-F.avg(
+                F.log2((F.col("c12") + 1) / (F.col("c1") + F.col("_v")))
+            )).alias("cross_entropy"),
         )
     )

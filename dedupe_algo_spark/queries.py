@@ -2254,6 +2254,75 @@ GROUP BY doc_id
 """
 
 
+
+def q_lm_bigram(spark, sf_dir):
+    """Perplexity-filter scoring one order up from ``lm_quality``:
+    per-doc cross-entropy under the corpus's own Laplace-smoothed
+    bigram model (bits/transition). Rounded to 4 decimals on both
+    sides — the per-doc mean of ~50 log2 terms carries sub-1e-10
+    summation-order drift (same contract as lm_quality)."""
+    from .operators.corpus_stats import bigram_lm_quality
+
+    return bigram_lm_quality(_docs(spark, sf_dir)).select(
+        "doc_id",
+        "n_bigrams",
+        F.round("cross_entropy", 4).alias("cross_entropy"),
+    )
+
+
+SQL_LM_BIGRAM = r"""
+WITH arrs AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS a
+  FROM documents
+), big AS (
+  SELECT doc_id, a[i] AS w1, a[i+1] AS w2
+  FROM arrs, LATERAL (SELECT unnest(generate_series(1, len(a)-1)) AS i) t
+), bg AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM big GROUP BY 1, 2
+), ctx AS (
+  SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM bg GROUP BY 1
+), v AS (
+  SELECT CAST(COUNT(DISTINCT token) AS DOUBLE) AS _v FROM (
+    SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+    FROM documents
+  ) WHERE token <> ''
+)
+SELECT big.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       ROUND(-AVG(log2((c12 + 1) / (c1 + _v))), 4) AS cross_entropy
+FROM big JOIN bg USING (w1, w2) JOIN ctx USING (w1), v
+GROUP BY 1
+"""
+
+
+
+def q_snm_pairs(spark, sf_dir):
+    """Sorted-neighborhood blocking over documents: candidates within 3
+    sort positions under the fuzzy key (lang, n_chars). Complements the
+    hash-blocking queries — near-boundary records pair here even when
+    their bucket keys differ. Rank set is integer-exact (the sort key
+    ends in doc_id), so the pair list is engine-stable."""
+    from .operators.blocking import sorted_neighborhood_pairs
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "n_chars")
+    return sorted_neighborhood_pairs(
+        docs, ["lang", "n_chars"], id_col="doc_id", window=4
+    ).select(
+        F.col("url_a").alias("doc_a"), F.col("url_b").alias("doc_b")
+    )
+
+
+SQL_SNM_PAIRS = r"""
+WITH ranked AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY lang, n_chars, doc_id) AS r
+  FROM documents
+)
+SELECT least(a.doc_id, b.doc_id) AS doc_a,
+       greatest(a.doc_id, b.doc_id) AS doc_b
+FROM ranked a JOIN ranked b ON b.r > a.r AND b.r <= a.r + 3
+"""
+
+
 QUERIES = {
     "size_clusters": q_size_clusters,
     "singleton_prune": q_singleton_prune,
@@ -2319,6 +2388,8 @@ QUERIES = {
     "pii_redact": q_pii_redact,
     "tfidf_topk": q_tfidf_topk,
     "lm_quality": q_lm_quality,
+    "lm_bigram": q_lm_bigram,
+    "snm_pairs": q_snm_pairs,
     "asof_click_view": q_asof_click_view,
     # rows-only (the sf-scaled flagship; its full value-level twin is
     # pages_dedup_clusters_2k above, plus the stat twins)
@@ -2394,5 +2465,7 @@ ORACLES = {
     "pii_redact": SQL_PII_REDACT,
     "tfidf_topk": SQL_TFIDF_TOPK,
     "lm_quality": SQL_LM_QUALITY,
+    "lm_bigram": SQL_LM_BIGRAM,
+    "snm_pairs": SQL_SNM_PAIRS,
     "asof_click_view": SQL_ASOF_CLICK_VIEW,
 }

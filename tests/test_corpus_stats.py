@@ -71,3 +71,57 @@ def test_empty_docs_excluded(spark):
     assert sorted(out["doc_id"]) == [1]
     top = tfidf_topk(docs, k=2).toPandas()
     assert sorted(set(top["doc_id"])) == [1]
+
+
+def test_bigram_lm_quality_reference_exact(spark):
+    """Cross-entropy equals a pure-Python reference model on a corpus
+    small enough to enumerate; single-token and empty docs are absent."""
+    from collections import Counter
+
+    from dedupe_algo_spark.operators.corpus_stats import bigram_lm_quality
+
+    docs = _df(
+        spark,
+        [
+            (1, "the cat sat"),
+            (2, "the cat ran"),
+            (3, "ran The  the"),
+            (4, "solo"),
+            (5, "   "),
+        ],
+    )
+    out = {
+        r["doc_id"]: (r["n_bigrams"], r["cross_entropy"])
+        for r in bigram_lm_quality(docs).collect()
+    }
+
+    texts = {1: "the cat sat", 2: "the cat ran", 3: "ran the  the"}
+    toks = {i: t.lower().split() for i, t in texts.items()}
+    bigrams = {i: list(zip(ts, ts[1:])) for i, ts in toks.items()}
+    c12 = Counter(b for bs in bigrams.values() for b in bs)
+    c1 = Counter(b[0] for bs in bigrams.values() for b in bs)
+    vocab = {w for ts in toks.values() for w in ts} | {"solo"}
+    v = float(len(vocab))
+
+    assert set(out) == {1, 2, 3}  # doc 4 has no bigrams, doc 5 no tokens
+    for i, bs in bigrams.items():
+        h = -sum(
+            math.log2((c12[b] + 1) / (c1[b[0]] + v)) for b in bs
+        ) / len(bs)
+        assert out[i][0] == len(bs)
+        assert abs(out[i][1] - h) < 1e-9
+
+
+def test_bigram_lm_orders_scrambled_below_natural(spark):
+    """The property the operator exists for: a word-order scramble of
+    in-distribution text (identical token multiset — invisible to the
+    unigram model) scores strictly worse under the bigram model."""
+    from dedupe_algo_spark.operators.corpus_stats import bigram_lm_quality
+
+    base = [(i, "the quick brown fox jumps over the lazy dog") for i in range(10)]
+    docs = _df(spark, base + [(99, "dog the lazy fox the quick jumps brown over")])
+    out = {r["doc_id"]: r["cross_entropy"] for r in bigram_lm_quality(docs).collect()}
+    assert out[99] > out[0]
+    # unigram cannot separate them: same multiset, same corpus counts
+    uni = {r["doc_id"]: r["cross_entropy"] for r in unigram_lm_quality(docs).collect()}
+    assert abs(uni[99] - uni[0]) < 1e-9
