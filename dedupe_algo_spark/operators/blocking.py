@@ -87,9 +87,6 @@ def global_sort_rank(
     boundaries. Only ``sort_cols`` move through the exchange — project
     first, join the rank back by id if other columns are needed.
     """
-    import pandas as pd
-    from pyspark.sql import functions as F
-
     spark = df.sparkSession
     if partitions is None:
         partitions = df.sparkSession.sparkContext.defaultParallelism

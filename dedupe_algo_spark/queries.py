@@ -2323,6 +2323,45 @@ FROM ranked a JOIN ranked b ON b.r > a.r AND b.r <= a.r + 3
 """
 
 
+
+def q_snapshot_time_travel(spark, sf_dir):
+    """Iceberg-model snapshot table (sources/snapshots.py) exercised
+    end-to-end: commit the even-id documents, append the odd ones, then
+    TIME-TRAVEL back to snapshot 1 and aggregate — the result must see
+    only the first commit. The tiny aggregate is materialized so the
+    scratch table can be deleted before returning."""
+    import shutil
+    import tempfile
+
+    from .sources.snapshots import SnapshotTable
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "n_chars")
+    root = tempfile.mkdtemp(prefix="snaptbl-")
+    try:
+        t = SnapshotTable(spark, root)
+        t.commit(docs.where(F.col("doc_id") % 2 == 0))
+        t.commit(docs.where(F.col("doc_id") % 2 == 1))  # append
+        out = (
+            t.read(snapshot=1)
+            .groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.sum("n_chars").cast("long").alias("total_chars"),
+            )
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+SQL_SNAPSHOT_TIME_TRAVEL = r"""
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents WHERE doc_id % 2 = 0
+GROUP BY lang
+"""
+
+
 QUERIES = {
     "size_clusters": q_size_clusters,
     "singleton_prune": q_singleton_prune,
@@ -2390,6 +2429,7 @@ QUERIES = {
     "lm_quality": q_lm_quality,
     "lm_bigram": q_lm_bigram,
     "snm_pairs": q_snm_pairs,
+    "snapshot_time_travel": q_snapshot_time_travel,
     "asof_click_view": q_asof_click_view,
     # rows-only (the sf-scaled flagship; its full value-level twin is
     # pages_dedup_clusters_2k above, plus the stat twins)
@@ -2467,5 +2507,6 @@ ORACLES = {
     "lm_quality": SQL_LM_QUALITY,
     "lm_bigram": SQL_LM_BIGRAM,
     "snm_pairs": SQL_SNM_PAIRS,
+    "snapshot_time_travel": SQL_SNAPSHOT_TIME_TRAVEL,
     "asof_click_view": SQL_ASOF_CLICK_VIEW,
 }
