@@ -2362,6 +2362,152 @@ GROUP BY lang
 """
 
 
+def q_fs_scores(spark, sf_dir):
+    """Fellegi–Sunter probabilistic linkage over documents: block on the
+    n_chars//16 length bucket, compare (lang, source, n_chars, 16-char
+    text prefix), estimate u from the data (Σn_v²/N² per field — one
+    aggregate each, no pair enumeration), fixed m, and score each pair
+    with the likelihood-ratio product. lr is hash-stable because every
+    factor is one IEEE division of exactly-representable operands and
+    the product is left-associated in both engines (linkage.py docstring
+    has the full argument)."""
+    from .operators.linkage import fs_score_pairs, u_probabilities
+
+    fields = ["lang", "source", "n_chars", "p16"]
+    m = {"lang": 0.95, "source": 0.9, "n_chars": 0.9, "p16": 0.85}
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        F.substring("text", 1, 16).alias("p16"),
+        F.expr("n_chars div 16").alias("blk"),
+    )
+    u = u_probabilities(d, fields)
+    a = d.select(*[F.col(c).alias("a_" + c) for c in d.columns])
+    b = d.select(*[F.col(c).alias("b_" + c) for c in d.columns])
+    pairs = a.join(
+        b,
+        (F.col("a_blk") == F.col("b_blk"))
+        & (F.col("a_doc_id") < F.col("b_doc_id")),
+    )
+    return fs_score_pairs(pairs, fields, m, u, upper=100.0, lower=1.0).select(
+        F.col("a_doc_id").alias("doc_a"),
+        F.col("b_doc_id").alias("doc_b"),
+        "pattern",
+        "lr",
+        "decision",
+    )
+
+
+SQL_FS_SCORES = r"""
+WITH d AS (
+  SELECT doc_id, lang, source, n_chars, substr(text, 1, 16) AS p16,
+         n_chars // 16 AS blk
+  FROM documents
+),
+u AS (
+  SELECT
+    (SELECT SUM(c*c) FROM (SELECT lang, COUNT(*) c FROM d
+       WHERE lang IS NOT NULL GROUP BY lang))
+      / ((SELECT COUNT(*) FROM d) * (SELECT COUNT(*) FROM d)) AS u_lang,
+    (SELECT SUM(c*c) FROM (SELECT source, COUNT(*) c FROM d
+       WHERE source IS NOT NULL GROUP BY source))
+      / ((SELECT COUNT(*) FROM d) * (SELECT COUNT(*) FROM d)) AS u_source,
+    (SELECT SUM(c*c) FROM (SELECT n_chars, COUNT(*) c FROM d
+       WHERE n_chars IS NOT NULL GROUP BY n_chars))
+      / ((SELECT COUNT(*) FROM d) * (SELECT COUNT(*) FROM d)) AS u_nchars,
+    (SELECT SUM(c*c) FROM (SELECT p16, COUNT(*) c FROM d
+       WHERE p16 IS NOT NULL GROUP BY p16))
+      / ((SELECT COUNT(*) FROM d) * (SELECT COUNT(*) FROM d)) AS u_p16
+),
+g AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    CASE WHEN a.lang IS NOT NULL AND b.lang IS NOT NULL
+              AND a.lang = b.lang THEN 1 ELSE 0 END AS g_lang,
+    CASE WHEN a.source IS NOT NULL AND b.source IS NOT NULL
+              AND a.source = b.source THEN 1 ELSE 0 END AS g_source,
+    CASE WHEN a.n_chars IS NOT NULL AND b.n_chars IS NOT NULL
+              AND a.n_chars = b.n_chars THEN 1 ELSE 0 END AS g_nchars,
+    CASE WHEN a.p16 IS NOT NULL AND b.p16 IS NOT NULL
+              AND a.p16 = b.p16 THEN 1 ELSE 0 END AS g_p16
+  FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
+),
+w AS (
+  SELECT doc_a, doc_b,
+    ((g_lang * 2 + g_source) * 2 + g_nchars) * 2 + g_p16 AS pattern,
+    (((CASE WHEN g_lang = 1 THEN CAST(0.95 AS DOUBLE) / u_lang
+        ELSE (CAST(1 AS DOUBLE) - CAST(0.95 AS DOUBLE))
+             / (CAST(1 AS DOUBLE) - u_lang) END
+     * CASE WHEN g_source = 1 THEN CAST(0.9 AS DOUBLE) / u_source
+        ELSE (CAST(1 AS DOUBLE) - CAST(0.9 AS DOUBLE))
+             / (CAST(1 AS DOUBLE) - u_source) END)
+     * CASE WHEN g_nchars = 1 THEN CAST(0.9 AS DOUBLE) / u_nchars
+        ELSE (CAST(1 AS DOUBLE) - CAST(0.9 AS DOUBLE))
+             / (CAST(1 AS DOUBLE) - u_nchars) END)
+     * CASE WHEN g_p16 = 1 THEN CAST(0.85 AS DOUBLE) / u_p16
+        ELSE (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+             / (CAST(1 AS DOUBLE) - u_p16) END) AS lr
+  FROM g, u
+)
+SELECT doc_a, doc_b, pattern, lr,
+       CASE WHEN lr >= 100 THEN 'match'
+            WHEN lr >= 1 THEN 'possible'
+            ELSE 'nonmatch' END AS decision
+FROM w
+"""
+
+
+def q_meta_blocking(spark, sf_dir):
+    """Papadakis-style meta-blocking over documents: token blocking on
+    the first 200 chars, block purging (2 ≤ size ≤ 20), CBS + block-set
+    Jaccard edge weights, weighted-edge pruning at the integer-exact
+    mean cut (w·|E| ≥ Σw, broadcast 1-row aggregate — no driver
+    round-trip)."""
+    from .operators.linkage import meta_block
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    return meta_block(d, "doc_id", "text", max_block=20, prefix_chars=200).select(
+        F.col("id_a").alias("doc_a"),
+        F.col("id_b").alias("doc_b"),
+        "cbs",
+        "js",
+    )
+
+
+SQL_META_BLOCKING = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_distinct(string_split(substr(text, 1, 200), ' '))) AS token
+  FROM documents
+),
+toks2 AS (SELECT * FROM toks WHERE token <> ''),
+keep AS (
+  SELECT token FROM toks2 GROUP BY token
+  HAVING COUNT(*) BETWEEN 2 AND 20
+),
+b AS (SELECT t.doc_id, t.token FROM toks2 t JOIN keep USING (token)),
+edges AS (
+  SELECT a.doc_id AS id_a, b2.doc_id AS id_b,
+         CAST(COUNT(*) AS BIGINT) AS cbs
+  FROM b a JOIN b b2 ON a.token = b2.token AND a.doc_id < b2.doc_id
+  GROUP BY 1, 2
+),
+per_id AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nb FROM b GROUP BY doc_id),
+w AS (
+  SELECT e.id_a, e.id_b, e.cbs,
+         CAST(e.cbs AS DOUBLE) / (pa.nb + pb.nb - e.cbs) AS js
+  FROM edges e
+  JOIN per_id pa ON pa.doc_id = e.id_a
+  JOIN per_id pb ON pb.doc_id = e.id_b
+),
+stats AS (SELECT SUM(cbs) AS sw, COUNT(*) AS ne FROM w)
+SELECT id_a AS doc_a, id_b AS doc_b, cbs, js
+FROM w, stats
+WHERE cbs * ne >= sw
+"""
+
+
 QUERIES = {
     "size_clusters": q_size_clusters,
     "singleton_prune": q_singleton_prune,
@@ -2430,6 +2576,8 @@ QUERIES = {
     "lm_bigram": q_lm_bigram,
     "snm_pairs": q_snm_pairs,
     "snapshot_time_travel": q_snapshot_time_travel,
+    "fs_scores": q_fs_scores,
+    "meta_blocking": q_meta_blocking,
     "asof_click_view": q_asof_click_view,
     # rows-only (the sf-scaled flagship; its full value-level twin is
     # pages_dedup_clusters_2k above, plus the stat twins)
@@ -2508,5 +2656,7 @@ ORACLES = {
     "lm_bigram": SQL_LM_BIGRAM,
     "snm_pairs": SQL_SNM_PAIRS,
     "snapshot_time_travel": SQL_SNAPSHOT_TIME_TRAVEL,
+    "fs_scores": SQL_FS_SCORES,
+    "meta_blocking": SQL_META_BLOCKING,
     "asof_click_view": SQL_ASOF_CLICK_VIEW,
 }
