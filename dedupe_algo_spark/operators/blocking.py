@@ -174,3 +174,53 @@ def sorted_neighborhood_pairs(
             F.greatest(F.col("_ida"), F.col(id_col)).alias("url_b"),
         )
     )
+
+
+def multi_rule_pairs(
+    df: DataFrame,
+    id_col: str,
+    rules: list[list[str]],
+) -> DataFrame:
+    """Multi-rule blocking union (the Splink candidate-generation model;
+    Linacre et al., splink, JOSS 2022): each rule is a list
+    of equi-join key columns; the candidate set is the union of the
+    rules' self-join pairs. The cross-rule dedup is SHUFFLE-FREE: rule k
+    emits a pair only if it does NOT also satisfy any earlier rule — a
+    pure codegen predicate evaluated on the already-joined sides — so
+    the union is disjoint by construction and never needs a global
+    ``distinct()`` over the (huge) pair set. Each rule's self-join
+    shuffles on its own keys, which is the minimum possible work; at
+    10^12 rows each join is independently AQE-planned and skew-split.
+
+    Returns (id_a, id_b, rule) with id_a < id_b and ``rule`` = the index
+    of the FIRST rule that matched the pair. Null keys never match
+    (equi-join semantics), and the earlier-rule exclusion mirrors that
+    with ``coalesce(agree, false)`` so a null on an earlier rule's key
+    doesn't suppress a later rule's pair."""
+    cols = list(dict.fromkeys([id_col, *(c for r in rules for c in r)]))
+    slim = df.select(*cols)
+    a = slim.select(*[F.col(c).alias("a_" + c) for c in cols])
+    b = slim.select(*[F.col(c).alias("b_" + c) for c in cols])
+
+    def agree(rule: list[str]) -> Column:
+        cond = F.lit(True)
+        for c in rule:
+            cond = cond & (F.col("a_" + c) == F.col("b_" + c))
+        return cond
+
+    parts = []
+    for k, rule in enumerate(rules):
+        cond = agree(rule) & (F.col("a_" + id_col) < F.col("b_" + id_col))
+        for earlier in rules[:k]:
+            cond = cond & ~F.coalesce(agree(earlier), F.lit(False))
+        parts.append(
+            a.join(b, cond).select(
+                F.col("a_" + id_col).alias("id_a"),
+                F.col("b_" + id_col).alias("id_b"),
+                F.lit(k).cast("int").alias("rule"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out

@@ -2508,6 +2508,53 @@ WHERE cbs * ne >= sw
 """
 
 
+def q_blocking_rules_union(spark, sf_dir):
+    """Splink-style multi-rule blocking union over documents: three
+    rules — (lang, n_chars), (source, n_chars//16), (12-char prefix) —
+    each a self-equi-join on its own keys; cross-rule dedup is a codegen
+    first-match predicate (rule k excludes pairs any earlier rule
+    already emitted), so the union is disjoint by construction with NO
+    global distinct() over the pair set."""
+    from .operators.blocking import multi_rule_pairs
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        F.expr("n_chars div 16").alias("blk"),
+        F.substring("text", 1, 12).alias("p12"),
+    )
+    return multi_rule_pairs(
+        d, "doc_id", [["lang", "n_chars"], ["source", "blk"], ["p12"]]
+    ).select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"), "rule"
+    )
+
+
+SQL_BLOCKING_RULES_UNION = r"""
+WITH d AS (
+  SELECT doc_id, lang, source, n_chars, n_chars // 16 AS blk,
+         substr(text, 1, 12) AS p12
+  FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(0 AS INTEGER) AS rule
+FROM d a JOIN d b
+  ON a.lang = b.lang AND a.n_chars = b.n_chars AND a.doc_id < b.doc_id
+UNION ALL
+SELECT a.doc_id, b.doc_id, CAST(1 AS INTEGER)
+FROM d a JOIN d b
+  ON a.source = b.source AND a.blk = b.blk AND a.doc_id < b.doc_id
+  AND NOT coalesce(a.lang = b.lang AND a.n_chars = b.n_chars, false)
+UNION ALL
+SELECT a.doc_id, b.doc_id, CAST(2 AS INTEGER)
+FROM d a JOIN d b
+  ON a.p12 = b.p12 AND a.doc_id < b.doc_id
+  AND NOT coalesce(a.lang = b.lang AND a.n_chars = b.n_chars, false)
+  AND NOT coalesce(a.source = b.source AND a.blk = b.blk, false)
+"""
+
+
 QUERIES = {
     "size_clusters": q_size_clusters,
     "singleton_prune": q_singleton_prune,
@@ -2578,6 +2625,7 @@ QUERIES = {
     "snapshot_time_travel": q_snapshot_time_travel,
     "fs_scores": q_fs_scores,
     "meta_blocking": q_meta_blocking,
+    "blocking_rules_union": q_blocking_rules_union,
     "asof_click_view": q_asof_click_view,
     # rows-only (the sf-scaled flagship; its full value-level twin is
     # pages_dedup_clusters_2k above, plus the stat twins)
@@ -2658,5 +2706,6 @@ ORACLES = {
     "snapshot_time_travel": SQL_SNAPSHOT_TIME_TRAVEL,
     "fs_scores": SQL_FS_SCORES,
     "meta_blocking": SQL_META_BLOCKING,
+    "blocking_rules_union": SQL_BLOCKING_RULES_UNION,
     "asof_click_view": SQL_ASOF_CLICK_VIEW,
 }

@@ -72,3 +72,40 @@ def test_snm_tracker_releases_persisted_ordinals(spark):
     )
     assert out.count() > 0
     t.release()
+
+
+def test_multi_rule_pairs_first_match_disjoint_union(spark):
+    from dedupe_algo_spark.operators.blocking import multi_rule_pairs
+
+    rows = [
+        (1, "en", 10, "cc"),
+        (2, "en", 10, "cc"),   # matches rule0 (lang,n) AND rule1 (src) → rule0
+        (3, "en", 11, "cc"),   # matches only rule1 with 1,2
+        (4, "de", 10, "web"),  # matches nobody
+        (5, "de", 10, "cc"),   # rule0 with 4; rule1 with 1,2,3
+    ]
+    df = spark.createDataFrame(rows, "id int, lang string, n int, src string")
+    got = {
+        (r["id_a"], r["id_b"]): r["rule"]
+        for r in multi_rule_pairs(df, "id", [["lang", "n"], ["src"]]).collect()
+    }
+    want = {
+        (1, 2): 0,
+        (4, 5): 0,
+        (1, 3): 1, (2, 3): 1, (1, 5): 1, (2, 5): 1, (3, 5): 1,
+    }
+    assert got == want
+
+
+def test_multi_rule_pairs_null_earlier_key_does_not_suppress(spark):
+    from dedupe_algo_spark.operators.blocking import multi_rule_pairs
+
+    rows = [(1, None, "x"), (2, None, "x")]
+    df = spark.createDataFrame(rows, "id int, k string, src string")
+    got = {
+        (r["id_a"], r["id_b"]): r["rule"]
+        for r in multi_rule_pairs(df, "id", [["k"], ["src"]]).collect()
+    }
+    # nulls never equi-join (rule0 emits nothing) and the rule0 exclusion
+    # must not turn the NULL agreement into a suppression of rule1
+    assert got == {(1, 2): 1}
