@@ -322,3 +322,122 @@ def fs_log_weight(m: float, u: float, agree: bool) -> float:
     distributed scorer multiplies raw ratios instead so the scored
     column avoids cross-libm log differences."""
     return math.log2(m / u) if agree else math.log2((1.0 - m) / (1.0 - u))
+
+
+# ---------------------------------------------------------------------------
+# Canopy clustering + blocking evaluation
+# ---------------------------------------------------------------------------
+
+def canopy_assign(
+    df: DataFrame,
+    id_col: str,
+    num_col: str,
+    t1: int = 8,
+    t2: int = 2,
+) -> DataFrame:
+    """Canopy clustering (McCallum, Nigam & Ungar, KDD 2000) over the
+    cheap 1-D metric ``|Δ num_col|`` — the same size axis the
+    reference's pass 1 blocks on (lib.rs:54-64) — in a deterministic,
+    partitioning-invariant reformulation. The paper's greedy center
+    selection is sequential (order-dependent: no reproducible
+    distributed counterpart), so centers are elected by the min-id
+    convention our large-star CC already uses: a record is a center iff
+    NO smaller-id record lies within the tight tie t2. Every record is
+    assigned to every center within the loose tie t1 (canopies overlap,
+    exactly as in the paper); a record with no center in reach forms
+    its own singleton canopy, so coverage is total.
+
+    Pair generation is a banded range join, never an all-pairs cross:
+    bucket width t1, probes explode to the 3 neighbor buckets, one
+    shuffle on the bucket key — at 10^12 rows the work is linear in
+    (rows × local density), the best possible for a radius query.
+
+    Returns (id, canopy) — canopy is the center's id."""
+    assert t2 <= t1, "tight tie must be within the loose tie"
+    slim = df.select(F.col(id_col).alias("_cid"), F.col(num_col).alias("_num"))
+    base = slim.withColumn("_b", F.floor(F.col("_num") / t1))
+    probe = base.withColumn(
+        "_pb",
+        F.explode(
+            F.array(F.col("_b") - 1, F.col("_b"), F.col("_b") + 1)
+        ),
+    ).select("_cid", "_num", "_pb")
+    build = base.select(
+        F.col("_cid").alias("_nid"),
+        F.col("_num").alias("_nnum"),
+        F.col("_b").alias("_pb"),
+    )
+    # directed neighbor pairs within the loose tie; a neighbor lands in
+    # exactly one of the 3 probe buckets, so no dedup is needed
+    pairs = (
+        probe.join(build, "_pb")
+        .where(
+            (F.col("_nid") != F.col("_cid"))
+            & (F.abs(F.col("_num") - F.col("_nnum")) <= t1)
+        )
+        .select("_cid", "_num", "_nid", "_nnum")
+    )
+    blockers = pairs.where(
+        (F.abs(F.col("_num") - F.col("_nnum")) <= t2)
+        & (F.col("_nid") < F.col("_cid"))
+    ).select("_cid")
+    centers = slim.join(blockers, "_cid", "left_anti").select(
+        F.col("_cid").alias("_center")
+    )
+    assigned = pairs.join(
+        centers, pairs["_nid"] == centers["_center"]
+    ).select(F.col("_cid").alias("id"), F.col("_nid").alias("canopy"))
+    self_rows = centers.select(
+        F.col("_center").alias("id"), F.col("_center").alias("canopy")
+    )
+    covered = assigned.unionAll(self_rows)
+    singletons = (
+        slim.join(covered, slim["_cid"] == covered["id"], "left_anti")
+        .select(F.col("_cid").alias("id"), F.col("_cid").alias("canopy"))
+    )
+    return covered.unionAll(singletons)
+
+
+def blocking_quality(
+    cand: DataFrame,
+    truth: DataFrame,
+    n_records: int,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Blocking evaluation metrics (Christen, *Data Matching*, 2012):
+    pair completeness ``PC = |C∩T| / |T|``, pairs quality
+    ``PQ = |C∩T| / |C|``, reduction ratio ``RR = 1 − |C| / (n(n−1)/2)``.
+    Inputs are pair sets (any orientation — keys are normalized to
+    (min, max) here); the intersection is one semi-join on the pair
+    key. All counts are exact longs and every metric is a single IEEE
+    division, so the 1-row result is bit-identical across engines."""
+    def norm(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.least(F.col(id_a), F.col(id_b)).alias("_pa"),
+            F.greatest(F.col(id_a), F.col(id_b)).alias("_pb"),
+        )
+
+    c, t = norm(cand), norm(truth)
+    hit = c.join(t, ["_pa", "_pb"], "left_semi")
+    total_pairs = n_records * (n_records - 1) // 2
+    counts = (
+        c.agg(F.count(F.lit(1)).cast("long").alias("n_cand"))
+        .crossJoin(t.agg(F.count(F.lit(1)).cast("long").alias("n_truth")))
+        .crossJoin(hit.agg(F.count(F.lit(1)).cast("long").alias("n_hit")))
+    )
+    return counts.select(
+        "n_cand",
+        "n_truth",
+        "n_hit",
+        (F.col("n_hit").cast("double") / F.col("n_truth")).alias(
+            "pair_completeness"
+        ),
+        (F.col("n_hit").cast("double") / F.col("n_cand")).alias(
+            "pairs_quality"
+        ),
+        (
+            F.lit(1.0)
+            - F.col("n_cand").cast("double") / F.lit(total_pairs).cast("double")
+        ).alias("reduction_ratio"),
+    )

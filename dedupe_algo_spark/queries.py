@@ -2555,6 +2555,135 @@ FROM d a JOIN d b
 """
 
 
+def q_canopy_clusters(spark, sf_dir):
+    """Canopy clustering (deterministic min-id center election) over the
+    documents' n_chars axis — the reference's own pass-1 size key as the
+    cheap canopy metric. t2=2 elects centers; every record joins all
+    centers within t1=8 (overlapping canopies, per the paper); isolated
+    records form singleton canopies. Pair generation is a banded range
+    join (bucket width t1, 3-bucket probe explode, one shuffle)."""
+    from .operators.linkage import canopy_assign
+
+    d = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    return canopy_assign(d, "doc_id", "n_chars", t1=8, t2=2).select(
+        F.col("id").alias("doc_id"), "canopy"
+    )
+
+
+SQL_CANOPY_CLUSTERS = r"""
+WITH d AS (SELECT doc_id AS id, n_chars AS num FROM documents),
+p AS (
+  SELECT a.id AS id, a.num AS num, b.id AS nbr, b.num AS nnum
+  FROM d a JOIN d b ON a.id <> b.id AND abs(a.num - b.num) <= 8
+),
+centers AS (
+  SELECT id FROM d
+  WHERE NOT EXISTS (
+    SELECT 1 FROM p
+    WHERE p.id = d.id AND abs(p.num - p.nnum) <= 2 AND p.nbr < d.id
+  )
+),
+assigned AS (
+  SELECT p.id, p.nbr AS canopy FROM p JOIN centers c ON c.id = p.nbr
+),
+covered AS (
+  SELECT * FROM assigned UNION ALL SELECT id, id FROM centers
+)
+SELECT id AS doc_id, canopy FROM covered
+UNION ALL
+SELECT id AS doc_id, id AS canopy FROM d
+WHERE id NOT IN (SELECT id FROM covered)
+"""
+
+
+def q_blocking_quality(spark, sf_dir):
+    """Blocking evaluation (pair completeness / pairs quality /
+    reduction ratio, Christen 2012) of two strategies against the same
+    derived truth set (equal (lang, n_chars) pairs): the n_chars//16
+    length-bucket block join vs sorted-neighborhood (window 4 over
+    (lang, n_chars)). Counts are exact longs; each metric is one IEEE
+    division, so the 2-row result hashes identically in DuckDB."""
+    from .operators.blocking import sorted_neighborhood_pairs
+    from .operators.linkage import blocking_quality
+
+    d = _docs(spark, sf_dir).select("doc_id", "lang", "n_chars")
+    n = d.count()
+    a = d.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("lang").alias("la"),
+        F.col("n_chars").alias("na"),
+    )
+    b = d.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("lang").alias("lb"),
+        F.col("n_chars").alias("nb"),
+    )
+    truth = a.join(
+        b,
+        (F.col("la") == F.col("lb"))
+        & (F.col("na") == F.col("nb"))
+        & (F.col("id_a") < F.col("id_b")),
+    ).select("id_a", "id_b")
+    cand1 = a.join(
+        b,
+        (F.expr("na div 16") == F.expr("nb div 16"))
+        & (F.col("id_a") < F.col("id_b")),
+    ).select("id_a", "id_b")
+    cand2 = sorted_neighborhood_pairs(
+        d, ["lang", "n_chars"], id_col="doc_id", window=4
+    ).select(F.col("url_a").alias("id_a"), F.col("url_b").alias("id_b"))
+    q1 = blocking_quality(cand1, truth, n).select(
+        F.lit("len_block").alias("strategy"), "*"
+    )
+    q2 = blocking_quality(cand2, truth, n).select(
+        F.lit("snm3").alias("strategy"), "*"
+    )
+    return q1.unionAll(q2)
+
+
+SQL_BLOCKING_QUALITY = r"""
+WITH d AS (SELECT doc_id, lang, n_chars FROM documents),
+nn AS (SELECT COUNT(*) AS n FROM d),
+truth AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib FROM d a JOIN d b
+  ON a.lang = b.lang AND a.n_chars = b.n_chars AND a.doc_id < b.doc_id
+),
+c1 AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib FROM d a JOIN d b
+  ON a.n_chars // 16 = b.n_chars // 16 AND a.doc_id < b.doc_id
+),
+ranked AS (
+  SELECT doc_id, row_number() OVER (ORDER BY lang, n_chars, doc_id) AS r
+  FROM d
+),
+c2 AS (
+  SELECT least(a.doc_id, b.doc_id) AS ia, greatest(a.doc_id, b.doc_id) AS ib
+  FROM ranked a JOIN ranked b ON b.r > a.r AND b.r <= a.r + 3
+),
+m AS (
+  SELECT 'len_block' AS strategy,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM c1) AS n_cand,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_truth,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM c1 JOIN truth
+            ON c1.ia = truth.ia AND c1.ib = truth.ib) AS n_hit
+  UNION ALL
+  SELECT 'snm3',
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM c2),
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM truth),
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM c2 JOIN truth
+            ON c2.ia = truth.ia AND c2.ib = truth.ib)
+)
+SELECT strategy, n_cand, n_truth, n_hit,
+       CAST(n_hit AS DOUBLE) / n_truth AS pair_completeness,
+       CAST(n_hit AS DOUBLE) / n_cand AS pairs_quality,
+       CAST(1 AS DOUBLE)
+         - CAST(n_cand AS DOUBLE)
+           / CAST((SELECT (n * (n - 1)) // 2 FROM nn) AS DOUBLE)
+         AS reduction_ratio
+FROM m
+"""
+
+
 QUERIES = {
     "size_clusters": q_size_clusters,
     "singleton_prune": q_singleton_prune,
@@ -2626,6 +2755,8 @@ QUERIES = {
     "fs_scores": q_fs_scores,
     "meta_blocking": q_meta_blocking,
     "blocking_rules_union": q_blocking_rules_union,
+    "canopy_clusters": q_canopy_clusters,
+    "blocking_quality": q_blocking_quality,
     "asof_click_view": q_asof_click_view,
     # rows-only (the sf-scaled flagship; its full value-level twin is
     # pages_dedup_clusters_2k above, plus the stat twins)
@@ -2707,5 +2838,7 @@ ORACLES = {
     "fs_scores": SQL_FS_SCORES,
     "meta_blocking": SQL_META_BLOCKING,
     "blocking_rules_union": SQL_BLOCKING_RULES_UNION,
+    "canopy_clusters": SQL_CANOPY_CLUSTERS,
+    "blocking_quality": SQL_BLOCKING_QUALITY,
     "asof_click_view": SQL_ASOF_CLICK_VIEW,
 }

@@ -174,3 +174,63 @@ def test_meta_block_end_to_end(spark):
     # 2-3 share only 'fox' (cbs 1 < mean) → pruned by WEP
     assert (2, 3) not in by_pair
     assert set(out.columns) == {"id_a", "id_b", "cbs", "js"}
+
+
+def test_canopy_centers_are_t2_min_id_records(spark):
+    from dedupe_algo_spark.operators.linkage import canopy_assign
+
+    rows = [(1, 100), (2, 101), (3, 108), (4, 130), (5, 131)]
+    df = spark.createDataFrame(rows, "id int, n int")
+    got = {
+        (r["id"], r["canopy"])
+        for r in canopy_assign(df, "id", "n", t1=8, t2=2).collect()
+    }
+    # centers: 1 (nothing smaller within 2), 3 (|108-101|=7 > 2),
+    # 4 (nothing smaller within 2); 2 blocked by 1, 5 blocked by 4.
+    # assignments within t1=8: 2→1 (Δ1), 2→3 (Δ7), 1→3 (Δ8), 3→1 (Δ8),
+    # 5→4 (Δ1); centers self-assign.
+    want = {
+        (1, 1), (3, 3), (4, 4),      # center self rows
+        (2, 1), (2, 3),              # 2 in both overlapping canopies
+        (1, 3), (3, 1),              # centers inside each other's t1
+        (5, 4),
+    }
+    assert got == want
+
+
+def test_canopy_total_coverage_and_singleton(spark):
+    from dedupe_algo_spark.operators.linkage import canopy_assign
+
+    rows = [(1, 0), (2, 1000), (3, 1001)]
+    df = spark.createDataFrame(rows, "id int, n int")
+    out = canopy_assign(df, "id", "n", t1=8, t2=2).collect()
+    ids = {r["id"] for r in out}
+    assert ids == {1, 2, 3}  # every record lands in some canopy
+    got = {(r["id"], r["canopy"]) for r in out}
+    assert (1, 1) in got  # isolated record = its own singleton canopy
+
+
+def test_canopy_partitioning_invariant(spark):
+    from dedupe_algo_spark.operators.linkage import canopy_assign
+
+    rows = [(i, (i * 17) % 50) for i in range(1, 40)]
+    df = spark.createDataFrame(rows, "id int, n int")
+    a = {(r["id"], r["canopy"]) for r in canopy_assign(df.repartition(1), "id", "n").collect()}
+    b = {(r["id"], r["canopy"]) for r in canopy_assign(df.repartition(7), "id", "n").collect()}
+    assert a == b
+
+
+def test_blocking_quality_metrics_exact(spark):
+    from dedupe_algo_spark.operators.linkage import blocking_quality
+
+    cand = spark.createDataFrame(
+        [(1, 2), (3, 1), (4, 5), (2, 6)], "id_a int, id_b int"
+    )
+    truth = spark.createDataFrame(
+        [(2, 1), (5, 4), (7, 8)], "id_a int, id_b int"
+    )
+    r = blocking_quality(cand, truth, n_records=8).collect()[0]
+    assert (r["n_cand"], r["n_truth"], r["n_hit"]) == (4, 3, 2)
+    assert r["pair_completeness"] == 2 / 3
+    assert r["pairs_quality"] == 2 / 4
+    assert r["reduction_ratio"] == 1.0 - 4 / 28
