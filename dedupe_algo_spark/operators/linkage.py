@@ -441,3 +441,56 @@ def blocking_quality(
             - F.col("n_cand").cast("double") / F.lit(total_pairs).cast("double")
         ).alias("reduction_ratio"),
     )
+
+
+def bcubed_per_record(
+    df: DataFrame,
+    id_col: str = "id",
+    pred_col: str = "cluster",
+    truth_col: str = "truth",
+) -> DataFrame:
+    """B-cubed precision/recall per record (Bagga & Baldwin 1998; the
+    extended-B³ analysis is Amigó et al., Inf. Retrieval 2009): for
+    record r, precision = |C(r)∩T(r)| / |C(r)| and recall =
+    |C(r)∩T(r)| / |T(r)| where C is r's predicted cluster and T its
+    truth cluster. Deliberately emitted PER RECORD, not averaged: the
+    corpus mean is a float sum whose value depends on reduction order
+    (engine- and partitioning-dependent), while per-record values are
+    single integer divisions — bit-identical everywhere. Average
+    downstream from the exact (overlap, csize, tsize) longs.
+
+    Plan shape: three count aggregates — (pred,truth), (pred), (truth)
+    — joined back on their keys. The size tables have one row per
+    cluster, orders of magnitude smaller than the records, so the
+    joins broadcast; nothing here is quadratic in cluster size."""
+    base = df.select(
+        F.col(id_col).alias("_rid"),
+        F.col(pred_col).alias("_c"),
+        F.col(truth_col).alias("_t"),
+    )
+    both = base.groupBy("_c", "_t").agg(
+        F.count(F.lit(1)).cast("long").alias("overlap")
+    )
+    csize = base.groupBy("_c").agg(
+        F.count(F.lit(1)).cast("long").alias("csize")
+    )
+    tsize = base.groupBy("_t").agg(
+        F.count(F.lit(1)).cast("long").alias("tsize")
+    )
+    return (
+        base.join(both, ["_c", "_t"])
+        .join(F.broadcast(csize), "_c")
+        .join(F.broadcast(tsize), "_t")
+        .select(
+            F.col("_rid").alias(id_col),
+            "overlap",
+            "csize",
+            "tsize",
+            (F.col("overlap").cast("double") / F.col("csize")).alias(
+                "b3_precision"
+            ),
+            (F.col("overlap").cast("double") / F.col("tsize")).alias(
+                "b3_recall"
+            ),
+        )
+    )

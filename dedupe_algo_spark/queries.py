@@ -2684,6 +2684,50 @@ FROM m
 """
 
 
+def q_bcubed_eval(spark, sf_dir):
+    """B-cubed precision/recall per record over documents: predicted
+    clustering = the n_chars//16 length bucket, truth = (lang, n_chars)
+    groups. Per-record output (no corpus mean — a float sum's value is
+    reduction-order-dependent; these are single integer divisions,
+    bit-identical across engines)."""
+    from .operators.linkage import bcubed_per_record
+
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("id"),
+        F.expr("n_chars div 16").cast("string").alias("cluster"),
+        F.concat_ws("|", "lang", F.col("n_chars").cast("string")).alias(
+            "truth"
+        ),
+    )
+    return bcubed_per_record(d).select(
+        F.col("id").alias("doc_id"),
+        "overlap",
+        "csize",
+        "tsize",
+        "b3_precision",
+        "b3_recall",
+    )
+
+
+SQL_BCUBED_EVAL = r"""
+WITH d AS (
+  SELECT doc_id, CAST(n_chars // 16 AS VARCHAR) AS c,
+         lang || '|' || CAST(n_chars AS VARCHAR) AS t
+  FROM documents
+),
+both_sz AS (SELECT c, t, CAST(COUNT(*) AS BIGINT) AS overlap FROM d GROUP BY c, t),
+csz AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS csize FROM d GROUP BY c),
+tsz AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS tsize FROM d GROUP BY t)
+SELECT d.doc_id, b.overlap, csz.csize, tsz.tsize,
+       CAST(b.overlap AS DOUBLE) / csz.csize AS b3_precision,
+       CAST(b.overlap AS DOUBLE) / tsz.tsize AS b3_recall
+FROM d
+JOIN both_sz b ON b.c = d.c AND b.t = d.t
+JOIN csz ON csz.c = d.c
+JOIN tsz ON tsz.t = d.t
+"""
+
+
 QUERIES = {
     "size_clusters": q_size_clusters,
     "singleton_prune": q_singleton_prune,
@@ -2757,6 +2801,7 @@ QUERIES = {
     "blocking_rules_union": q_blocking_rules_union,
     "canopy_clusters": q_canopy_clusters,
     "blocking_quality": q_blocking_quality,
+    "bcubed_eval": q_bcubed_eval,
     "asof_click_view": q_asof_click_view,
     # rows-only (the sf-scaled flagship; its full value-level twin is
     # pages_dedup_clusters_2k above, plus the stat twins)
@@ -2840,5 +2885,6 @@ ORACLES = {
     "blocking_rules_union": SQL_BLOCKING_RULES_UNION,
     "canopy_clusters": SQL_CANOPY_CLUSTERS,
     "blocking_quality": SQL_BLOCKING_QUALITY,
+    "bcubed_eval": SQL_BCUBED_EVAL,
     "asof_click_view": SQL_ASOF_CLICK_VIEW,
 }

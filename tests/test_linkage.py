@@ -234,3 +234,24 @@ def test_blocking_quality_metrics_exact(spark):
     assert r["pair_completeness"] == 2 / 3
     assert r["pairs_quality"] == 2 / 4
     assert r["reduction_ratio"] == 1.0 - 4 / 28
+
+
+def test_bcubed_matches_hand_computation(spark):
+    from dedupe_algo_spark.operators.linkage import bcubed_per_record
+
+    # pred clusters: {1,2,3}, {4,5}; truth: {1,2}, {3,4}, {5}
+    rows = [
+        (1, "a", "x"), (2, "a", "x"), (3, "a", "y"),
+        (4, "b", "y"), (5, "b", "z"),
+    ]
+    df = spark.createDataFrame(rows, "id int, cluster string, truth string")
+    got = {r["id"]: r for r in bcubed_per_record(df).collect()}
+    want = {  # (overlap, csize, tsize)
+        1: (2, 3, 2), 2: (2, 3, 2), 3: (1, 3, 2),
+        4: (1, 2, 2), 5: (1, 2, 1),
+    }
+    for i, (o, c, t) in want.items():
+        r = got[i]
+        assert (r["overlap"], r["csize"], r["tsize"]) == (o, c, t)
+        assert r["b3_precision"] == o / c
+        assert r["b3_recall"] == o / t
