@@ -494,3 +494,38 @@ def bcubed_per_record(
             ),
         )
     )
+
+
+def fs_frequency_lr(
+    fields: Sequence[str],
+    m: dict[str, float],
+    u: dict[str, float],
+    n_records: int,
+    freq_cols: dict[str, str] | None = None,
+) -> Column:
+    """Winkler's frequency-based refinement of the Fellegi–Sunter
+    likelihood ratio (Winkler 1988/1995): agreement on a RARE value is
+    stronger evidence than agreement on a common one, so for fields in
+    ``freq_cols`` the agreement weight uses the value-specific
+    ``u_v = n_v² / N²`` (the chance two random records both carry THIS
+    value) instead of the field-global u. ``freq_cols[f]`` names a
+    column holding n_v for the pair's (agreed) value — the caller joins
+    it from a ``groupBy(f).count()`` table, one slim value-keyed join.
+    Disagreement still uses the global u (a mismatch carries no
+    value-specific information). Every factor remains a short chain of
+    IEEE ops on exactly-representable operands — engine-portable like
+    the unweighted form."""
+    freq_cols = freq_cols or {}
+    nn = n_records * n_records
+    ratio: Column | None = None
+    for f_ in fields:
+        w_disagree = F.lit((1.0 - m[f_]) / (1.0 - u[f_]))
+        if f_ in freq_cols:
+            nv = F.col(freq_cols[f_])
+            w_agree = F.lit(m[f_]) / ((nv * nv) / F.lit(nn))
+        else:
+            w_agree = F.lit(m[f_] / u[f_])
+        w = F.when(F.col("g_" + f_) == 1, w_agree).otherwise(w_disagree)
+        ratio = w if ratio is None else ratio * w
+    assert ratio is not None, "fields must be non-empty"
+    return ratio

@@ -2728,6 +2728,101 @@ JOIN tsz ON tsz.t = d.t
 """
 
 
+def q_fs_frequency_scores(spark, sf_dir):
+    """Winkler frequency-based FS scoring over the same length-bucket
+    blocked pairs as fs_scores: the 16-char-prefix field's agreement
+    weight is value-specific (u_v = n_v²/N², joined from a slim
+    groupBy-count table keyed on the value), so agreeing on a rare
+    prefix scores far above agreeing on a boilerplate one. lang keeps
+    the field-global u."""
+    from .operators.linkage import (
+        agreement_vector,
+        fs_frequency_lr,
+        u_probabilities,
+    )
+
+    fields = ["lang", "p16"]
+    m = {"lang": 0.95, "p16": 0.9}
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        "lang",
+        F.substring("text", 1, 16).alias("p16"),
+        F.expr("n_chars div 16").alias("blk"),
+    )
+    n = d.count()
+    u = u_probabilities(d, fields)
+    counts = d.groupBy("p16").agg(F.count(F.lit(1)).cast("long").alias("nv"))
+    a = d.select(*[F.col(c).alias("a_" + c) for c in d.columns])
+    b = d.select(*[F.col(c).alias("b_" + c) for c in d.columns])
+    pairs = (
+        a.join(
+            b,
+            (F.col("a_blk") == F.col("b_blk"))
+            & (F.col("a_doc_id") < F.col("b_doc_id")),
+        )
+        .join(F.broadcast(counts), F.col("a_p16") == counts["p16"])
+        .select("*", *agreement_vector(fields))
+    )
+    lr = fs_frequency_lr(fields, m, u, n, freq_cols={"p16": "nv"})
+    return pairs.select(
+        F.col("a_doc_id").alias("doc_a"),
+        F.col("b_doc_id").alias("doc_b"),
+        "g_lang",
+        "g_p16",
+        "nv",
+        lr.alias("lr"),
+        F.when(lr >= F.lit(100.0), F.lit("match"))
+        .when(lr >= F.lit(1.0), F.lit("possible"))
+        .otherwise(F.lit("nonmatch"))
+        .alias("decision"),
+    )
+
+
+SQL_FS_FREQUENCY_SCORES = r"""
+WITH d AS (
+  SELECT doc_id, lang, substr(text, 1, 16) AS p16, n_chars // 16 AS blk
+  FROM documents
+),
+cnt AS (SELECT p16, CAST(COUNT(*) AS BIGINT) AS nv FROM d GROUP BY p16),
+u AS (
+  SELECT
+    (SELECT SUM(c*c) FROM (SELECT lang, COUNT(*) c FROM d
+       WHERE lang IS NOT NULL GROUP BY lang))
+      / ((SELECT COUNT(*) FROM d) * (SELECT COUNT(*) FROM d)) AS u_lang,
+    (SELECT SUM(c*c) FROM (SELECT p16, COUNT(*) c FROM d
+       WHERE p16 IS NOT NULL GROUP BY p16))
+      / ((SELECT COUNT(*) FROM d) * (SELECT COUNT(*) FROM d)) AS u_p16
+),
+g AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, c.nv,
+    CASE WHEN a.lang IS NOT NULL AND b.lang IS NOT NULL
+              AND a.lang = b.lang THEN 1 ELSE 0 END AS g_lang,
+    CASE WHEN a.p16 IS NOT NULL AND b.p16 IS NOT NULL
+              AND a.p16 = b.p16 THEN 1 ELSE 0 END AS g_p16
+  FROM d a
+  JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
+  JOIN cnt c ON c.p16 = a.p16
+),
+w AS (
+  SELECT doc_a, doc_b, g_lang, g_p16, nv,
+    (CASE WHEN g_lang = 1 THEN CAST(0.95 AS DOUBLE) / u_lang
+       ELSE (CAST(1 AS DOUBLE) - CAST(0.95 AS DOUBLE))
+            / (CAST(1 AS DOUBLE) - u_lang) END
+     * CASE WHEN g_p16 = 1 THEN
+         CAST(0.9 AS DOUBLE)
+           / ((nv * nv) / ((SELECT COUNT(*) FROM d) * (SELECT COUNT(*) FROM d)))
+       ELSE (CAST(1 AS DOUBLE) - CAST(0.9 AS DOUBLE))
+            / (CAST(1 AS DOUBLE) - u_p16) END) AS lr
+  FROM g, u
+)
+SELECT doc_a, doc_b, g_lang, g_p16, nv, lr,
+       CASE WHEN lr >= 100 THEN 'match'
+            WHEN lr >= 1 THEN 'possible'
+            ELSE 'nonmatch' END AS decision
+FROM w
+"""
+
+
 QUERIES = {
     "size_clusters": q_size_clusters,
     "singleton_prune": q_singleton_prune,
@@ -2802,6 +2897,7 @@ QUERIES = {
     "canopy_clusters": q_canopy_clusters,
     "blocking_quality": q_blocking_quality,
     "bcubed_eval": q_bcubed_eval,
+    "fs_frequency_scores": q_fs_frequency_scores,
     "asof_click_view": q_asof_click_view,
     # rows-only (the sf-scaled flagship; its full value-level twin is
     # pages_dedup_clusters_2k above, plus the stat twins)
@@ -2886,5 +2982,6 @@ ORACLES = {
     "canopy_clusters": SQL_CANOPY_CLUSTERS,
     "blocking_quality": SQL_BLOCKING_QUALITY,
     "bcubed_eval": SQL_BCUBED_EVAL,
+    "fs_frequency_scores": SQL_FS_FREQUENCY_SCORES,
     "asof_click_view": SQL_ASOF_CLICK_VIEW,
 }

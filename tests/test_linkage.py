@@ -255,3 +255,25 @@ def test_bcubed_matches_hand_computation(spark):
         assert (r["overlap"], r["csize"], r["tsize"]) == (o, c, t)
         assert r["b3_precision"] == o / c
         assert r["b3_recall"] == o / t
+
+
+def test_frequency_lr_rare_agreement_outweighs_common(spark):
+    from dedupe_algo_spark.operators.linkage import (
+        agreement_vector,
+        fs_frequency_lr,
+    )
+    from pyspark.sql import functions as F
+
+    # 10 records: value 'rare' appears once-per-side, 'common' 8 times
+    rows = [(1, "rare", "rare", 1), (2, "common", "common", 8)]
+    pairs = spark.createDataFrame(
+        rows, "pid int, a_v string, b_v string, nv long"
+    ).select("*", *agreement_vector(["v"]))
+    lr = fs_frequency_lr(
+        ["v"], {"v": 0.9}, {"v": 0.5}, n_records=10, freq_cols={"v": "nv"}
+    )
+    got = {r["pid"]: r["lr"] for r in pairs.select("pid", lr.alias("lr")).collect()}
+    # manual: w = m / (nv²/N²)
+    assert got[1] == 0.9 / ((1 * 1) / 100)
+    assert got[2] == 0.9 / ((8 * 8) / 100)
+    assert got[1] > got[2]  # rare agreement is stronger evidence
