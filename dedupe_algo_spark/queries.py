@@ -1093,6 +1093,53 @@ def q_pages_dedup_exact(spark, sf_dir):
     return _eager(res.exact, res.unpersist)
 
 
+HTML_SNAPSHOT = _os.path.abspath(
+    _os.path.join(_os.path.dirname(__file__), "..", "fixtures", "pages_html_300.parquet")
+)
+
+
+def q_html_extract(spark, sf_dir):
+    """HTML → text extraction, pure whole-stage codegen (functions/html.py):
+    head/script/style/comment strip + tag strip + entity decode over the
+    raw ``html: binary`` column (BASELINE input_hint shape).  ``identical``
+    proves the north-star byte-identity invariant per url against the
+    generator's ground-truth ``text``; the DuckDB twin runs the same
+    RE2-safe automaton, so the hashes match bit-for-bit."""
+    from .functions.html import extract_html_text
+
+    df = spark.read.parquet(HTML_SNAPSHOT)
+    ext = extract_html_text(F.col("html"))
+    return df.select(
+        F.col("url"),
+        F.sha2(ext, 256).alias("extract_sha256"),
+        F.length(ext).alias("extract_len"),
+        (ext == F.col("text")).alias("identical"),
+    )
+
+
+SQL_HTML_EXTRACT = f"""
+WITH e AS (
+  SELECT url, text,
+    replace(replace(replace(replace(replace(
+      regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        decode(html),
+        '(?is)<head(\\s[^>]*)?>.*?</head\\s*>', '', 'g'),
+        '(?is)<script(\\s[^>]*)?>.*?</script\\s*>', '', 'g'),
+        '(?is)<style(\\s[^>]*)?>.*?</style\\s*>', '', 'g'),
+        '(?s)<!--.*?-->', '', 'g'),
+        '(?s)<[^>]*>', '', 'g'),
+      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&nbsp;', ' ')
+      AS almost
+  FROM read_parquet('{HTML_SNAPSHOT}')
+)
+SELECT url,
+       sha256(replace(almost, '&amp;', '&')) AS extract_sha256,
+       length(replace(almost, '&amp;', '&')) AS extract_len,
+       replace(almost, '&amp;', '&') = text AS identical
+FROM e
+"""
+
+
 SQL_PAGES_DEDUP_EXACT = f"""
 WITH m AS (
   SELECT url, length(text) AS text_len, sha256(text) AS content_sha256
@@ -2866,6 +2913,7 @@ QUERIES = {
     "ngram_jaccard": q_ngram_jaccard,
     # flagship exact tier with a direct recomputed oracle
     "pages_dedup_exact": q_pages_dedup_exact,
+    "html_extract": q_html_extract,
     # derived deterministic twins of the rows-only queries below
     "dedup_cluster_stats": q_dedup_cluster_stats,
     "minhash_pair_stats": q_minhash_pair_stats,
@@ -2952,6 +3000,7 @@ ORACLES = {
     "embedding_ivf_pairs": SQL_EMBEDDING_IVF_PAIRS,
     "semantic_dedup": SQL_SEMANTIC_DEDUP,
     "pages_dedup_exact": SQL_PAGES_DEDUP_EXACT,
+    "html_extract": SQL_HTML_EXTRACT,
     "pages_dedup_clusters_2k": SQL_PAGES_DEDUP_CLUSTERS_2K,
     "minhash_dup_pairs": SQL_MINHASH_DUP_PAIRS,
     "dedup_cluster_stats": SQL_DEDUP_CLUSTER_STATS,

@@ -253,6 +253,80 @@ def synth_pages_pdf(n_pages: int, seed: int = 42) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Rich-HTML pages: same rows as synth_pages, but `html` carries real
+# boilerplate (head/title/style/script/comments, mixed case, entity-
+# encoded character data).  Invariant by construction: the codegen
+# extractor (functions/html.py) recovers `text` BYTE-IDENTICALLY —
+# the north-star "byte-identical extracted text per url" exercised
+# end-to-end rather than assumed.  Zero whitespace between tags
+# outside the content element, so extraction needs no lossy
+# whitespace collapse.
+# ---------------------------------------------------------------------------
+
+def _rich_html(i: int, text: str, lang: str) -> bytes:
+    from .functions.html import encode_html_text
+
+    enc = encode_html_text(text)
+    v = i % 3
+    if v == 0:
+        page = (
+            f'<!DOCTYPE html><html lang="{lang}"><head><meta charset="utf-8"/>'
+            f"<title>doc {i} &amp; mirror</title>"
+            "<style>body{margin:0;color:#fff}</style></head>"
+            f'<body class="page" data-idx="{i}">'
+            '<script type="text/javascript">if(1<2&&"</b>"){var q=\'x\';}</script>'
+            f"<article>{enc}</article></body></html>"
+        )
+    elif v == 1:
+        page = (
+            "<!DOCTYPE HTML><!-- synth & <meta never content> -->"
+            f'<HTML LANG="{lang}"><HEAD><TITLE>p{i}</TITLE></HEAD><BODY>'
+            '<SCRIPT LANGUAGE="JavaScript">var s="<div>&amp;</div>";</SCRIPT>'
+            f"<BR/><ARTICLE>{enc}</ARTICLE></BODY></HTML>"
+        )
+    else:
+        # first space entity-encoded as &nbsp; — decodes back to ' '
+        enc = enc.replace(" ", "&nbsp;", 1)
+        page = (
+            f'<!DOCTYPE html><html lang="{lang}"><head></head><body>'
+            "<style scoped>p{font:12px}</style><!--\nmultiline <comment>\n& more -->"
+            f'<p class="lead">{enc}</p></body></html>'
+        )
+    return page.encode("utf-8")
+
+
+def _gen_rich_batch(indices: np.ndarray, seed: int) -> pd.DataFrame:
+    pdf = _gen_batch(indices, seed)
+    pdf["html"] = [
+        _rich_html(int(i), t, l)
+        for i, t, l in zip(indices, pdf["text"], pdf["lang"])
+    ]
+    return pdf
+
+
+def synth_rich_pages(
+    spark: SparkSession, n_pages: int, seed: int = 42, num_partitions: int | None = None
+) -> DataFrame:
+    """Distributed deterministic rich-HTML pages table (no shuffle)."""
+    if num_partitions is None:
+        num_partitions = max(8, spark.sparkContext.defaultParallelism)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield _gen_rich_batch(pdf["id"].values, seed)
+
+    return (
+        spark.range(0, n_pages, numPartitions=num_partitions)
+        .mapInPandas(gen, schema=PAGES_SCHEMA)
+    )
+
+
+def synth_rich_pages_pdf(n_pages: int, seed: int = 42) -> pd.DataFrame:
+    """Driver-side pandas variant (fixture builder / unit tests)."""
+    return _gen_rich_batch(np.arange(n_pages), seed)
+
+
+# ---------------------------------------------------------------------------
 # Ground-truth labels (FIXTURES.md §2): all positive pairs from planted
 # clusters + negative pairs restricted to shared-blocking-key distractors.
 # ---------------------------------------------------------------------------
