@@ -7,7 +7,7 @@ Run on any cluster as:
         jobs/dedup_job.py \
         --input /path/to/pages_parquet \
         --output /path/to/clusters_out \
-        [--threshold 0.8] [--min-len 10] [--no-near] \
+        [--threshold 0.8] [--min-len 10] [--no-near] [--from-html] \
         [--checkpoint-dir /path/to/ckpt --run-id run1]
 
 The script only uses the SparkSession given to it by spark-submit (no
@@ -33,6 +33,12 @@ def main() -> None:
     p.add_argument("--threshold", type=float, default=0.80)
     p.add_argument("--min-len", type=int, default=10)
     p.add_argument("--no-near", action="store_true", help="exact duplicates only")
+    p.add_argument(
+        "--from-html",
+        action="store_true",
+        help="derive missing text from the raw html column (codegen "
+        "extraction, functions/html.py) before deduping",
+    )
     p.add_argument("--checkpoint-dir", default=None)
     p.add_argument("--run-id", default=None)
     args = p.parse_args()
@@ -44,6 +50,10 @@ def main() -> None:
     from dedupe_algo_spark.pipeline import dedup_pipeline
 
     pages = spark.read.parquet(args.input)
+    if args.from_html:
+        from dedupe_algo_spark.functions.html import ensure_text
+
+        pages = ensure_text(pages)
     if args.checkpoint_dir:
         from dedupe_algo_spark.runner import CheckpointedRun
 

@@ -118,6 +118,25 @@ def test_ensure_text_fills_only_nulls(spark):
     assert out == {"u1": "derived", "u2": "explicit"}
 
 
+def test_pipeline_from_html_matches_given_text(spark):
+    """jobs/dedup_job.py --from-html contract: deduping pages whose
+    text was derived from raw rich HTML produces the exact cluster
+    assignment that deduping the ground-truth text column does."""
+    from dedupe_algo_spark.pipeline import dedup_pipeline
+
+    pages = synth_rich_pages(spark, 400).cache()
+    stripped = pages.withColumn("text", F.lit(None).cast("string"))
+
+    res_a = dedup_pipeline(ensure_text(stripped))
+    a = {(r["url"], r["cluster_id"]) for r in res_a.clusters.collect()}
+    res_a.unpersist()
+    res_b = dedup_pipeline(pages)
+    b = {(r["url"], r["cluster_id"]) for r in res_b.clusters.collect()}
+    res_b.unpersist()
+    pages.unpersist()
+    assert a == b and len(a) > 0
+
+
 @pytest.mark.parametrize("name", ["html_extract"])
 def test_oracle_parity_local(spark, name):
     """Bit-for-bit Spark ↔ DuckDB parity of the registered oracle twin
