@@ -25,7 +25,8 @@ requires a rewrite, as with any bucketed store).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def write_bucketed(
@@ -78,3 +79,149 @@ def incremental_seen_lookup(
         ]
     )
     return batch.join(right, on=key, how="inner")
+
+
+# ---------------------------------------------------------------------------
+# Near-duplicate tier: the same exchange-free-corpus contract for the LSH
+# path. Two materialized tables make an incremental *near*-dedup index:
+#
+#   {name}_bands : (bucket_key long, url)  bucketed+sorted on bucket_key
+#   {name}_text  : (url, text)             bucketed+sorted on url
+#
+# A new batch computes its own band keys (one Arrow UDF pass over the
+# batch only), probes the band index — corpus side never shuffles — and
+# confirms surviving candidates with the exact token-Jaccard used by the
+# main pipeline's tier 2 (operators/scoring.py), looking the corpus text
+# up through the url-bucketed table, again with zero corpus-side
+# Exchange. At 10^12 seen pages the only data that ever moves is the
+# day's batch.
+# ---------------------------------------------------------------------------
+
+
+def write_near_index(
+    corpus_pages: DataFrame,
+    name: str,
+    buckets: int = 64,
+    path: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Materialize the seen-corpus near-dup index from (url, text) pages:
+    the LSH band table ``{name}_bands`` and the text lookup table
+    ``{name}_text``. One Arrow signature pass over the corpus — paid
+    once, at index-build time, never again per batch."""
+    from ..functions.minhash import minhash_band_keys_udf
+    from ..operators.candidates import bucket_table_from_bands
+
+    bands = corpus_pages.select(
+        "url", minhash_band_keys_udf(F.col("text")).alias("bands")
+    )
+    write_bucketed(
+        bucket_table_from_bands(bands),
+        f"{name}_bands",
+        key="bucket_key",
+        buckets=buckets,
+        path=None if path is None else f"{path}_bands",
+        mode=mode,
+    )
+    write_bucketed(
+        corpus_pages.select("url", "text"),
+        f"{name}_text",
+        key="url",
+        buckets=buckets,
+        path=None if path is None else f"{path}_text",
+        mode=mode,
+    )
+
+
+def read_near_index(spark: SparkSession, name: str) -> tuple[DataFrame, DataFrame]:
+    """→ (bands, text) DataFrames of a :func:`write_near_index` index,
+    with their bucket metadata (must come from the catalog — see
+    :func:`read_bucketed`)."""
+    return spark.table(f"{name}_bands"), spark.table(f"{name}_text")
+
+
+def incremental_near_candidates(
+    batch: DataFrame,
+    corpus_bands: DataFrame,
+    min_matches: int | None = None,
+) -> DataFrame:
+    """→ (batch_url, corpus_url, n_band_matches): batch pages whose
+    MinHash band keys collide with an already-seen page's in ≥
+    ``min_matches`` bands (the pipeline's tier-1 binomial gate,
+    operators/scoring.band_gate, applied cross-table).
+
+    Plan shape: the batch's exploded (bucket_key, url) rows shuffle once
+    into the corpus index's bucket scheme; the corpus side reads its
+    buckets in place (asserted by test_bucketed). The collision count
+    then rides a second slim exchange of only the MATCHED pairs.
+    """
+    from ..functions.minhash import minhash_band_keys_udf
+    from ..operators.candidates import bucket_table_from_bands
+    from ..operators.scoring import DEFAULT_MIN_BAND_MATCHES
+
+    if min_matches is None:
+        min_matches = DEFAULT_MIN_BAND_MATCHES
+    batch_buckets = bucket_table_from_bands(
+        batch.select("url", minhash_band_keys_udf(F.col("text")).alias("bands"))
+    ).select("bucket_key", F.col("url").alias("batch_url"))
+    corpus_buckets = corpus_bands.select(
+        "bucket_key", F.col("url").alias("corpus_url")
+    )
+    return (
+        batch_buckets.join(corpus_buckets, "bucket_key")
+        .groupBy("batch_url", "corpus_url")
+        .agg(F.count(F.lit(1)).alias("n_band_matches"))
+        .where(F.col("n_band_matches") >= min_matches)
+    )
+
+
+def _token_hashes(text: Column) -> Column:
+    """Distinct 32-bit token-hash array — the identical expression the
+    main pipeline's confirm tier scores with (operators/scoring.py
+    jvm_tokens branch; see there for the collision-probability budget)."""
+    from ..operators.scoring import TOKEN_SPLIT_RE
+
+    return F.transform(
+        F.array_distinct(F.array_remove(F.split(text, TOKEN_SPLIT_RE), "")),
+        lambda t: F.hash(t),
+    )
+
+
+def incremental_near_dupes(
+    batch: DataFrame,
+    corpus_bands: DataFrame,
+    corpus_text: DataFrame,
+    threshold: float | None = None,
+    min_matches: int | None = None,
+) -> DataFrame:
+    """→ (batch_url, corpus_url, score): batch pages that near-duplicate
+    an already-seen corpus page at token-Jaccard ≥ ``threshold`` — the
+    incremental (cross-table) form of the main pipeline's near tier.
+
+    Neither the corpus text nor its token arrays ever cross an Exchange:
+    candidates shuffle TO the url-bucketed text table and tokenization
+    happens corpus-side of the join (asserted by test_bucketed). The
+    batch's token arrays move once, keyed by batch_url — the day's
+    batch is the only payload in motion.
+    """
+    from ..operators.scoring import DEFAULT_THRESHOLD
+
+    if threshold is None:
+        threshold = DEFAULT_THRESHOLD
+    cands = incremental_near_candidates(batch, corpus_bands, min_matches)
+    bt = batch.select(
+        F.col("url").alias("batch_url"), _token_hashes(F.col("text")).alias("_ta")
+    )
+    ct = corpus_text.select(
+        F.col("url").alias("corpus_url"), _token_hashes(F.col("text")).alias("_tb")
+    )
+    inter = F.size(F.array_intersect(F.col("_ta"), F.col("_tb")))
+    union = F.size("_ta") + F.size("_tb") - inter
+    score = F.when(union == 0, F.lit(1.0)).otherwise(inter / union.cast("double"))
+    return (
+        cands.join(bt, "batch_url")
+        .join(ct, "corpus_url")
+        .withColumn("score", score)
+        .where(F.col("score") >= threshold)
+        .select("batch_url", "corpus_url", "score")
+    )

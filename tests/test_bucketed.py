@@ -80,3 +80,106 @@ def test_corpus_side_never_shuffles(spark, corpus, join_fn):
 def test_roundtrip_preserves_rows(spark, corpus):
     assert corpus.count() == 1000
     assert corpus.select("content_sha256").distinct().count() == 1000
+
+
+# --------------------------------------------------------------------------
+# Near-duplicate tier over the bucketed index
+# --------------------------------------------------------------------------
+
+_POOL = (
+    "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+    "kilo lima mike november oscar papa quebec romeo sierra tango"
+).split()
+
+
+def _page_text(seed: int, n_tokens: int = 60) -> str:
+    # the seed is baked into every token so distinct seeds share ZERO
+    # tokens (a windowed generator would make all pages near-dups)
+    return " ".join(
+        f"{_POOL[(seed + i) % len(_POOL)]}{seed}n{(i * 3) % 97}"
+        for i in range(n_tokens)
+    )
+
+
+@pytest.fixture(scope="module")
+def near_index(spark, tmp_path_factory):
+    from dedupe_algo_spark.sources.bucketed import read_near_index, write_near_index
+
+    rows = [(f"https://seen/{i}", _page_text(i)) for i in range(50)]
+    corpus = spark.createDataFrame(rows, "url string, text string")
+    path = str(tmp_path_factory.mktemp("nearidx") / "seen")
+    write_near_index(corpus, "near_index_test", buckets=8, path=path)
+    yield read_near_index(spark, "near_index_test")
+    spark.sql("DROP TABLE IF EXISTS near_index_test_bands")
+    spark.sql("DROP TABLE IF EXISTS near_index_test_text")
+
+
+def _near_batch(spark):
+    # one exact copy of seen/3, one near copy of seen/7 (2 of 60 tokens
+    # changed -> token-Jaccard ~0.94), one novel page
+    near = _page_text(7).split()
+    near[-1], near[-2] = "zulu999", "yankee998"
+    rows = [
+        ("https://new/exact", _page_text(3)),
+        ("https://new/near", " ".join(near)),
+        ("https://new/novel", " ".join(f"unique{i}word{i * 11}" for i in range(60))),
+    ]
+    return spark.createDataFrame(rows, "url string, text string")
+
+
+def test_incremental_near_dupes_semantics(spark, near_index):
+    from dedupe_algo_spark.sources.bucketed import incremental_near_dupes
+
+    bands, text = near_index
+    out = {
+        r["batch_url"]: (r["corpus_url"], r["score"])
+        for r in incremental_near_dupes(_near_batch(spark), bands, text).collect()
+    }
+    assert out["https://new/exact"] == ("https://seen/3", 1.0)
+    hit, score = out["https://new/near"]
+    assert hit == "https://seen/7" and 0.85 <= score < 1.0
+    assert "https://new/novel" not in out
+
+
+def test_near_candidates_corpus_side_never_shuffles(spark, near_index):
+    """The band probe reads the corpus index's buckets in place: the
+    only exchanges are the batch's bucket rows hashing INTO the index's
+    scheme and the slim matched-pair rollup."""
+    import re
+
+    from dedupe_algo_spark.sources.bucketed import incremental_near_candidates
+
+    bands, _ = near_index
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = formatted_plan(incremental_near_candidates(_near_batch(spark), bands))
+        n_exchange = sum(
+            1
+            for line in plan.splitlines()
+            if re.match(r"\(\d+\) Exchange", line.strip())
+        )
+        assert "Bucketed: true" in plan, plan
+        assert n_exchange == 2, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_near_dupes_corpus_text_never_shuffles(spark, near_index):
+    """End-to-end confirm plan: neither raw text nor the corpus-side
+    token arrays (_tb) ever cross an Exchange — candidates travel to the
+    url-bucketed text table, tokenization happens on the scan side."""
+    from dedupe_algo_spark.plans import exchange_columns
+    from dedupe_algo_spark.sources.bucketed import incremental_near_dupes
+
+    bands, text = near_index
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        moved = exchange_columns(
+            incremental_near_dupes(_near_batch(spark), bands, text)
+        )
+        assert "text" not in moved, moved
+        assert "_tb" not in moved, moved
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
