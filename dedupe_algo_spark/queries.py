@@ -1963,6 +1963,99 @@ FROM docl d LEFT JOIN rebuilt r USING (doc_id)
 """
 
 
+def q_c4_filter(spark, sf_dir):
+    """C4 page cleaning (Raffel et al. 2020) over a multi-line corpus
+    derived from ``documents``: every doc gets its body as a terminal-
+    punctuated sentence plus planted boilerplate exercising each rule —
+    a javascript line, a punctuation-less nav bar, a too-short line, an
+    even-doc bonus sentence (varying n_sentences), 'lorem ipsum' on
+    every 10th doc and a curly-brace snippet on doc_id%13==3 (page
+    drops). The oracle re-derives the line verdicts, sentence counts,
+    flags AND the rewritten text (sha256) in DuckDB."""
+    from .operators.c4 import c4_clean
+
+    docs = _docs(spark, sf_dir)
+    multi = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.concat(F.col("text"), F.lit(".")),
+            F.lit("Please enable javascript to continue reading this page."),
+            F.lit("Home | About | Contact"),
+            F.lit("Too short."),
+            F.lit("All four good lines survive here."),
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.lit("A bonus sentence appears on even documents."),
+            ),
+            F.when(
+                F.col("doc_id") % 10 == 0,
+                F.lit("Sample filler lorem ipsum dolor sit amet."),
+            ),
+            F.when(
+                F.col("doc_id") % 13 == 3,
+                F.lit("var config = { mode: production };"),
+            ),
+        ).alias("text"),
+    )
+    out = c4_clean(multi, min_sentences=2)
+    return out.select(
+        "doc_id",
+        "n_lines",
+        "n_kept",
+        "n_sentences",
+        "has_lorem",
+        "has_brace",
+        "keep_doc",
+        F.sha2(F.col("kept_text"), 256).alias("kept_sha256"),
+    )
+
+
+SQL_C4_FILTER = r"""
+WITH multi AS (
+  SELECT doc_id, concat_ws(chr(10),
+    text || '.',
+    'Please enable javascript to continue reading this page.',
+    'Home | About | Contact',
+    'Too short.',
+    'All four good lines survive here.',
+    CASE WHEN doc_id % 2 = 0
+         THEN 'A bonus sentence appears on even documents.' END,
+    CASE WHEN doc_id % 10 = 0
+         THEN 'Sample filler lorem ipsum dolor sit amet.' END,
+    CASE WHEN doc_id % 13 = 3
+         THEN 'var config = { mode: production };' END
+  ) AS text
+  FROM documents
+), verdicts AS (
+  SELECT doc_id, text,
+    string_split(text, chr(10)) AS lines,
+    list_filter(string_split(text, chr(10)), x ->
+      trim(x) <> ''
+      AND regexp_matches(trim(x), '[.!?"]$')
+      AND len(regexp_split_to_array(trim(x), '\s+')) >= 3
+      AND NOT contains(lower(x), 'javascript')
+    ) AS kept
+  FROM multi
+), agg AS (
+  SELECT doc_id, lines, kept,
+    COALESCE(list_sum(list_transform(
+      kept, x -> len(regexp_extract_all(x, '[.!?]')))), 0) AS n_sent,
+    contains(lower(text), 'lorem ipsum') AS has_lorem,
+    contains(text, '{') AS has_brace
+  FROM verdicts
+)
+SELECT doc_id,
+  CAST(len(lines) AS BIGINT) AS n_lines,
+  CAST(len(kept) AS BIGINT) AS n_kept,
+  CAST(n_sent AS BIGINT) AS n_sentences,
+  has_lorem, has_brace,
+  (NOT has_lorem AND NOT has_brace AND n_sent >= 2) AS keep_doc,
+  sha256(array_to_string(kept, chr(10))) AS kept_sha256
+FROM agg
+"""
+
+
 def q_decontam_report(spark, sf_dir):
     """GPT-3-style benchmark decontamination: the eval corpus is a
     planted contamination — a 9-token slice of every 5th document — and
@@ -2929,6 +3022,7 @@ QUERIES = {
     "rep_filter": q_rep_filter,
     "url_canonical_dedup": q_url_canonical_dedup,
     "line_dedup": q_line_dedup,
+    "c4_filter": q_c4_filter,
     "decontam_report": q_decontam_report,
     "stratified_sample": q_stratified_sample,
     "deterministic_split": q_deterministic_split,
@@ -3015,6 +3109,7 @@ ORACLES = {
     "rep_filter": SQL_REP_FILTER,
     "url_canonical_dedup": SQL_URL_CANONICAL_DEDUP,
     "line_dedup": SQL_LINE_DEDUP,
+    "c4_filter": SQL_C4_FILTER,
     "decontam_report": SQL_DECONTAM_REPORT,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "deterministic_split": SQL_DETERMINISTIC_SPLIT,

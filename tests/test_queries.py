@@ -38,6 +38,7 @@ SAMPLE = [
     "pages_dedup_clusters_2k",
     "simhash_hamming",
     "duplicate_spans",
+    "c4_filter",
 ]
 
 
