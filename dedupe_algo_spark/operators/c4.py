@@ -63,6 +63,7 @@ def c4_clean(
     min_words: int = 3,
     min_sentences: int = 5,
     blocklist: tuple[str, ...] = (),
+    passthrough: bool = False,
 ) -> DataFrame:
     """→ (``id_col``, n_lines, n_kept, n_sentences, has_lorem,
     has_brace, has_blocked, keep_doc, kept_text).
@@ -72,6 +73,11 @@ def c4_clean(
     training-data selection is then ``WHERE keep_doc`` over
     ``kept_text``. The flags stay separate columns so lineage reports
     can attribute drops per rule.
+
+    ``passthrough=True`` carries every input column through alongside
+    the verdicts (still one narrow map) — the pipeline-stage form, so a
+    caller can rewrite text in place without a self-join back to the
+    source: ``.where("keep_doc").withColumn("text", F.col("kept_text"))``.
     """
     lines = F.split(F.col(text_col), "\n")
     kept = F.filter(lines, lambda ln: _keep_line(ln, min_words))
@@ -87,8 +93,11 @@ def c4_clean(
     keep_doc = (
         ~has_lorem & ~has_brace & ~has_blocked & (n_sentences >= min_sentences)
     )
+    lead = (
+        [F.col(c) for c in docs.columns] if passthrough else [F.col(id_col)]
+    )
     return docs.select(
-        F.col(id_col),
+        *lead,
         F.size(lines).cast("long").alias("n_lines"),
         F.size(kept).cast("long").alias("n_kept"),
         n_sentences.cast("long").alias("n_sentences"),

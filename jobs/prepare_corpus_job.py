@@ -7,6 +7,8 @@ reported as lineage:
 
     1. URL dedup        keep the newest snapshot per canonical url
                         (zero-content dedup — cheapest cut first)
+    1b. C4 hygiene      optional (--c4): line cut + page verdicts per
+                        Raffel et al. 2020, text rewritten in place
     2. quality gate     Gopher repetition caps (exact-integer verdicts)
     3. PII redaction    email/IPv4/phone → class sentinels (codegen)
     4. content dedup    exact + near (hash cascade → MinHash/LSH →
@@ -65,6 +67,10 @@ def prepare(
     fractions: dict[str, float] | None = None,
     seed: int = 42,
     threshold: float = 0.8,
+    c4: bool = False,
+    c4_min_words: int = 3,
+    c4_min_sentences: int = 5,
+    c4_blocklist: tuple[str, ...] = (),
 ):
     """Run the six-stage preparation over a pages DataFrame. Returns
     (mixed DataFrame ready to write, lineage dict of per-stage counts,
@@ -105,6 +111,39 @@ def prepare(
     # window pass cheap) so url-dedup and quality-gate attribute
     # separately in the lineage
     lineage["url_dedup"] = pages.select("url").count()
+
+    # 1b. optional C4 lexical hygiene (Raffel et al. 2020): line cut +
+    # page verdicts as ONE narrow codegen map (passthrough mode — no
+    # self-join), text rewritten in place so every later stage (Gopher
+    # signals, hashes, signatures) judges the cleaned bytes. Off by
+    # default: C4's terminal-punctuation rule assumes prose pages.
+    if c4:
+        from dedupe_algo_spark.operators.c4 import c4_clean
+
+        pages = (
+            c4_clean(
+                pages,
+                id_col="url",
+                text_col="text",
+                min_words=c4_min_words,
+                min_sentences=c4_min_sentences,
+                blocklist=c4_blocklist,
+                passthrough=True,
+            )
+            .where("keep_doc")
+            .withColumn("text", F.col("kept_text"))
+            .drop(
+                "n_lines",
+                "n_kept",
+                "n_sentences",
+                "has_lorem",
+                "has_brace",
+                "has_blocked",
+                "keep_doc",
+                "kept_text",
+            )
+        )
+        lineage["c4_clean"] = pages.select("url").count()
 
     # 2. Gopher repetition gate (keep verdicts are exact-integer)
     keep = repetition_filter(
@@ -181,6 +220,19 @@ def main() -> None:
     p.add_argument("--test", type=float, default=0.01)
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--threshold", type=float, default=0.8)
+    p.add_argument(
+        "--c4",
+        action="store_true",
+        help="apply C4 lexical hygiene (line cut + page verdicts) "
+        "before the quality gate",
+    )
+    p.add_argument("--c4-min-words", type=int, default=3)
+    p.add_argument("--c4-min-sentences", type=int, default=5)
+    p.add_argument(
+        "--c4-blocklist",
+        default="",
+        help="comma-separated phrases that drop a page outright",
+    )
     args = p.parse_args()
     if bool(args.input) == bool(args.synth):
         p.error("exactly one of --input / --synth required")
@@ -208,6 +260,12 @@ def main() -> None:
         fractions={"train": args.train, "valid": args.valid, "test": args.test},
         seed=args.seed,
         threshold=args.threshold,
+        c4=args.c4,
+        c4_min_words=args.c4_min_words,
+        c4_min_sentences=args.c4_min_sentences,
+        c4_blocklist=tuple(
+            w.strip() for w in args.c4_blocklist.split(",") if w.strip()
+        ),
     )
     mixed.write.mode("overwrite").partitionBy("split").parquet(args.output)
     release()

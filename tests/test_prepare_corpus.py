@@ -53,3 +53,48 @@ def test_prepare_end_to_end(spark):
     assert contaminated_url not in set(out["url"])
     # every surviving url is unique (dedup + keeper selection)
     assert out["url"].is_unique
+
+
+def test_prepare_with_c4_stage(spark):
+    """--c4 contract: the C4 hygiene stage cuts lorem-ipsum pages
+    before the quality gate, rewrites text in place, and the rest of
+    the chain runs unchanged on the cleaned bytes."""
+    from dedupe_algo_spark.synth import synth_pages
+
+    base = synth_pages(spark, 200)
+    # give every page 3 proper sentences; plant 'lorem ipsum' on a
+    # deterministic ~5% subset (C4 page-drop rule)
+    pages = base.withColumn(
+        "text",
+        F.concat(
+            F.when(
+                F.abs(F.xxhash64("url")) % 20 == 0,
+                F.lit("Filler lorem ipsum dolor sit amet. "),
+            ).otherwise(F.lit("")),
+            F.col("text"),
+            F.lit(". Another good sentence follows here. And a third one lands."),
+        ),
+    ).cache()
+    n_lorem = pages.where(F.lower("text").contains("lorem ipsum")).count()
+    assert n_lorem > 0
+
+    mixed, lineage, release = prepare(
+        spark,
+        pages,
+        rates={},
+        default_rate=1.0,
+        fractions={"train": 1.0},
+        seed=7,
+        c4=True,
+        c4_min_sentences=3,
+    )
+    out = mixed.toPandas()
+    release()
+    pages.unpersist()
+
+    assert lineage["c4_clean"] == lineage["url_dedup"] - n_lorem
+    assert len(out) > 0
+    assert not out["text"].str.lower().str.contains("lorem ipsum").any()
+    # rewrite happened in place: the surviving single-line pages still
+    # end with the terminal-punctuated sentence we appended
+    assert out["text"].str.endswith("And a third one lands.").all()
