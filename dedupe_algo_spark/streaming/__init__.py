@@ -18,6 +18,10 @@ analogs as real Structured Streaming jobs:
   as a custom stateful streaming operator via ``applyInPandasWithState``
   keyed on the content hash. Only the first-arriving page per hash is
   ever emitted, across batches, backed by the state store.
+* ``near_dup_stream`` — streaming NEAR dedup against the bucketed
+  seen-corpus index (sources/bucketed): each micro-batch probes the LSH
+  band table and confirms with token-Jaccard, corpus side never
+  shuffling — the stream-static face of incremental ingest.
 """
 
 from __future__ import annotations
@@ -141,6 +145,73 @@ def dedup_pages_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def near_dup_stream(
+    spark: SparkSession,
+    source_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    index_name: str,
+    threshold: float | None = None,
+    min_matches: int | None = None,
+    min_len: int = 10,
+    options: dict | None = None,
+    trigger_seconds: int | None = None,
+):
+    """Start (or resume) the streaming near-dedup probe: new pages
+    landing in ``source_dir`` are checked against the seen-corpus
+    near-dup index built by :func:`~dedupe_algo_spark.sources.bucketed
+    .write_near_index`, and every (batch_url, corpus_url, score) hit at
+    token-Jaccard ≥ ``threshold`` appends to ``output_dir``.
+
+    ``foreachBatch`` is the idiomatic shape for a stream-vs-static
+    probe: each micro-batch is a plain DataFrame, so the join reuses the
+    exchange-free bucketed plan verbatim — the corpus side never
+    shuffles, per micro-batch, however long the stream runs. The file
+    source's processed-files log lives under ``checkpoint_dir``:
+    re-submitting resumes where the last run committed. (Micro-batch
+    replay after a crash can re-append a batch's rows — the standard
+    foreachBatch at-least-once contract; dedupe downstream on
+    (batch_url, corpus_url) if the sink must be exactly-once.)
+
+    Default trigger is ``availableNow`` (drain the backlog, then stop —
+    cron-friendly); pass ``trigger_seconds`` to follow continuously.
+    Returns the started StreamingQuery.
+    """
+    from ..sources.bucketed import incremental_near_dupes, read_near_index
+
+    bands, corpus_text = read_near_index(spark, index_name)
+    reader = spark.readStream.schema(PAGES_SCHEMA)
+    if options:
+        reader = reader.options(**options)
+    pages = (
+        reader.parquet(source_dir)
+        .where(F.length("text") >= min_len)
+        .select("url", "text")
+    )
+
+    def _probe(batch_df: DataFrame, _batch_id: int) -> None:
+        (
+            incremental_near_dupes(
+                batch_df,
+                bands,
+                corpus_text,
+                threshold=threshold,
+                min_matches=min_matches,
+            )
+            .write.mode("append")
+            .parquet(output_dir)
+        )
+
+    writer = pages.writeStream.foreachBatch(_probe).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_seconds is None:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()
 
 
 def run_to_memory(

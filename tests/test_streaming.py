@@ -164,3 +164,73 @@ def test_ingest_pages_stream_hashes(spark, tmp_path):
     )
     for _, r in pdf.iterrows():
         assert batch[r["url"]] == r["content_sha256"]
+
+
+def test_near_dup_stream_probes_bucketed_index(spark, tmp_path):
+    """Stream-vs-seen-corpus near dedup: micro-batches of new pages
+    probe the bucketed LSH index; hits append with their score, the
+    checkpoint suppresses reprocessing of already-seen files, and a
+    resumed run picks up only newly landed files."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from dedupe_algo_spark.sources.bucketed import write_near_index
+    from dedupe_algo_spark.streaming import near_dup_stream
+
+    def _text(seed):
+        return " ".join(f"tok{seed}x{j * 7 % 53}" for j in range(50))
+
+    corpus = spark.createDataFrame(
+        [(f"https://seen/{i}", _text(i)) for i in range(20)],
+        "url string, text string",
+    )
+    write_near_index(corpus, "near_stream_idx", buckets=4,
+                     path=str(tmp_path / "idx"))
+    try:
+        src, out, ckpt = tmp_path / "in", tmp_path / "out", tmp_path / "ckpt"
+        src.mkdir()
+
+        def _pages(rows, dest):
+            df = spark.createDataFrame(
+                rows, "url string, text string"
+            ).select(
+                "url",
+                F.lit("2026-01-01 00:00:00").cast("timestamp").alias("warc_ts"),
+                F.lit(b"").alias("html"),
+                "text",
+                F.lit("en").alias("lang"),
+            )
+            df.coalesce(1).write.parquet(str(dest), mode="overwrite")
+
+        near = _text(7).split()
+        near[-1] = "changed999"
+        _pages(
+            [("https://new/dup", _text(3)),
+             ("https://new/near", " ".join(near)),
+             ("https://new/novel", " ".join(f"zz{j}q{j}" for j in range(50)))],
+            src / "w1",
+        )
+        near_dup_stream(
+            spark, str(src / "w*"), str(out), str(ckpt), "near_stream_idx"
+        ).awaitTermination(120)
+        first = pd.read_parquet(str(out))
+        got = dict(zip(first["batch_url"], first["corpus_url"]))
+        assert got == {
+            "https://new/dup": "https://seen/3",
+            "https://new/near": "https://seen/7",
+        }
+        assert (first["score"] >= 0.8).all()
+
+        # resume: a second wave lands; only IT is processed
+        _pages([("https://new/dup2", _text(11))], src / "w2")
+        near_dup_stream(
+            spark, str(src / "w*"), str(out), str(ckpt), "near_stream_idx"
+        ).awaitTermination(120)
+        both = pd.read_parquet(str(out))
+        assert len(both) == 3  # no re-emission of wave-1 hits
+        assert set(both["batch_url"]) == {
+            "https://new/dup", "https://new/near", "https://new/dup2"
+        }
+    finally:
+        spark.sql("DROP TABLE IF EXISTS near_stream_idx_bands")
+        spark.sql("DROP TABLE IF EXISTS near_stream_idx_text")
