@@ -56,6 +56,31 @@ def read_bucketed(spark: SparkSession, name: str) -> DataFrame:
     return spark.table(name)
 
 
+def register_bucketed(
+    spark: SparkSession,
+    name: str,
+    path: str,
+    key: str,
+    buckets: int,
+    schema: str,
+) -> None:
+    """(Re-)register an EXTERNAL bucketed table over files a previous
+    session wrote with :func:`write_bucketed`. A real deployment has a
+    shared catalog (Hive metastore / Iceberg / Unity) where the bucket
+    spec outlives every session; with Spark's default in-memory catalog
+    the metadata dies with the session that wrote it, so a later job
+    (e.g. the per-batch probe) must re-declare the layout before the
+    exchange-free plan is available. ``schema`` is the column DDL
+    (e.g. ``"url string, text string"``); the CLUSTERED BY spec must
+    match what was written — Spark recovers each file's bucket id from
+    the writer's file naming."""
+    spark.sql(
+        f"CREATE TABLE IF NOT EXISTS {name} ({schema}) USING PARQUET "
+        f"CLUSTERED BY ({key}) SORTED BY ({key}) INTO {buckets} BUCKETS "
+        f"LOCATION '{path}'"
+    )
+
+
 def incremental_unseen(
     batch: DataFrame, corpus: DataFrame, key: str = "content_sha256"
 ) -> DataFrame:
@@ -138,6 +163,29 @@ def read_near_index(spark: SparkSession, name: str) -> tuple[DataFrame, DataFram
     with their bucket metadata (must come from the catalog — see
     :func:`read_bucketed`)."""
     return spark.table(f"{name}_bands"), spark.table(f"{name}_text")
+
+
+def register_near_index(
+    spark: SparkSession, name: str, path: str, buckets: int = 64
+) -> None:
+    """Re-register a :func:`write_near_index` index written by an
+    earlier session (see :func:`register_bucketed` for why)."""
+    register_bucketed(
+        spark,
+        f"{name}_bands",
+        f"{path}_bands",
+        key="bucket_key",
+        buckets=buckets,
+        schema="bucket_key bigint, url string",
+    )
+    register_bucketed(
+        spark,
+        f"{name}_text",
+        f"{path}_text",
+        key="url",
+        buckets=buckets,
+        schema="url string, text string",
+    )
 
 
 def incremental_near_candidates(

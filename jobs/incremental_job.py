@@ -1,0 +1,181 @@
+"""spark-submit entry point for INCREMENTAL ingest against a seen-corpus.
+
+Two subcommands:
+
+    # one-time (or periodic) index build from the accepted corpus
+    spark-submit --master <master> --py-files dedupe_algo_spark.zip \
+        jobs/incremental_job.py index \
+        --corpus /path/to/accepted_pages_parquet \
+        --name seen --location /path/to/warehouse/seen \
+        [--buckets 64]
+
+    # per-batch probe: split a new batch into unseen / exact-dup /
+    # near-dup against the index, without ever shuffling the corpus
+    spark-submit --master <master> --py-files dedupe_algo_spark.zip \
+        jobs/incremental_job.py probe \
+        --batch /path/to/new_batch_parquet \
+        --name seen --location /path/to/warehouse/seen \
+        --output /path/to/probe_out \
+        [--buckets 64] [--threshold 0.8] [--min-matches 2] [--min-len 10]
+
+``index`` materializes THREE Hive-bucketed tables (sources/bucketed.py):
+``{name}_hashes`` (content_sha256-keyed exact tier), and the near-dup
+pair ``{name}_bands`` / ``{name}_text``. ``probe`` then writes
+
+    {output}/unseen/     batch rows whose sha256 the corpus lacks AND
+                         that near-duplicate nothing seen (the rows to
+                         accept + append to the corpus)
+    {output}/exact/      (url, corpus_url) exact-content hits
+    {output}/near/       (url, corpus_url, score) near-dup hits
+
+and prints one JSON lineage line. Every corpus-side join is
+exchange-free by layout: only the batch moves (tests/test_bucketed.py
+asserts the plan shapes; this job is the deployment wrapper).
+
+Reference parity: this is the reference's cache-driven re-scan
+(lib.rs:83-107 — skip files whose (path, size, mtime) the cache knows)
+lifted to the 10^12-row operating mode where "the cache" cannot be
+re-shuffled per run.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def build_index(spark, corpus, name: str, location: str, buckets: int = 64) -> None:
+    from pyspark.sql import functions as F
+
+    from dedupe_algo_spark.sources.bucketed import write_bucketed, write_near_index
+
+    hashes = corpus.select(
+        F.sha2(F.col("text"), 256).alias("content_sha256"), "url"
+    )
+    write_bucketed(
+        hashes,
+        f"{name}_hashes",
+        key="content_sha256",
+        buckets=buckets,
+        path=f"{location}_hashes",
+    )
+    write_near_index(
+        corpus.select("url", "text"), name, buckets=buckets, path=location
+    )
+
+
+def probe_batch(
+    spark,
+    batch,
+    name: str,
+    threshold: float = 0.80,
+    min_matches: int = 2,
+    location: str | None = None,
+    buckets: int = 64,
+):
+    """→ (unseen, exact, near) DataFrames. ``unseen`` keeps the batch's
+    full schema; exact/near are slim hit tables. Pass ``location`` (the
+    ``index`` run's --location) to re-register the index tables when
+    probing from a fresh session without a shared catalog."""
+    from pyspark.sql import functions as F
+
+    from dedupe_algo_spark.sources.bucketed import (
+        incremental_near_dupes,
+        read_bucketed,
+        read_near_index,
+        register_bucketed,
+        register_near_index,
+    )
+
+    if location is not None:
+        register_bucketed(
+            spark,
+            f"{name}_hashes",
+            f"{location}_hashes",
+            key="content_sha256",
+            buckets=buckets,
+            schema="content_sha256 string, url string",
+        )
+        register_near_index(spark, name, location, buckets=buckets)
+    hashes = read_bucketed(spark, f"{name}_hashes")
+    bands, corpus_text = read_near_index(spark, name)
+
+    hashed = batch.withColumn("content_sha256", F.sha2(F.col("text"), 256))
+    exact = hashed.join(
+        hashes.select("content_sha256", F.col("url").alias("corpus_url")),
+        "content_sha256",
+    ).select("url", "corpus_url")
+    near = incremental_near_dupes(
+        batch, bands, corpus_text, threshold=threshold, min_matches=min_matches
+    ).select(
+        F.col("batch_url").alias("url"), F.col("corpus_url"), F.col("score")
+    )
+    # accept = not exact-seen AND not near-seen; two anti-joins on slim
+    # keyed sides (the near hit list is tiny — it already passed τ)
+    unseen = (
+        hashed.join(hashes.select("content_sha256"), "content_sha256", "left_anti")
+        .drop("content_sha256")
+        .join(near.select("url"), "url", "left_anti")
+    )
+    return unseen, exact, near
+
+
+def main() -> None:
+    p = argparse.ArgumentParser(description="incremental ingest vs seen-corpus")
+    sub = p.add_subparsers(dest="cmd", required=True)
+    pi = sub.add_parser("index")
+    pi.add_argument("--corpus", required=True)
+    pi.add_argument("--name", required=True)
+    pi.add_argument("--location", required=True)
+    pi.add_argument("--buckets", type=int, default=64)
+    pp = sub.add_parser("probe")
+    pp.add_argument("--batch", required=True)
+    pp.add_argument("--name", required=True)
+    pp.add_argument("--output", required=True)
+    pp.add_argument(
+        "--location",
+        help="the index run's --location (re-registers the external "
+        "bucketed tables when no shared catalog carries them)",
+    )
+    pp.add_argument("--buckets", type=int, default=64)
+    pp.add_argument("--threshold", type=float, default=0.80)
+    pp.add_argument("--min-matches", type=int, default=2)
+    pp.add_argument("--min-len", type=int, default=10)
+    args = p.parse_args()
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = SparkSession.builder.getOrCreate()
+    if args.cmd == "index":
+        corpus = spark.read.parquet(args.corpus)
+        build_index(spark, corpus, args.name, args.location, args.buckets)
+        print(json.dumps({"indexed": corpus.count(), "name": args.name}))
+    else:
+        batch = spark.read.parquet(args.batch).where(
+            F.length("text") >= args.min_len
+        )
+        unseen, exact, near = probe_batch(
+            spark,
+            batch,
+            args.name,
+            threshold=args.threshold,
+            min_matches=args.min_matches,
+            location=args.location,
+            buckets=args.buckets,
+        )
+        unseen.write.mode("overwrite").parquet(f"{args.output}/unseen")
+        exact.write.mode("overwrite").parquet(f"{args.output}/exact")
+        near.write.mode("overwrite").parquet(f"{args.output}/near")
+        out = {
+            "batch": batch.count(),
+            "unseen": spark.read.parquet(f"{args.output}/unseen").count(),
+            "exact_hits": spark.read.parquet(f"{args.output}/exact").count(),
+            "near_hits": spark.read.parquet(f"{args.output}/near").count(),
+        }
+        print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
