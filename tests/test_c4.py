@@ -3,6 +3,8 @@ zero-shuffle / whole-stage-codegen plan contract."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from dedupe_algo_spark.operators.c4 import c4_clean
 from dedupe_algo_spark.plans import (
     formatted_plan,
@@ -74,6 +76,65 @@ def test_sentences_counted_on_kept_lines_only(spark):
         min_sentences=2,
     )
     assert r["n_sentences"] == 1 and not r["keep_doc"]
+
+
+def _random_corpus(n=300, seed=11):
+    """Seeded random multi-line docs mixing every rule trigger: words,
+    digits, punctuation-terminated and bare lines, javascript/lorem/brace
+    injections, unicode, empty lines."""
+    import random
+
+    rng = random.Random(seed)
+    words = ["alpha", "beta", "Gamma", "δelta", "x9", "the", "of", "JavaScript",
+             "lorem", "ipsum", "{brace}", "plain", "word", "née", "ok"]
+    tails = [".", "!", "?", '"', "", ",", ";", " ", "..."]
+    docs = []
+    for i in range(n):
+        lines = []
+        for _ in range(rng.randint(0, 8)):
+            ln = " ".join(rng.choice(words) for _ in range(rng.randint(0, 7)))
+            lines.append((" " * rng.randint(0, 2)) + ln + rng.choice(tails))
+        docs.append((i, "\n".join(lines)))
+    return docs
+
+
+def test_property_line_cut_is_idempotent(spark):
+    """Re-cleaning a cleaned page is a no-op: every kept line still
+    passes every line rule, so kept_text, n_kept and n_sentences are
+    fixed points. (Page flags can differ — a kept line may itself
+    contain 'lorem ipsum' — the property is about the LINE verdicts.)"""
+    docs = spark.createDataFrame(_random_corpus(), "doc_id long, text string")
+    once = c4_clean(docs).where("n_kept > 0").select(
+        "doc_id",
+        F.col("kept_text").alias("text"),
+        F.col("n_kept").alias("k1"),
+        F.col("n_sentences").alias("s1"),
+    )
+    twice = c4_clean(once, min_sentences=1)
+    joined = once.join(twice, "doc_id")
+    bad = joined.where(
+        (F.col("n_kept") != F.col("k1"))
+        | (F.col("n_sentences") != F.col("s1"))
+        | (F.col("kept_text") != F.col("text"))
+    )
+    assert once.count() > 0
+    assert bad.count() == 0, bad.limit(5).collect()
+
+
+def test_property_junk_lines_never_change_output(spark):
+    """Appending a line that fails the line rules never changes
+    kept_text (monotone irrelevance of junk)."""
+    docs = spark.createDataFrame(_random_corpus(seed=23), "doc_id long, text string")
+    noisy = docs.withColumn(
+        "text",
+        F.concat(F.col("text"), F.lit("\nclick here now\n   \nmenu footer nav")),
+    )
+    a = c4_clean(docs).select("doc_id", "kept_text")
+    b = c4_clean(noisy).select(
+        "doc_id", F.col("kept_text").alias("kept_noisy")
+    )
+    diff = a.join(b, "doc_id").where(F.col("kept_text") != F.col("kept_noisy"))
+    assert diff.count() == 0, diff.limit(5).collect()
 
 
 def test_plan_is_one_codegen_map(spark):
