@@ -2056,6 +2056,82 @@ FROM agg
 """
 
 
+def _mojibake_fixtures():
+    """Deterministic damage literals, COMPUTED from the clean glyphs via
+    the same historical-bug re-enactment the operator's table uses — no
+    transcribed mojibake in source. Shared by the Spark query and the
+    generated DuckDB twin so both engines damage identically."""
+    from .functions.encoding import _damage
+
+    the_damaged = f" th{_damage('é')} "
+    append = (
+        f" {_damage('“')}well said{_damage('’')} {_damage('—')}"
+        f" ca{_damage('ñ')}on {_damage('«')}x{_damage('»')}"
+    )
+    return the_damaged, append
+
+
+def q_mojibake_report(spark, sf_dir):
+    """Mojibake detection + repair (functions/encoding.py) over a
+    deterministically damaged corpus: every 3rd doc gets ' the '
+    re-encoded through the cp1252 bug, every 5th doc a damaged-
+    punctuation suffix. The DuckDB twin re-derives the damage AND the
+    repair (nested replace chain generated from the same table), so
+    signature counts and repaired bytes (sha256) are value-checked
+    end-to-end; n_after pins the closed-table guarantee (repair leaves
+    zero signatures)."""
+    from .functions.encoding import fix_mojibake, mojibake_count
+
+    the_damaged, append = _mojibake_fixtures()
+    damaged = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.replace(F.col("text"), F.lit(" the "), F.lit(the_damaged)),
+            ).otherwise(F.col("text")),
+            F.when(F.col("doc_id") % 5 == 0, F.lit(append)).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    fixed = fix_mojibake(F.col("text"))
+    return damaged.select(
+        "doc_id",
+        mojibake_count(F.col("text")).cast("long").alias("n_mojibake"),
+        mojibake_count(fixed).cast("long").alias("n_after"),
+        (fixed != F.col("text")).alias("changed"),
+        F.sha2(fixed, 256).alias("fixed_sha256"),
+    )
+
+
+def _sql_mojibake_report() -> str:
+    from .functions.encoding import MOJIBAKE_MARKER_RE, MOJIBAKE_TABLE
+
+    the_damaged, append = _mojibake_fixtures()
+    fix = "text"
+    for broken, repaired in MOJIBAKE_TABLE:
+        fix = f"replace({fix}, '{broken}', '{repaired}')"
+    return f"""
+WITH damaged AS (
+  SELECT doc_id,
+    (CASE WHEN doc_id % 3 = 0
+          THEN replace(text, ' the ', '{the_damaged}') ELSE text END)
+    || (CASE WHEN doc_id % 5 = 0 THEN '{append}' ELSE '' END) AS text
+  FROM documents
+)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '{MOJIBAKE_MARKER_RE}')) AS BIGINT)
+    AS n_mojibake,
+  CAST(len(regexp_extract_all({fix}, '{MOJIBAKE_MARKER_RE}')) AS BIGINT)
+    AS n_after,
+  ({fix} <> text) AS changed,
+  sha256({fix}) AS fixed_sha256
+FROM damaged
+"""
+
+
+SQL_MOJIBAKE_REPORT = _sql_mojibake_report()
+
+
 def q_decontam_report(spark, sf_dir):
     """GPT-3-style benchmark decontamination: the eval corpus is a
     planted contamination — a 9-token slice of every 5th document — and
@@ -3023,6 +3099,7 @@ QUERIES = {
     "url_canonical_dedup": q_url_canonical_dedup,
     "line_dedup": q_line_dedup,
     "c4_filter": q_c4_filter,
+    "mojibake_report": q_mojibake_report,
     "decontam_report": q_decontam_report,
     "stratified_sample": q_stratified_sample,
     "deterministic_split": q_deterministic_split,
@@ -3110,6 +3187,7 @@ ORACLES = {
     "url_canonical_dedup": SQL_URL_CANONICAL_DEDUP,
     "line_dedup": SQL_LINE_DEDUP,
     "c4_filter": SQL_C4_FILTER,
+    "mojibake_report": SQL_MOJIBAKE_REPORT,
     "decontam_report": SQL_DECONTAM_REPORT,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "deterministic_split": SQL_DETERMINISTIC_SPLIT,

@@ -39,6 +39,7 @@ SAMPLE = [
     "simhash_hamming",
     "duplicate_spans",
     "c4_filter",
+    "mojibake_report",
 ]
 
 
