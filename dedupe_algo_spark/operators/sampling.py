@@ -126,3 +126,49 @@ def deterministic_split(
     for name, upper in reversed(cases):
         expr = F.when(bucket < F.lit(upper), F.lit(name)).otherwise(expr)
     return df.withColumn("split", expr)
+
+
+def mixture_weights(
+    docs: DataFrame,
+    stratum_col: str = "source",
+    text_col: str = "text",
+    alpha: float = 0.7,
+    ndigits: int = 10,
+) -> DataFrame:
+    """Multinomial data-mixing weights — the α-sampling of XLM-R
+    (Conneau et al. 2020 §3.1) / mT5 (Xue et al. 2021): a training
+    sampler draws stratum ``s`` with probability p_s^α / Σ_t p_t^α,
+    where p_s is the stratum's share of corpus TOKENS; α<1 upweights
+    low-resource strata. → (``stratum_col``, n_docs, n_tokens, p_raw,
+    p_alpha, boost), boost = p_alpha/p_raw being the per-document
+    oversampling factor to hand :func:`stratified_sample` as its rate.
+
+    Scale shape: ONE aggregate over slim (stratum, token_count) rows —
+    the token counting is map-side codegen, text never shuffles — then
+    normalization over the stratum table itself. Strata are languages /
+    sources (10s-1000s), so the single-partition normalization window
+    is a deliberate, bounded choice, not a bottleneck. Doubles are
+    rounded to ``ndigits`` so the DuckDB oracle twin hashes identically
+    (libm pow may differ in the last ulp across engines).
+    """
+    from pyspark.sql import Window
+
+    from ..functions.text import token_count
+
+    per = docs.groupBy(stratum_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(F.col(text_col))).alias("n_tokens"),
+    )
+    everything = Window.partitionBy()
+    p_raw = F.col("n_tokens") / F.sum("n_tokens").over(everything)
+    p_alpha = F.pow(p_raw, F.lit(alpha)) / F.sum(
+        F.pow(p_raw, F.lit(alpha))
+    ).over(everything)
+    return per.select(
+        stratum_col,
+        "n_docs",
+        "n_tokens",
+        F.round(p_raw, ndigits).alias("p_raw"),
+        F.round(p_alpha, ndigits).alias("p_alpha"),
+        F.round(p_alpha / p_raw, ndigits).alias("boost"),
+    )

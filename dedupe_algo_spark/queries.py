@@ -2056,6 +2056,37 @@ FROM agg
 """
 
 
+def q_mixture_weights(spark, sf_dir):
+    """α-sampling mixture weights per source (XLM-R/mT5 protocol) over
+    ``documents``: token shares → p^α normalization → per-doc boost.
+    The DuckDB twin recomputes shares, powers and boosts; both sides
+    round to 10 digits (libm pow last-ulp drift)."""
+    from .operators.sampling import mixture_weights
+
+    return mixture_weights(_docs(spark, sf_dir), stratum_col="source")
+
+
+SQL_MIXTURE_WEIGHTS = r"""
+WITH per AS (
+  SELECT source, COUNT(*) AS n_docs,
+         SUM(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(TRIM(text), '\s+')) END)
+           AS n_tokens
+  FROM documents GROUP BY source
+), norm AS (
+  SELECT *, n_tokens / SUM(n_tokens) OVER () AS p_raw FROM per
+), alpha AS (
+  SELECT *, pow(p_raw, 0.7) / SUM(pow(p_raw, 0.7)) OVER () AS p_alpha
+  FROM norm
+)
+SELECT source, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
+       ROUND(p_raw, 10) AS p_raw,
+       ROUND(p_alpha, 10) AS p_alpha,
+       ROUND(p_alpha / p_raw, 10) AS boost
+FROM alpha
+"""
+
+
 def _mojibake_fixtures():
     """Deterministic damage literals, COMPUTED from the clean glyphs via
     the same historical-bug re-enactment the operator's table uses — no
@@ -3100,6 +3131,7 @@ QUERIES = {
     "line_dedup": q_line_dedup,
     "c4_filter": q_c4_filter,
     "mojibake_report": q_mojibake_report,
+    "mixture_weights": q_mixture_weights,
     "decontam_report": q_decontam_report,
     "stratified_sample": q_stratified_sample,
     "deterministic_split": q_deterministic_split,
@@ -3188,6 +3220,7 @@ ORACLES = {
     "line_dedup": SQL_LINE_DEDUP,
     "c4_filter": SQL_C4_FILTER,
     "mojibake_report": SQL_MOJIBAKE_REPORT,
+    "mixture_weights": SQL_MIXTURE_WEIGHTS,
     "decontam_report": SQL_DECONTAM_REPORT,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "deterministic_split": SQL_DETERMINISTIC_SPLIT,

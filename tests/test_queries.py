@@ -40,6 +40,7 @@ SAMPLE = [
     "duplicate_spans",
     "c4_filter",
     "mojibake_report",
+    "mixture_weights",
 ]
 
 

@@ -106,3 +106,23 @@ def test_split_validates_fractions(spark, corpus):
         deterministic_split(corpus, {"a": 0.9, "b": 0.2})
     with pytest.raises(ValueError):
         stratified_sample(corpus, {"en": 1.5})
+
+
+def test_mixture_weights_alpha_rebalances(spark):
+    """α<1 upweights low-token strata: boost > 1 for the small stratum,
+    < 1 for the big one; p_alpha sums to 1; α=1 is a no-op (boost=1)."""
+    from dedupe_algo_spark.operators.sampling import mixture_weights
+
+    rows = [("big", "w " * 400)] * 90 + [("small", "w " * 10)] * 10
+    docs = spark.createDataFrame(
+        [(s, t.strip()) for s, t in rows], "source string, text string"
+    )
+    out = {r["source"]: r for r in mixture_weights(docs).collect()}
+    assert out["big"]["n_docs"] == 90 and out["small"]["n_tokens"] == 100
+    assert out["small"]["boost"] > 1.0 > out["big"]["boost"]
+    assert abs(out["big"]["p_alpha"] + out["small"]["p_alpha"] - 1.0) < 1e-9
+
+    flat = {
+        r["source"]: r for r in mixture_weights(docs, alpha=1.0).collect()
+    }
+    assert flat["big"]["boost"] == 1.0 == flat["small"]["boost"]
