@@ -16,8 +16,9 @@ reported as lineage:
                         representative per cluster (min url — the same
                         keeper rule the reference's UI defaults to)
     5. decontamination  drop docs sharing an n-gram with --eval docs
-    6. mixing           deterministic per-language sampling rates +
-                        hash-range train/valid/test split
+    6. mixing           deterministic per-language sampling rates
+                        (explicit --rates or --alpha token-share
+                        derivation) + hash-range train/valid/test split
 
 Run on any cluster as:
 
@@ -25,7 +26,7 @@ Run on any cluster as:
         jobs/prepare_corpus_job.py \
         --input /path/to/pages_parquet --output /path/to/corpus_out \
         [--eval /path/to/eval_parquet] [--contam-ngram 13] \
-        [--rates en=1.0,de=0.5] [--default-rate 1.0] \
+        [--rates en=1.0,de=0.5 | --alpha 0.3] [--default-rate 1.0] \
         [--train 0.98 --valid 0.01 --test 0.01] [--seed 42] \
         [--synth N]   (generate N synthetic pages instead of --input)
 
@@ -71,6 +72,7 @@ def prepare(
     c4_min_words: int = 3,
     c4_min_sentences: int = 5,
     c4_blocklist: tuple[str, ...] = (),
+    alpha: float | None = None,
 ):
     """Run the six-stage preparation over a pages DataFrame. Returns
     (mixed DataFrame ready to write, lineage dict of per-stage counts,
@@ -188,7 +190,22 @@ def prepare(
         lineage["decontam"] = final.count()
         kept.unpersist()
 
-    # 6. mixing: deterministic sample + split (pure narrow filters)
+    # 6. mixing: deterministic sample + split (pure narrow filters).
+    # alpha= derives the rates from the surviving corpus itself: α-
+    # sampling boosts (operators/sampling.mixture_weights) normalized
+    # by the max boost, because a hash-threshold sampler can only
+    # DOWNsample — the highest-boost (lowest-resource) language keeps
+    # rate 1.0 and everything else scales down proportionally, which
+    # preserves the α-distribution's stratum ratios exactly.
+    if alpha is not None:
+        from dedupe_algo_spark.operators.sampling import mixture_weights
+
+        w = mixture_weights(final, stratum_col="lang", alpha=alpha).collect()
+        top = max(r["boost"] for r in w)
+        rates = {r["lang"]: r["boost"] / top for r in w}
+        lineage["alpha_rates"] = {
+            r["lang"]: round(rates[r["lang"]], 4) for r in w
+        }
     mixed = stratified_sample(
         final,
         rates or {},
@@ -214,6 +231,13 @@ def main() -> None:
     p.add_argument("--eval", dest="eval_path")
     p.add_argument("--contam-ngram", type=int, default=13)
     p.add_argument("--rates", default="")
+    p.add_argument(
+        "--alpha",
+        type=float,
+        default=None,
+        help="derive per-language sampling rates from the corpus's own "
+        "token shares via alpha-sampling (overrides --rates)",
+    )
     p.add_argument("--default-rate", type=float, default=1.0)
     p.add_argument("--train", type=float, default=0.98)
     p.add_argument("--valid", type=float, default=0.01)
@@ -266,6 +290,7 @@ def main() -> None:
         c4_blocklist=tuple(
             w.strip() for w in args.c4_blocklist.split(",") if w.strip()
         ),
+        alpha=args.alpha,
     )
     mixed.write.mode("overwrite").partitionBy("split").parquet(args.output)
     release()

@@ -98,3 +98,25 @@ def test_prepare_with_c4_stage(spark):
     # rewrite happened in place: the surviving single-line pages still
     # end with the terminal-punctuated sentence we appended
     assert out["text"].str.endswith("And a third one lands.").all()
+
+
+def test_prepare_with_alpha_mixing(spark):
+    """--alpha contract: rates derive from the surviving corpus's own
+    per-language token shares; the lowest-resource language keeps rate
+    1.0 (never downsampled) and high-resource languages sample below
+    1.0, with the per-language rates reported in lineage."""
+    from dedupe_algo_spark.synth import synth_pages
+
+    pages = synth_pages(spark, 400).cache()
+    mixed, lineage, release = prepare(
+        spark, pages, fractions={"train": 1.0}, alpha=0.3
+    )
+    out = mixed.toPandas()
+    release()
+    rates = lineage["alpha_rates"]
+    assert max(rates.values()) == 1.0 and min(rates.values()) < 1.0
+    # the kept fraction per language tracks its derived rate
+    counts = out.groupby("lang").size()
+    assert len(out) < lineage["content_dedup"]  # some downsampling happened
+    assert set(counts.index) <= set(rates)  # every kept lang has a rate
+    pages.unpersist()
