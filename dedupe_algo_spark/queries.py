@@ -2056,6 +2056,48 @@ FROM agg
 """
 
 
+def q_winnow_fingerprints(spark, sf_dir):
+    """Winnowing fingerprint selection (Schleimer et al. 2003) over
+    ``documents`` at k=3, w=4, on the DuckDB-exact polynomial hash dial.
+    The twin re-derives gram hashes, per-window minima AND the
+    rightmost-tie positions, so the windowing algorithm itself is
+    value-checked, not just the hashes."""
+    from .operators.winnow import winnow_fingerprints
+
+    return winnow_fingerprints(_docs(spark, sf_dir), k=3, w=4, hashed=False)
+
+
+SQL_WINNOW_FINGERPRINTS = r"""
+WITH toked AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM documents
+), grams AS (
+  SELECT doc_id,
+    list_transform(
+      range(1, greatest(len(toks) - 2, 0) + 1),
+      i -> list_reduce(
+             list_prepend(CAST(0 AS HUGEINT),
+               list_transform(
+                 range(1, length(array_to_string(list_slice(toks, i, i + 2), ' ')) + 1),
+                 c -> CAST(ord(substr(array_to_string(list_slice(toks, i, i + 2), ' '), c, 1)) AS HUGEINT))),
+             (a, b) -> (a * 31 + b) % 2147483647)
+    ) AS g
+  FROM toked
+), sel AS (
+  SELECT doc_id,
+    unnest(list_transform(
+      range(1, greatest(len(g) - 3, 0) + 1),
+      j -> {'pos': j + 4 - list_position(list_reverse(list_slice(g, j, j + 3)),
+                                         list_min(list_slice(g, j, j + 3))),
+            'fp': list_min(list_slice(g, j, j + 3))}
+    )) AS s
+  FROM grams
+)
+SELECT DISTINCT doc_id, CAST(s.pos AS INT) AS pos, CAST(s.fp AS BIGINT) AS fp
+FROM sel
+"""
+
+
 def q_mixture_weights(spark, sf_dir):
     """α-sampling mixture weights per source (XLM-R/mT5 protocol) over
     ``documents``: token shares → p^α normalization → per-doc boost.
@@ -3132,6 +3174,7 @@ QUERIES = {
     "c4_filter": q_c4_filter,
     "mojibake_report": q_mojibake_report,
     "mixture_weights": q_mixture_weights,
+    "winnow_fingerprints": q_winnow_fingerprints,
     "decontam_report": q_decontam_report,
     "stratified_sample": q_stratified_sample,
     "deterministic_split": q_deterministic_split,
@@ -3221,6 +3264,7 @@ ORACLES = {
     "c4_filter": SQL_C4_FILTER,
     "mojibake_report": SQL_MOJIBAKE_REPORT,
     "mixture_weights": SQL_MIXTURE_WEIGHTS,
+    "winnow_fingerprints": SQL_WINNOW_FINGERPRINTS,
     "decontam_report": SQL_DECONTAM_REPORT,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "deterministic_split": SQL_DETERMINISTIC_SPLIT,

@@ -41,6 +41,7 @@ SAMPLE = [
     "c4_filter",
     "mojibake_report",
     "mixture_weights",
+    "winnow_fingerprints",
 ]
 
 
