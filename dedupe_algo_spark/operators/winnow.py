@@ -117,3 +117,44 @@ def winnow_fingerprints(
     # adjacent windows usually select the same gram — that's the 2/(w+1)
     # density guarantee at work; one distinct per doc-site finishes it
     return picked.distinct()
+
+
+def winnow_overlap_candidates(
+    docs: DataFrame,
+    k: int = 5,
+    w: int = 4,
+    min_shared: int = 1,
+    max_postings: int = 2_000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hashed: bool = True,
+) -> DataFrame:
+    """→ (id_a, id_b, n_shared): document pairs sharing ≥ ``min_shared``
+    distinct winnowing fingerprints — every pair with a common substring
+    of ≥ w+k-1 tokens is guaranteed present (at ``min_shared=1``).
+
+    Scale shape, same contract as the MinHash candidate generator
+    (operators/candidates.py): the self-join input is the slim
+    (fp, id) posting table, never text; fingerprints whose posting list
+    exceeds ``max_postings`` are dropped before pairing (a fingerprint
+    shared by everything — boilerplate — generates O(n²) junk pairs and
+    identifies nothing; the cap is the winnow twin of the hot-bucket
+    cap, auditable by comparing counts). One exchange keyed on fp, one
+    slim pair rollup.
+    """
+    fps = winnow_fingerprints(
+        docs, k=k, w=w, id_col=id_col, text_col=text_col, hashed=hashed
+    ).select(F.col(id_col).alias("_id"), "fp").distinct()
+    from pyspark.sql import Window
+
+    postings = F.count(F.lit(1)).over(Window.partitionBy("fp"))
+    kept = fps.withColumn("_n", postings).where(F.col("_n") <= max_postings)
+    a = kept.select(F.col("_id").alias("id_a"), "fp")
+    b = kept.select(F.col("_id").alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )

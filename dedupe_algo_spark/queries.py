@@ -2067,10 +2067,13 @@ def q_winnow_fingerprints(spark, sf_dir):
     return winnow_fingerprints(_docs(spark, sf_dir), k=3, w=4, hashed=False)
 
 
-SQL_WINNOW_FINGERPRINTS = r"""
-WITH toked AS (
+def _sql_winnow_core(source: str) -> str:
+    """The toked/grams/sel CTE chain of the winnowing twin (k=3, w=4)
+    over a named relation — shared by the fingerprint and pair
+    queries."""
+    return rf"""toked AS (
   SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
-  FROM documents
+  FROM {source}
 ), grams AS (
   SELECT doc_id,
     list_transform(
@@ -2087,14 +2090,62 @@ WITH toked AS (
   SELECT doc_id,
     unnest(list_transform(
       range(1, greatest(len(g) - 3, 0) + 1),
-      j -> {'pos': j + 4 - list_position(list_reverse(list_slice(g, j, j + 3)),
+      j -> {{'pos': j + 4 - list_position(list_reverse(list_slice(g, j, j + 3)),
                                          list_min(list_slice(g, j, j + 3))),
-            'fp': list_min(list_slice(g, j, j + 3))}
+            'fp': list_min(list_slice(g, j, j + 3))}}
     )) AS s
   FROM grams
-)
+)"""
+
+
+SQL_WINNOW_FINGERPRINTS = f"""
+WITH {_sql_winnow_core("documents")}
 SELECT DISTINCT doc_id, CAST(s.pos AS INT) AS pos, CAST(s.fp AS BIGINT) AS fp
 FROM sel
+"""
+
+
+def q_winnow_overlap_pairs(spark, sf_dir):
+    """Winnowing-based overlap candidates: base docs ∪ planted twins
+    (first 10 tokens of each base doc — 8 shared 3-grams → ≥5 shared
+    windows, well past the w+k-1=6-token guarantee), paired on shared
+    fingerprints. The twin re-derives fingerprints AND the pair rollup,
+    value-checking n_shared exactly. max_postings is far above the
+    200-doc corpus, so the Spark-side hot-posting cap is provably
+    inactive and the engines compare like-for-like."""
+    from .operators.winnow import winnow_overlap_candidates
+
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 100)
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    twins = docs.select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(toks, 1, 10)).alias("text"),
+    )
+    alld = docs.select("doc_id", "text").unionByName(twins)
+    return winnow_overlap_candidates(
+        alld, k=3, w=4, min_shared=1, hashed=False
+    )
+
+
+SQL_WINNOW_OVERLAP_PAIRS = f"""
+WITH base AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 100
+), twins AS (
+  SELECT doc_id + 10000 AS doc_id,
+         array_to_string(
+           list_slice(regexp_split_to_array(trim(text), '\\s+'), 1, 10), ' ')
+           AS text
+  FROM base
+), corpus AS (
+  SELECT * FROM base UNION ALL SELECT * FROM twins
+), {_sql_winnow_core("corpus")}, fps AS (
+  SELECT DISTINCT doc_id, s.fp AS fp FROM sel
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM fps a JOIN fps b USING (fp)
+WHERE a.doc_id < b.doc_id
+GROUP BY 1, 2
 """
 
 
@@ -3175,6 +3226,7 @@ QUERIES = {
     "mojibake_report": q_mojibake_report,
     "mixture_weights": q_mixture_weights,
     "winnow_fingerprints": q_winnow_fingerprints,
+    "winnow_overlap_pairs": q_winnow_overlap_pairs,
     "decontam_report": q_decontam_report,
     "stratified_sample": q_stratified_sample,
     "deterministic_split": q_deterministic_split,
@@ -3265,6 +3317,7 @@ ORACLES = {
     "mojibake_report": SQL_MOJIBAKE_REPORT,
     "mixture_weights": SQL_MIXTURE_WEIGHTS,
     "winnow_fingerprints": SQL_WINNOW_FINGERPRINTS,
+    "winnow_overlap_pairs": SQL_WINNOW_OVERLAP_PAIRS,
     "decontam_report": SQL_DECONTAM_REPORT,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "deterministic_split": SQL_DETERMINISTIC_SPLIT,

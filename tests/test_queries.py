@@ -42,6 +42,7 @@ SAMPLE = [
     "mojibake_report",
     "mixture_weights",
     "winnow_fingerprints",
+    "winnow_overlap_pairs",
 ]
 
 

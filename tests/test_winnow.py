@@ -87,3 +87,38 @@ def test_plan_jvm_only_and_text_never_shuffles(spark):
     assert "EvalPython" not in plan, plan  # no Batch/ArrowEvalPython
     moved = exchange_columns(out)  # only the final distinct shuffles
     assert "text" not in moved and "_toks" not in moved and "_g" not in moved
+
+
+def test_overlap_candidates_guarantee_and_cap(spark):
+    from dedupe_algo_spark.operators.winnow import winnow_overlap_candidates
+
+    k, w = 3, 4
+    shared = " ".join(f"s{i}" for i in range(k + w - 1))
+    docs = [
+        (1, "aa bb cc dd ee " + shared),
+        (2, shared + " ff gg hh ii jj"),
+        (3, "completely unrelated words over here right now okay"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    pairs = {
+        (r["id_a"], r["id_b"]): r["n_shared"]
+        for r in winnow_overlap_candidates(df, k=k, w=w).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 1
+    assert all(3 not in p for p in pairs)
+
+    # a boilerplate substring shared by EVERY doc: the guarantee window
+    # inside it selects the same fingerprint in all 30 docs (the full
+    # 30*29/2 junk clique uncapped); the posting cap drops that
+    # fingerprint. Residual pairs can remain — adjacent windows
+    # straddling each doc's unique prefix may ALSO select a boiler gram
+    # in a small subset of docs (selection is per-window, so the same
+    # gram's posting count differs from its occurrence count) — but the
+    # quadratic clique itself is gone.
+    boiler = " ".join(f"b{i}" for i in range(k + w - 1))
+    many = [(i, f"unique{i}x unique{i}y unique{i}z " + boiler) for i in range(30)]
+    df2 = spark.createDataFrame(many, "doc_id long, text string")
+    capped = winnow_overlap_candidates(df2, k=k, w=w, max_postings=10)
+    uncapped = winnow_overlap_candidates(df2, k=k, w=w, max_postings=1000)
+    assert uncapped.count() == 30 * 29 // 2
+    assert capped.count() <= 10 * 9 // 2  # no surviving fp exceeds the cap
