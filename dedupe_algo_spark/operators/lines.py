@@ -1,11 +1,13 @@
-"""Line-level boilerplate dedup (CCNet-style paragraph hashing).
+"""Line/paragraph-level boilerplate dedup (CCNet-style unit hashing).
 
 Web pages share far more LINES than whole documents: navigation bars,
 cookie banners, footers, and license blurbs repeat across millions of
 urls while the surrounding page is unique. The public treatment is
 CCNet (Wenzek et al., LREC 2020), which hashes each paragraph and
 drops paragraphs whose hash repeats across the shard, and Dolma /
-RefinedWeb, which do the same per line. Document-level dedup (the
+RefinedWeb, which do the same per line — both dials ship here via
+``unit=`` ("line" splits on newline; "paragraph" on blank-line runs,
+rewriting with a canonical blank line). Document-level dedup (the
 hash cascade in ``operators/dedup.py``) cannot see this — two pages
 with the same footer and different bodies are not near-duplicates.
 
@@ -39,12 +41,19 @@ def _norm(line: Column) -> Column:
     return F.regexp_replace(F.lower(F.trim(line)), r"[0-9]+", "0")
 
 
+# unit dials: CCNet hashes PARAGRAPHS, Dolma/RefinedWeb hash LINES —
+# same algorithm, different split. Paragraph mode splits on blank-line
+# runs and rewrites with a canonical double-newline joiner.
+UNITS = {"line": ("\n", "\n"), "paragraph": (r"\n{2,}", "\n\n")}
+
+
 def duplicate_line_stats(
     docs: DataFrame,
     min_docs: int = 2,
     id_col: str = "doc_id",
     text_col: str = "text",
     hashed: bool = False,
+    unit: str = "line",
 ) -> DataFrame:
     """→ (``id_col``, line_no, line_key, n_docs): every site of a
     normalized line that occurs in ≥ ``min_docs`` distinct documents.
@@ -57,9 +66,10 @@ def duplicate_line_stats(
     aggregation, one join back to the exploded sites. Empty lines
     (blank after normalization) are never counted as boilerplate.
     """
+    sep, _ = UNITS[unit]
     sites = docs.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("line_no", "_raw"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("line_no", "_raw"),
     ).select(
         id_col, "line_no", _norm(F.col("_raw")).alias("line_key")
     ).where(F.col("line_key") != "")
@@ -80,6 +90,7 @@ def remove_duplicate_lines(
     min_docs: int = 2,
     id_col: str = "doc_id",
     text_col: str = "text",
+    unit: str = "line",
 ) -> DataFrame:
     """CCNet's line cut: rewrite each document with every line whose
     normalized form appears in ≥ ``min_docs`` distinct documents
@@ -98,19 +109,20 @@ def remove_duplicate_lines(
     Documents with no flagged line pass through the left join
     untouched.
     """
+    sep, joiner = UNITS[unit]
     flagged = (
         duplicate_line_stats(
-            docs, min_docs=min_docs, id_col=id_col, text_col=text_col
+            docs, min_docs=min_docs, id_col=id_col, text_col=text_col, unit=unit
         )
         .groupBy(id_col)
         .agg(F.collect_set("line_no").alias("_drop"))
     )
-    lines = F.split(F.col(text_col), "\n")
+    lines = F.split(F.col(text_col), sep)
     drop = F.coalesce(F.col("_drop"), F.array().cast("array<int>"))
     kept = F.filter(lines, lambda ln, i: ~F.array_contains(drop, i))
     return docs.join(flagged, id_col, "left").select(
         F.col(id_col),
         F.size(lines).cast("long").alias("n_lines"),
         (F.size(lines) - F.size(kept)).cast("long").alias("n_removed"),
-        F.concat_ws("\n", kept).alias("kept_text"),
+        F.concat_ws(joiner, kept).alias("kept_text"),
     )

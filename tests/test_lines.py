@@ -89,3 +89,30 @@ def test_hashed_key_matches_string_key_sites(spark):
         map(tuple, df[["doc_id", "line_no", "n_docs"]].values)
     )
     assert key(a) == key(b)
+
+
+def test_paragraph_unit_cuts_shared_paragraphs(spark):
+    """unit='paragraph' (CCNet's actual unit): a footer PARAGRAPH
+    shared by >= min_docs docs is cut whole, multi-line body paragraphs
+    survive intact, and the rewrite joins with a canonical blank
+    line."""
+    footer = "Follow us on social media.\nAll rights reserved."
+    docs = spark.createDataFrame(
+        [
+            (1, f"Unique body one.\nStill paragraph one.\n\n{footer}"),
+            (2, f"Another body here.\n\n{footer}"),
+            (3, f"Third document text.\n\n\n{footer}"),  # 3 blank-split
+            (4, "No footer in this one.\n\nJust two paragraphs."),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in remove_duplicate_lines(docs, min_docs=3, unit="paragraph").collect()
+    }
+    assert out[1]["kept_text"] == "Unique body one.\nStill paragraph one."
+    assert out[1]["n_lines"] == 2 and out[1]["n_removed"] == 1
+    assert out[2]["kept_text"] == "Another body here."
+    assert out[3]["kept_text"] == "Third document text."  # \n{2,} one split
+    assert out[4]["n_removed"] == 0
+    assert out[4]["kept_text"] == "No footer in this one.\n\nJust two paragraphs."
