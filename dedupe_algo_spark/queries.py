@@ -1963,6 +1963,75 @@ FROM docl d LEFT JOIN rebuilt r USING (doc_id)
 """
 
 
+def q_paragraph_dedup(spark, sf_dir):
+    """CCNet's ORIGINAL unit — paragraph-level boilerplate removal —
+    over a multi-paragraph corpus derived from ``documents``: body
+    paragraph (two lines, so the unit split is load-bearing) + one of
+    two planted footer PARAGRAPHS + a 'Visit page N' paragraph whose
+    digits normalize away. The oracle re-derives the inverted index and
+    the blank-line rewrite in DuckDB."""
+    from .operators.lines import remove_duplicate_lines
+
+    docs = _docs(spark, sf_dir)
+    multi = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n\n",
+            F.concat(F.col("text"), F.lit("\nsecond body line")),
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.lit("Footer paragraph.\nAll rights reserved."),
+            ).otherwise(F.lit("Subscribe now!\nGet our newsletter.")),
+            F.concat(
+                F.lit("Visit page "), (F.col("doc_id") % 9).cast("string")
+            ),
+        ).alias("text"),
+    )
+    return remove_duplicate_lines(multi, min_docs=3, unit="paragraph")
+
+
+SQL_PARAGRAPH_DEDUP = r"""
+WITH multi AS (
+  SELECT doc_id,
+         text || chr(10) || 'second body line'
+         || chr(10) || chr(10)
+         || CASE WHEN doc_id % 2 = 0
+                 THEN 'Footer paragraph.' || chr(10) || 'All rights reserved.'
+                 ELSE 'Subscribe now!' || chr(10) || 'Get our newsletter.' END
+         || chr(10) || chr(10) || 'Visit page ' || CAST(doc_id % 9 AS VARCHAR)
+           AS text
+  FROM documents
+), docl AS (
+  SELECT doc_id, regexp_split_to_array(text, '\n{2,}') AS l FROM multi
+), idx AS (
+  SELECT doc_id, l, unnest(range(1, len(l) + 1)) AS i FROM docl
+), sites AS (
+  SELECT doc_id, CAST(i - 1 AS INTEGER) AS line_no, l[i] AS raw,
+         regexp_replace(lower(trim(l[i])), '[0-9]+', '0', 'g') AS key
+  FROM idx
+), freq AS (
+  SELECT key FROM sites WHERE key <> ''
+  GROUP BY key HAVING COUNT(DISTINCT doc_id) >= 3
+), dropped AS (
+  SELECT DISTINCT s.doc_id, s.line_no
+  FROM sites s JOIN freq f USING (key) WHERE s.key <> ''
+), kept AS (
+  SELECT s.doc_id, s.line_no, s.raw
+  FROM sites s ANTI JOIN dropped d
+    ON s.doc_id = d.doc_id AND s.line_no = d.line_no
+), rebuilt AS (
+  SELECT doc_id, COUNT(*) AS n_kept,
+         string_agg(raw, chr(10) || chr(10) ORDER BY line_no) AS kept_text
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(len(d.l) AS BIGINT) AS n_lines,
+       CAST(len(d.l) - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed,
+       COALESCE(r.kept_text, '') AS kept_text
+FROM docl d LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
 def q_c4_filter(spark, sf_dir):
     """C4 page cleaning (Raffel et al. 2020) over a multi-line corpus
     derived from ``documents``: every doc gets its body as a terminal-
@@ -3222,6 +3291,7 @@ QUERIES = {
     "rep_filter": q_rep_filter,
     "url_canonical_dedup": q_url_canonical_dedup,
     "line_dedup": q_line_dedup,
+    "paragraph_dedup": q_paragraph_dedup,
     "c4_filter": q_c4_filter,
     "mojibake_report": q_mojibake_report,
     "mixture_weights": q_mixture_weights,
@@ -3313,6 +3383,7 @@ ORACLES = {
     "rep_filter": SQL_REP_FILTER,
     "url_canonical_dedup": SQL_URL_CANONICAL_DEDUP,
     "line_dedup": SQL_LINE_DEDUP,
+    "paragraph_dedup": SQL_PARAGRAPH_DEDUP,
     "c4_filter": SQL_C4_FILTER,
     "mojibake_report": SQL_MOJIBAKE_REPORT,
     "mixture_weights": SQL_MIXTURE_WEIGHTS,

@@ -43,6 +43,7 @@ SAMPLE = [
     "mixture_weights",
     "winnow_fingerprints",
     "winnow_overlap_pairs",
+    "paragraph_dedup",
 ]
 
 
