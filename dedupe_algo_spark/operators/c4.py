@@ -78,8 +78,17 @@ def c4_clean(
     the verdicts (still one narrow map) — the pipeline-stage form, so a
     caller can rewrite text in place without a self-join back to the
     source: ``.where("keep_doc").withColumn("text", F.col("kept_text"))``.
+
+    CRLF normalization: each line's trailing ``\\r`` is stripped before
+    any rule runs (and from ``kept_text``). Without it the engines
+    diverge — Java's ``$`` matches before a final line terminator while
+    RE2's is end-of-text — and stray ``\\r`` bytes would leak into the
+    hash/signature stages downstream.
     """
-    lines = F.split(F.col(text_col), "\n")
+    lines = F.transform(
+        F.split(F.col(text_col), "\n"),
+        lambda ln: F.regexp_replace(ln, "\r$", ""),
+    )
     kept = F.filter(lines, lambda ln: _keep_line(ln, min_words))
     n_sentences = F.aggregate(
         kept, F.lit(0), lambda acc, x: acc + F.regexp_count(x, F.lit("[.!?]"))

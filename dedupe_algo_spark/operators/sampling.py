@@ -150,6 +150,12 @@ def mixture_weights(
     is a deliberate, bounded choice, not a bottleneck. Doubles are
     rounded to ``ndigits`` so the DuckDB oracle twin hashes identically
     (libm pow may differ in the last ulp across engines).
+
+    Degenerate strata are defined, not crashes (Spark 4 runs ANSI, so a
+    bare division would throw DIVIDE_BY_ZERO): a stratum whose surviving
+    docs carry zero tokens gets p_raw = p_alpha = boost = 0.0 — it can
+    contribute nothing to training, so it samples at rate 0. An
+    all-empty corpus yields all-zero rows for the same reason.
     """
     from pyspark.sql import Window
 
@@ -160,15 +166,21 @@ def mixture_weights(
         F.sum(token_count(F.col(text_col))).alias("n_tokens"),
     )
     everything = Window.partitionBy()
-    p_raw = F.col("n_tokens") / F.sum("n_tokens").over(everything)
-    p_alpha = F.pow(p_raw, F.lit(alpha)) / F.sum(
-        F.pow(p_raw, F.lit(alpha))
-    ).over(everything)
+    total = F.sum("n_tokens").over(everything)
+    p_raw = F.when(
+        total > 0, F.col("n_tokens") / total
+    ).otherwise(F.lit(0.0))
+    alpha_total = F.sum(F.pow(p_raw, F.lit(alpha))).over(everything)
+    p_alpha = F.when(
+        (F.col("n_tokens") > 0) & (alpha_total > 0),
+        F.pow(p_raw, F.lit(alpha)) / alpha_total,
+    ).otherwise(F.lit(0.0))
+    boost = F.when(F.col("n_tokens") > 0, p_alpha / p_raw).otherwise(F.lit(0.0))
     return per.select(
         stratum_col,
         "n_docs",
         "n_tokens",
         F.round(p_raw, ndigits).alias("p_raw"),
         F.round(p_alpha, ndigits).alias("p_alpha"),
-        F.round(p_alpha / p_raw, ndigits).alias("boost"),
+        F.round(boost, ndigits).alias("boost"),
     )

@@ -45,6 +45,26 @@ BROADCAST_URL_LIMIT = 4_000_000
 TOKEN_SPLIT_RE = r"(?U)[\s\x1c-\x1f]+"
 
 
+def token_hash_array(text):
+    """THE tier-2 token identity: distinct 32-bit Murmur3 token hashes
+    (see the collision-probability budget in ``confirm_pairs``). Shared
+    by the in-pipeline confirm tier and the cross-table incremental
+    probe (sources/bucketed.py) so their verdicts can never
+    desynchronize — change the tokenizer or hash width HERE only."""
+    return F.transform(
+        F.array_distinct(F.array_remove(F.split(text, TOKEN_SPLIT_RE), "")),
+        lambda t: F.hash(t),
+    )
+
+
+def token_jaccard_score(ta, tb):
+    """Jaccard over two token-hash arrays; two empty docs score 1.0
+    (identical). The other half of the shared tier-2 identity."""
+    inter = F.size(F.array_intersect(ta, tb))
+    union = F.size(ta) + F.size(tb) - inter
+    return F.when(union == 0, F.lit(1.0)).otherwise(inter / union.cast("double"))
+
+
 def band_gate(
     pairs_with_counts: DataFrame, min_matches: int = DEFAULT_MIN_BAND_MATCHES
 ) -> DataFrame:
@@ -180,13 +200,9 @@ def confirm_pairs(
         # and shifts one side's set size by 1 — a ≲2% score nudge on a
         # handful of docs per 10⁷, immaterial next to the MinHash tiers
         # feeding this stage and far from the τ=0.8 decision boundary).
-        toks = F.transform(
-            F.array_distinct(
-                F.array_remove(F.split(F.col("text"), TOKEN_SPLIT_RE), "")
-            ),
-            lambda t: F.hash(t),
+        slice_ = _persist(
+            sliced.select("url", token_hash_array(F.col("text")).alias("_toks"))
         )
-        slice_ = _persist(sliced.select("url", toks.alias("_toks")))
         # Materialize the token cache BEFORE the pair join. The join's
         # two children (ta/tb exchanges) otherwise each re-run the full
         # scan+semi-join+tokenize while racing to fill the same cache —
@@ -198,11 +214,7 @@ def confirm_pairs(
         slice_.count()
         ta = slice_.select(F.col("url").alias("url_a"), F.col("_toks").alias("_ta"))
         tb = slice_.select(F.col("url").alias("url_b"), F.col("_toks").alias("_tb"))
-        inter = F.size(F.array_intersect(F.col("_ta"), F.col("_tb")))
-        union = F.size("_ta") + F.size("_tb") - inter
-        score = F.when(union == 0, F.lit(1.0)).otherwise(
-            inter / union.cast("double")
-        )
+        score = token_jaccard_score(F.col("_ta"), F.col("_tb"))
         scored = cand.join(ta, "url_a").join(tb, "url_b").withColumn("score", score)
     else:
         slice_ = _persist(sliced.select("url", "text"))

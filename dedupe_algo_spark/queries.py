@@ -2096,16 +2096,20 @@ WITH multi AS (
          THEN 'var config = { mode: production };' END
   ) AS text
   FROM documents
-), verdicts AS (
+), stripped AS (
   SELECT doc_id, text,
-    string_split(text, chr(10)) AS lines,
-    list_filter(string_split(text, chr(10)), x ->
+    list_transform(string_split(text, chr(10)),
+                   x -> regexp_replace(x, '\r$', '')) AS lines
+  FROM multi
+), verdicts AS (
+  SELECT doc_id, text, lines,
+    list_filter(lines, x ->
       trim(x) <> ''
       AND regexp_matches(trim(x), '[.!?"]$')
       AND len(regexp_split_to_array(trim(x), '\s+')) >= 3
       AND NOT contains(lower(x), 'javascript')
     ) AS kept
-  FROM multi
+  FROM stripped
 ), agg AS (
   SELECT doc_id, lines, kept,
     COALESCE(list_sum(list_transform(

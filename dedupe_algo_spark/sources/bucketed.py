@@ -129,19 +129,42 @@ def write_near_index(
     buckets: int = 64,
     path: str | None = None,
     mode: str = "overwrite",
+    max_bucket: int | None = None,
 ) -> None:
     """Materialize the seen-corpus near-dup index from (url, text) pages:
     the LSH band table ``{name}_bands`` and the text lookup table
     ``{name}_text``. One Arrow signature pass over the corpus — paid
-    once, at index-build time, never again per batch."""
-    from ..functions.minhash import minhash_band_keys_udf
-    from ..operators.candidates import bucket_table_from_bands
+    once, at index-build time, never again per batch.
 
+    ``max_bucket`` (default: the pipeline's DEFAULT_MAX_BUCKET) prunes
+    band keys whose corpus posting list exceeds it AT BUILD TIME — the
+    hot-bucket cap of operators/candidates.py applied where it is
+    cheapest: a band key shared by millions of near-empty/templated
+    seen pages identifies nothing and would fan every colliding batch
+    page out by millions of rows per probe. Pruning per-probe would
+    re-scan the corpus counts daily; pruning once at build keeps the
+    probe's "only the batch moves" contract at any corpus size. Pass
+    ``0`` to disable."""
+    from ..functions.minhash import minhash_band_keys_udf
+    from ..operators.candidates import DEFAULT_MAX_BUCKET, bucket_table_from_bands
+
+    if max_bucket is None:
+        max_bucket = DEFAULT_MAX_BUCKET
     bands = corpus_pages.select(
         "url", minhash_band_keys_udf(F.col("text")).alias("bands")
     )
+    band_table = bucket_table_from_bands(bands)
+    if max_bucket:
+        from pyspark.sql import Window
+
+        postings = F.count(F.lit(1)).over(Window.partitionBy("bucket_key"))
+        band_table = (
+            band_table.withColumn("_n", postings)
+            .where(F.col("_n") <= max_bucket)
+            .drop("_n")
+        )
     write_bucketed(
-        bucket_table_from_bands(bands),
+        band_table,
         f"{name}_bands",
         key="bucket_key",
         buckets=buckets,
@@ -224,15 +247,12 @@ def incremental_near_candidates(
 
 
 def _token_hashes(text: Column) -> Column:
-    """Distinct 32-bit token-hash array — the identical expression the
-    main pipeline's confirm tier scores with (operators/scoring.py
-    jvm_tokens branch; see there for the collision-probability budget)."""
-    from ..operators.scoring import TOKEN_SPLIT_RE
+    """The pipeline's tier-2 token identity, imported (not copied) from
+    the confirm tier so cross-table and in-pipeline verdicts can never
+    desynchronize."""
+    from ..operators.scoring import token_hash_array
 
-    return F.transform(
-        F.array_distinct(F.array_remove(F.split(text, TOKEN_SPLIT_RE), "")),
-        lambda t: F.hash(t),
-    )
+    return token_hash_array(text)
 
 
 def incremental_near_dupes(
@@ -263,9 +283,9 @@ def incremental_near_dupes(
     ct = corpus_text.select(
         F.col("url").alias("corpus_url"), _token_hashes(F.col("text")).alias("_tb")
     )
-    inter = F.size(F.array_intersect(F.col("_ta"), F.col("_tb")))
-    union = F.size("_ta") + F.size("_tb") - inter
-    score = F.when(union == 0, F.lit(1.0)).otherwise(inter / union.cast("double"))
+    from ..operators.scoring import token_jaccard_score
+
+    score = token_jaccard_score(F.col("_ta"), F.col("_tb"))
     return (
         cands.join(bt, "batch_url")
         .join(ct, "corpus_url")

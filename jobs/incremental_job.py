@@ -23,8 +23,11 @@ Two subcommands:
 pair ``{name}_bands`` / ``{name}_text``. ``probe`` then writes
 
     {output}/unseen/     batch rows whose sha256 the corpus lacks AND
-                         that near-duplicate nothing seen (the rows to
-                         accept + append to the corpus)
+                         that near-duplicate nothing seen, deduped
+                         WITHIN the batch to one row per content hash
+                         (min url) — the rows to accept + append to
+                         the corpus (run dedup_job over them first if
+                         within-batch NEAR dedup is also required)
     {output}/exact/      (url, corpus_url) exact-content hits
     {output}/near/       (url, corpus_url, score) near-dup hits
 
@@ -100,7 +103,12 @@ def probe_batch(
     hashes = read_bucketed(spark, f"{name}_hashes")
     bands, corpus_text = read_near_index(spark, name)
 
-    hashed = batch.withColumn("content_sha256", F.sha2(F.col("text"), 256))
+    # hashed and near each feed two of the three outputs — persist so
+    # the sha256 scan and the (expensive) MinHash probe run once, not
+    # once per consumer (same PersistTracker discipline as prepare())
+    hashed = batch.withColumn(
+        "content_sha256", F.sha2(F.col("text"), 256)
+    ).persist()
     exact = hashed.join(
         hashes.select("content_sha256", F.col("url").alias("corpus_url")),
         "content_sha256",
@@ -109,12 +117,25 @@ def probe_batch(
         batch, bands, corpus_text, threshold=threshold, min_matches=min_matches
     ).select(
         F.col("batch_url").alias("url"), F.col("corpus_url"), F.col("score")
+    ).persist()
+    # accept = not exact-seen AND not near-seen AND first of its content
+    # WITHIN the batch (min url per sha256 — without this, a batch
+    # carrying the same novel page under two urls would append BOTH to
+    # the corpus, permanently admitting the duplicate the index exists
+    # to prevent). Near-duplicates WITHIN the batch are out of scope
+    # here by design: run the main dedup_pipeline over the accepted
+    # unseen rows before committing them (jobs/dedup_job.py) — this job
+    # owns the batch-vs-corpus question only.
+    from pyspark.sql import Window
+
+    first_of_content = F.row_number().over(
+        Window.partitionBy("content_sha256").orderBy("url")
     )
-    # accept = not exact-seen AND not near-seen; two anti-joins on slim
-    # keyed sides (the near hit list is tiny — it already passed τ)
     unseen = (
         hashed.join(hashes.select("content_sha256"), "content_sha256", "left_anti")
-        .drop("content_sha256")
+        .withColumn("_rn", first_of_content)
+        .where(F.col("_rn") == 1)
+        .drop("_rn", "content_sha256")
         .join(near.select("url"), "url", "left_anti")
     )
     return unseen, exact, near

@@ -201,11 +201,15 @@ def prepare(
         from dedupe_algo_spark.operators.sampling import mixture_weights
 
         w = mixture_weights(final, stratum_col="lang", alpha=alpha).collect()
-        top = max(r["boost"] for r in w)
-        rates = {r["lang"]: r["boost"] / top for r in w}
-        lineage["alpha_rates"] = {
-            r["lang"]: round(rates[r["lang"]], 4) for r in w
-        }
+        # degenerate corpora (empty, or all-zero-token strata -> boost 0
+        # by mixture_weights' contract) fall back to explicit/default
+        # rates instead of dividing by a zero max
+        top = max((r["boost"] for r in w), default=0.0)
+        if top > 0:
+            rates = {r["lang"]: r["boost"] / top for r in w}
+            lineage["alpha_rates"] = {
+                r["lang"]: round(rates[r["lang"]], 4) for r in w
+            }
     mixed = stratified_sample(
         final,
         rates or {},

@@ -183,3 +183,45 @@ def test_near_dupes_corpus_text_never_shuffles(spark, near_index):
         assert "_tb" not in moved, moved
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_near_index_build_prunes_hot_band_keys(spark, tmp_path):
+    """write_near_index applies the hot-bucket cap at BUILD time: a
+    band key posted by more than max_bucket seen pages (boilerplate —
+    identifies nothing, fans every colliding probe out quadratically)
+    never enters the index, so the per-batch probe stays bounded
+    without re-scanning corpus counts."""
+    from dedupe_algo_spark.sources.bucketed import (
+        incremental_near_candidates,
+        read_near_index,
+        write_near_index,
+    )
+
+    boiler = " ".join(f"tmpl{j}" for j in range(40))
+    corpus = spark.createDataFrame(
+        [(f"https://seen/{i}", boiler) for i in range(25)]
+        + [("https://seen/unique", " ".join(f"uq{j}" for j in range(40)))],
+        "url string, text string",
+    )
+    write_near_index(
+        corpus, "hot_idx_test", buckets=2,
+        path=str(tmp_path / "hot"), max_bucket=10,
+    )
+    try:
+        bands, _ = read_near_index(spark, "hot_idx_test")
+        # the 25-page template's band keys were pruned; the unique
+        # page's remain
+        assert bands.where(F.col("url") == "https://seen/unique").count() > 0
+        assert bands.where(F.col("url") != "https://seen/unique").count() == 0
+        # a probe page matching the template finds no candidates (capped
+        # boilerplate), one matching the unique page finds it
+        batch = spark.createDataFrame(
+            [("https://new/t", boiler),
+             ("https://new/u", " ".join(f"uq{j}" for j in range(40)))],
+            "url string, text string",
+        )
+        hits = incremental_near_candidates(batch, bands).collect()
+        assert {r["batch_url"] for r in hits} == {"https://new/u"}
+    finally:
+        spark.sql("DROP TABLE IF EXISTS hot_idx_test_bands")
+        spark.sql("DROP TABLE IF EXISTS hot_idx_test_text")

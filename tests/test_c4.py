@@ -148,3 +148,19 @@ def test_plan_is_one_codegen_map(spark):
     plan = formatted_plan(out)
     assert "Exchange" not in plan, plan
     assert has_whole_stage_codegen(out)
+
+
+def test_crlf_lines_normalized(spark):
+    """Windows line endings: the trailing \r is stripped before every
+    rule (Java's $ matches before a final line terminator, RE2's does
+    not — without stripping, Spark and the DuckDB twin diverge) and
+    never leaks into kept_text."""
+    r = _clean_one(
+        spark,
+        "First fine sentence lands.\r\nSecond fine sentence follows.\r\n"
+        "no terminal punct here\r",
+        min_sentences=2,
+    )
+    assert r["n_kept"] == 2 and r["keep_doc"]
+    assert "\r" not in r["kept_text"]
+    assert r["kept_text"].endswith("Second fine sentence follows.")

@@ -96,3 +96,17 @@ def test_probe_reregisters_index_from_location(spark, tmp_path):
             "inc_rereg_idx_text",
         ):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_unseen_dedups_within_batch(spark, index):
+    """A batch carrying the same novel content under two urls accepts
+    only one row (min url), so the corpus never admits an intra-batch
+    duplicate."""
+    novel = " ".join(f"fresh{j}tok{j * 13 % 29}" for j in range(50))
+    batch = spark.createDataFrame(
+        [("https://new/b-copy", novel), ("https://new/a-copy", novel)],
+        "url string, text string",
+    )
+    unseen, exact, near = probe_batch(spark, batch, index)
+    assert exact.count() == 0 and near.count() == 0
+    assert [r["url"] for r in unseen.collect()] == ["https://new/a-copy"]

@@ -126,3 +126,25 @@ def test_mixture_weights_alpha_rebalances(spark):
         r["source"]: r for r in mixture_weights(docs, alpha=1.0).collect()
     }
     assert flat["big"]["boost"] == 1.0 == flat["small"]["boost"]
+
+
+def test_mixture_weights_zero_token_stratum_is_defined(spark):
+    """A stratum whose surviving docs carry zero tokens must yield
+    p_raw = p_alpha = boost = 0.0, not an ANSI DIVIDE_BY_ZERO crash;
+    an all-empty corpus yields all-zero rows."""
+    from dedupe_algo_spark.operators.sampling import mixture_weights
+
+    docs = spark.createDataFrame(
+        [("en", "hello world tokens here"), ("xx", ""), ("xx", "   ")],
+        "source string, text string",
+    )
+    out = {r["source"]: r for r in mixture_weights(docs).collect()}
+    assert out["xx"]["n_tokens"] == 0
+    assert (out["xx"]["p_raw"], out["xx"]["p_alpha"], out["xx"]["boost"]) == (
+        0.0, 0.0, 0.0,
+    )
+    assert out["en"]["p_raw"] == 1.0 and out["en"]["boost"] == 1.0
+
+    empty = spark.createDataFrame([("xx", "")], "source string, text string")
+    row = mixture_weights(empty).collect()[0]
+    assert (row["p_raw"], row["p_alpha"], row["boost"]) == (0.0, 0.0, 0.0)
