@@ -202,3 +202,112 @@ def bigram_lm_quality(
             )).alias("cross_entropy"),
         )
     )
+
+
+def tfidf_weights(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hashed: bool = True,
+) -> DataFrame:
+    """→ (``id_col``, token, w): smoothed TF-IDF weight of every
+    (document, token) — ``w = tf · ln((N+1)/(df+1))``, the same
+    formula as :func:`tfidf_topk` so the two views can never drift.
+
+    ``hashed=True`` (the scale default) replaces each token string
+    with its xxhash64 id BEFORE the tf aggregate, so every shuffle in
+    the weighting (tf, df, and any downstream pair join) carries an
+    8-byte long instead of raw text — the "text never shuffles"
+    invariant extended to token granularity. Weights are identical to
+    the string path up to 2^-64 token-hash collisions (two distinct
+    tokens colliding would merge their tf/df counts). ``hashed=False``
+    keeps the strings for oracle parity at test scale."""
+    toks = _tokens(docs, id_col, text_col)
+    if hashed:
+        toks = toks.withColumn("token", F.xxhash64("token"))
+    tf = toks.groupBy(id_col, "token").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    # tf already holds one row per (doc, token) — df is a plain count,
+    # no second pass over occurrences and no countDistinct shuffle.
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    n_docs = docs.select(F.count(F.lit(1)).cast("double").alias("_n"))
+    return (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            id_col,
+            "token",
+            (F.col("tf") * F.log((F.col("_n") + 1) / (F.col("df") + 1))).alias(
+                "w"
+            ),
+        )
+    )
+
+
+def tfidf_cosine_pairs(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    hashed: bool = True,
+) -> DataFrame:
+    """→ (``id_a``, ``id_b``, cosine): TF-IDF cosine similarity of each
+    candidate pair — the classic lexical near-duplicate confirm
+    (Broder's resemblance family's weighted cousin; Salton's vector
+    model), distinct from the token-set Jaccard tier in that common
+    boilerplate tokens are down-weighted by IDF, so two pages sharing
+    only navigation chrome score near 0 while pages sharing rare
+    content score near 1.
+
+    Scale shape (pair-side-small, like ``confirm_pairs``): the weight
+    table is restricted to pair members with a semi-join BEFORE any
+    pair work, so the two pair joins and the (pair, token) dot-product
+    aggregate touch only candidate rows — at 10^12 docs the candidates
+    are orders of magnitude smaller than the corpus. Norms are one
+    slim aggregate over the restricted weights. The dot product's
+    per-pair join key is (pair, token-hash) — 16 bytes, never text.
+    Pairs whose either side has no tokens are dropped (cosine
+    undefined on a zero vector); pairs with no shared tokens score
+    0.0. Rounded to 6 decimals: upstream weights are bit-exact (ints
+    and one ln), only the sum order differs across engines (~1e-15
+    relative), the same rounding contract as ``tfidf_topk``."""
+    w = tfidf_weights(docs, id_col, text_col, hashed=hashed)
+    members = (
+        pairs.select(F.col(id_a).alias(id_col))
+        .unionByName(pairs.select(F.col(id_b).alias(id_col)))
+        .distinct()
+    )
+    w = w.join(members, id_col, "left_semi")
+    norms = w.groupBy(id_col).agg(F.sum(F.col("w") * F.col("w")).alias("n2"))
+    p = pairs.select(id_a, id_b)
+    wa = w.select(
+        F.col(id_col).alias(id_a), "token", F.col("w").alias("_wa")
+    )
+    wb = w.select(
+        F.col(id_col).alias(id_b), "token", F.col("w").alias("_wb")
+    )
+    dots = (
+        p.join(wa, id_a)
+        .join(wb, [id_b, "token"])
+        .groupBy(id_a, id_b)
+        .agg(F.sum(F.col("_wa") * F.col("_wb")).alias("_dot"))
+    )
+    na = norms.select(F.col(id_col).alias(id_a), F.col("n2").alias("_na"))
+    nb = norms.select(F.col(id_col).alias(id_b), F.col("n2").alias("_nb"))
+    return (
+        p.join(na, id_a)
+        .join(nb, id_b)
+        .join(dots, [id_a, id_b], "left")
+        .select(
+            id_a,
+            id_b,
+            F.round(
+                F.coalesce(F.col("_dot"), F.lit(0.0))
+                / F.sqrt(F.col("_na") * F.col("_nb")),
+                6,
+            ).alias("cosine"),
+        )
+    )

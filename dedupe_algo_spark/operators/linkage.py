@@ -529,3 +529,88 @@ def fs_frequency_lr(
         ratio = w if ratio is None else ratio * w
     assert ratio is not None, "fields must be non-empty"
     return ratio
+
+
+def pr_curve(
+    scored: DataFrame,
+    truth: DataFrame,
+    thresholds: Sequence[float],
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    score_col: str = "score",
+) -> DataFrame:
+    """→ (threshold, tp, fp, fn, precision, recall, f1): pair-level
+    precision/recall at every cut of a threshold grid — the dial a
+    deployment turns to trade recall for precision before committing a
+    match threshold (Christen, *Data Matching*, 2012, §7.2).
+
+    ``scored`` is the match candidates with their similarity;
+    ``truth`` is the labeled positive-pair set. Orientation is
+    normalized to (min, max) on both inputs. A truth pair the scorer
+    never emitted is a false negative at EVERY threshold (it joins in
+    with a NULL score); a scored pair not in truth is a false positive
+    wherever score ≥ t. ``precision`` is defined 1.0 when nothing is
+    predicted (tp+fp = 0, the vacuous cut).
+
+    Scale shape: ONE full-outer join on the normalized pair key, ONE
+    aggregate to an exact (score, is_true) → count histogram — the
+    only pass over pair-sized data — then the tiny histogram
+    cross-joins the broadcast grid and reduces to |grid| rows. Counts
+    are exact longs; each metric is a single IEEE division (f1 from
+    the two), bit-identical across engines."""
+    def norm(df: DataFrame, cols) -> DataFrame:
+        return df.select(
+            F.least(F.col(id_a), F.col(id_b)).alias("_pa"),
+            F.greatest(F.col(id_a), F.col(id_b)).alias("_pb"),
+            *cols,
+        )
+
+    s = norm(scored, [F.col(score_col).alias("_score")])
+    t = norm(truth, [F.lit(True).alias("_true")])
+    hist = (
+        s.join(t, ["_pa", "_pb"], "full_outer")
+        .groupBy(
+            F.col("_score").alias("score"),
+            F.coalesce(F.col("_true"), F.lit(False)).alias("is_true"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    spark = scored.sparkSession
+    grid = spark.createDataFrame(
+        [(float(x),) for x in thresholds], "threshold double"
+    )
+    pred = F.col("score").isNotNull() & (F.col("score") >= F.col("threshold"))
+    agg = (
+        hist.crossJoin(F.broadcast(grid))
+        .groupBy("threshold")
+        .agg(
+            F.sum(F.when(pred & F.col("is_true"), F.col("n")).otherwise(0))
+            .cast("long")
+            .alias("tp"),
+            F.sum(F.when(pred & ~F.col("is_true"), F.col("n")).otherwise(0))
+            .cast("long")
+            .alias("fp"),
+            F.sum(F.when(~pred & F.col("is_true"), F.col("n")).otherwise(0))
+            .cast("long")
+            .alias("fn"),
+        )
+    )
+    prec = F.when(F.col("tp") + F.col("fp") == 0, F.lit(1.0)).otherwise(
+        F.col("tp").cast("double") / (F.col("tp") + F.col("fp"))
+    )
+    rec = F.col("tp").cast("double") / (F.col("tp") + F.col("fn"))
+    return agg.select(
+        "threshold",
+        "tp",
+        "fp",
+        "fn",
+        prec.alias("precision"),
+        rec.alias("recall"),
+        F.when(
+            F.col("tp") == 0, F.lit(0.0)
+        ).otherwise(
+            2.0
+            * F.col("tp").cast("double")
+            / (2.0 * F.col("tp") + F.col("fp") + F.col("fn"))
+        ).alias("f1"),
+    )

@@ -3236,6 +3236,182 @@ FROM w
 """
 
 
+def q_tfidf_cosine(spark, sf_dir):
+    """TF-IDF cosine pair scoring (the IDF-weighted lexical near-dup
+    confirm): base docs ∪ planted prefix-twins (first 10 tokens of
+    each base doc, id+10000 — the winnow_overlap_pairs corpus), each
+    base paired with its own twin. Short docs score near 1 (the prefix
+    IS the doc), long docs lower, disjoint-after-truncation cases near
+    0 — a full spread of the cosine range. Runs hashed (xxhash64 token
+    ids, the scale path); the DuckDB twin weights string tokens — equal
+    up to 2^-64 token-hash collisions, the tier-2 identity argument."""
+    from .operators.corpus_stats import tfidf_cosine_pairs
+
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 100)
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    twins = docs.select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(toks, 1, 10)).alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(twins)
+    pairs = docs.select(
+        F.col("doc_id").alias("id_a"),
+        (F.col("doc_id") + 10000).alias("id_b"),
+    )
+    return tfidf_cosine_pairs(corpus, pairs)
+
+
+SQL_TFIDF_COSINE = r"""
+WITH base AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 100
+), twins AS (
+  SELECT doc_id + 10000 AS doc_id,
+         array_to_string(
+           list_slice(regexp_split_to_array(trim(text), '\s+'), 1, 10), ' ')
+           AS text
+  FROM base
+), corpus AS (
+  SELECT * FROM base UNION ALL SELECT * FROM twins
+), toks AS (
+  SELECT doc_id, token FROM (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+    FROM corpus
+  ) WHERE token <> ''
+), tf AS (
+  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks GROUP BY 1, 2
+), dfreq AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1
+), n AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS _n FROM corpus
+), w AS (
+  SELECT doc_id, token, tf * ln((_n + 1) / (df + 1)) AS w
+  FROM tf JOIN dfreq USING (token), n
+), norms AS (
+  SELECT doc_id, SUM(w * w) AS n2 FROM w GROUP BY 1
+), pairs AS (
+  SELECT doc_id AS id_a, doc_id + 10000 AS id_b FROM base
+), dots AS (
+  SELECT p.id_a, p.id_b, SUM(wa.w * wb.w) AS dot
+  FROM pairs p
+  JOIN w wa ON wa.doc_id = p.id_a
+  JOIN w wb ON wb.doc_id = p.id_b AND wb.token = wa.token
+  GROUP BY 1, 2
+)
+SELECT p.id_a, p.id_b,
+       ROUND(COALESCE(d.dot, 0) / sqrt(na.n2 * nb.n2), 6) AS cosine
+FROM pairs p
+JOIN norms na ON na.doc_id = p.id_a
+JOIN norms nb ON nb.doc_id = p.id_b
+LEFT JOIN dots d ON d.id_a = p.id_a AND d.id_b = p.id_b
+"""
+
+
+# Same planted-role CASE as _SQL_PLANTED_ROLES, in Spark SQL dialect
+# (DIV for integer division) — used to inject deterministic false
+# positives into the PR-curve's scored set from the url index alone.
+_SPARK_PLANTED_I = "CAST(substr(url, length(url) - 9, 10) AS BIGINT)"
+
+
+def q_pr_curve(spark, sf_dir):
+    """Pair-level precision/recall/F1 threshold sweep over the FIXED
+    n=2,000 planted corpus: scored = the flagship's own MinHash-LSH →
+    exact-Jaccard-confirm pairs (the minhash_dup_pairs output) ∪ 40
+    injected false positives (two cross-group base-row pairs per
+    100-block at literal scores 0.9 / 0.6); truth = synth_labels'
+    positive pairs — generated by the INDEPENDENT label path, while
+    the DuckDB twin re-derives truth from the url-index role
+    arithmetic, so the two engines cross-check both the curve
+    arithmetic and the label/role equivalence. Counts are exact longs,
+    each metric one IEEE division — hash-exact."""
+    from .operators.candidates import bucket_table, candidate_pairs
+    from .operators.linkage import pr_curve
+    from .operators.scoring import score_pairs
+    from .synth import synth_labels, synth_pages
+    from .tracking import PersistTracker
+
+    tracker = PersistTracker()
+    pages = synth_pages(spark, 2_000).select("url", "text")
+    scored = score_pairs(
+        candidate_pairs(bucket_table(pages, use_cheap_key=False)),
+        pages,
+        tracker=tracker,
+    ).select("url_a", "url_b", F.round("score", 4).alias("score"))
+    pg = pages.selectExpr("url", f"{_SPARK_PLANTED_I} AS i")
+    fp = None
+    for lo, hi, s in ((20, 21, 0.9), (22, 23, 0.6)):
+        a = pg.where(f"i % 100 = {lo}").selectExpr(
+            "i DIV 100 AS b", "url AS url_a"
+        )
+        b = pg.where(f"i % 100 = {hi}").selectExpr(
+            "i DIV 100 AS b", "url AS url_b"
+        )
+        inj = a.join(b, "b").select(
+            "url_a", "url_b", F.lit(s).alias("score")
+        )
+        fp = inj if fp is None else fp.unionByName(inj)
+    truth = synth_labels(spark, 2_000).where(F.col("is_dup")).select(
+        "url_a", "url_b"
+    )
+    curve = pr_curve(
+        scored.unionByName(fp),
+        truth,
+        [0.5, 0.8, 0.9, 0.95, 1.0],
+        id_a="url_a",
+        id_b="url_b",
+    )
+    return _eager(curve, tracker.release)
+
+
+SQL_PR_CURVE = _SQL_PLANTED_ROLES + """
+, t AS (
+  SELECT url, grp, list_distinct(string_split(text, ' ')) AS toks
+  FROM g WHERE grp IS NOT NULL
+), scored AS (
+  SELECT LEAST(a.url, b.url) AS url_a, GREATEST(a.url, b.url) AS url_b,
+         ROUND(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+               / len(list_distinct(list_concat(a.toks, b.toks))), 4) AS score
+  FROM t a JOIN t b ON a.grp = b.grp AND a.url < b.url
+  UNION ALL
+  SELECT LEAST(a.url, b.url), GREATEST(a.url, b.url), 0.9
+  FROM g a JOIN g b ON a.i // 100 = b.i // 100
+  WHERE a.i % 100 = 20 AND b.i % 100 = 21
+  UNION ALL
+  SELECT LEAST(a.url, b.url), GREATEST(a.url, b.url), 0.6
+  FROM g a JOIN g b ON a.i // 100 = b.i // 100
+  WHERE a.i % 100 = 22 AND b.i % 100 = 23
+), truth AS (
+  SELECT LEAST(a.url, b.url) AS url_a, GREATEST(a.url, b.url) AS url_b,
+         TRUE AS is_t
+  FROM g a JOIN g b ON a.grp = b.grp AND a.url < b.url
+), joined AS (
+  SELECT s.score, COALESCE(t.is_t, FALSE) AS is_true
+  FROM scored s FULL OUTER JOIN truth t USING (url_a, url_b)
+), grid AS (
+  SELECT * FROM (VALUES (CAST(0.5 AS DOUBLE)), (CAST(0.8 AS DOUBLE)),
+                        (CAST(0.9 AS DOUBLE)), (CAST(0.95 AS DOUBLE)),
+                        (CAST(1.0 AS DOUBLE))) v(threshold)
+), agg AS (
+  SELECT threshold,
+    CAST(SUM(CASE WHEN score IS NOT NULL AND score >= threshold
+                       AND is_true THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+    CAST(SUM(CASE WHEN score IS NOT NULL AND score >= threshold
+                       AND NOT is_true THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+    CAST(SUM(CASE WHEN (score IS NULL OR score < threshold)
+                       AND is_true THEN 1 ELSE 0 END) AS BIGINT) AS fn
+  FROM joined, grid GROUP BY 1
+)
+SELECT threshold, tp, fp, fn,
+  CASE WHEN tp + fp = 0 THEN 1.0
+       ELSE CAST(tp AS DOUBLE) / (tp + fp) END AS precision,
+  CAST(tp AS DOUBLE) / (tp + fn) AS recall,
+  CASE WHEN tp = 0 THEN 0.0
+       ELSE 2.0 * CAST(tp AS DOUBLE) / (2 * tp + fp + fn) END AS f1
+FROM agg
+"""
+
+
 QUERIES = {
     "size_clusters": q_size_clusters,
     "singleton_prune": q_singleton_prune,
@@ -3318,6 +3494,8 @@ QUERIES = {
     "blocking_quality": q_blocking_quality,
     "bcubed_eval": q_bcubed_eval,
     "fs_frequency_scores": q_fs_frequency_scores,
+    "tfidf_cosine": q_tfidf_cosine,
+    "pr_curve": q_pr_curve,
     "asof_click_view": q_asof_click_view,
     # rows-only (the sf-scaled flagship; its full value-level twin is
     # pages_dedup_clusters_2k above, plus the stat twins)
@@ -3410,5 +3588,7 @@ ORACLES = {
     "blocking_quality": SQL_BLOCKING_QUALITY,
     "bcubed_eval": SQL_BCUBED_EVAL,
     "fs_frequency_scores": SQL_FS_FREQUENCY_SCORES,
+    "tfidf_cosine": SQL_TFIDF_COSINE,
+    "pr_curve": SQL_PR_CURVE,
     "asof_click_view": SQL_ASOF_CLICK_VIEW,
 }

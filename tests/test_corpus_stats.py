@@ -125,3 +125,58 @@ def test_bigram_lm_orders_scrambled_below_natural(spark):
     # unigram cannot separate them: same multiset, same corpus counts
     uni = {r["doc_id"]: r["cross_entropy"] for r in unigram_lm_quality(docs).collect()}
     assert abs(uni[99] - uni[0]) < 1e-9
+
+
+def test_tfidf_cosine_pairs_hand_values(spark):
+    from dedupe_algo_spark.operators.corpus_stats import tfidf_cosine_pairs
+
+    docs = _df(
+        spark,
+        [
+            (1, "alpha beta gamma"),
+            (2, "alpha beta gamma"),   # identical to 1 → cosine 1.0
+            (3, "delta epsilon zeta"), # disjoint from 1 → cosine 0.0
+            (4, "alpha beta nu"),      # partial overlap with 1
+            (5, "   "),                # token-less → pairs drop
+        ],
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (1, 5)], "id_a bigint, id_b bigint"
+    )
+    out = {
+        (r.id_a, r.id_b): r.cosine
+        for r in tfidf_cosine_pairs(docs, pairs).collect()
+    }
+    assert out[(1, 2)] == 1.0
+    assert out[(1, 3)] == 0.0
+    assert (1, 5) not in out  # zero vector: cosine undefined, dropped
+    # hand value for (1,4): w = tf·ln((N+1)/(df+1)), N=5
+    import math
+
+    def w(df_):
+        return math.log(6.0 / (df_ + 1))
+
+    # doc1: alpha(df3) beta(df3) gamma(df2); doc4: alpha beta nu(df1)
+    dot = w(3) ** 2 + w(3) ** 2
+    na = 2 * w(3) ** 2 + w(2) ** 2
+    nb = 2 * w(3) ** 2 + w(1) ** 2
+    assert abs(out[(1, 4)] - dot / math.sqrt(na * nb)) < 1e-6
+
+
+def test_tfidf_cosine_hashed_matches_strings(spark):
+    from dedupe_algo_spark.operators.corpus_stats import tfidf_cosine_pairs
+
+    docs = _df(
+        spark,
+        [(i, f"tok{i % 3} shared word{i} café {'x ' * (i % 4)}") for i in range(12)],
+    )
+    pairs = spark.createDataFrame(
+        [(i, j) for i in range(12) for j in range(i + 1, 12)][:30],
+        "id_a bigint, id_b bigint",
+    )
+    h = tfidf_cosine_pairs(docs, pairs, hashed=True).toPandas()
+    s = tfidf_cosine_pairs(docs, pairs, hashed=False).toPandas()
+    key = ["id_a", "id_b"]
+    m = h.sort_values(key).reset_index(drop=True)
+    n = s.sort_values(key).reset_index(drop=True)
+    assert (m["cosine"] - n["cosine"]).abs().max() <= 1e-6

@@ -277,3 +277,33 @@ def test_frequency_lr_rare_agreement_outweighs_common(spark):
     assert got[1] == 0.9 / ((1 * 1) / 100)
     assert got[2] == 0.9 / ((8 * 8) / 100)
     assert got[1] > got[2]  # rare agreement is stronger evidence
+
+
+def test_pr_curve_hand_counts(spark):
+    from dedupe_algo_spark.operators.linkage import pr_curve
+
+    scored = spark.createDataFrame(
+        [
+            (1, 2, 0.95),  # true
+            (3, 4, 0.85),  # true
+            (5, 6, 0.90),  # false positive at t<=0.9
+            (8, 7, 0.40),  # true, reversed orientation on purpose
+        ],
+        "id_a bigint, id_b bigint, score double",
+    )
+    truth = spark.createDataFrame(
+        [(1, 2), (3, 4), (7, 8), (9, 10)], "id_a bigint, id_b bigint"
+    )  # (9,10) never scored → fn everywhere
+    out = {
+        r.threshold: r
+        for r in pr_curve(scored, truth, [0.5, 0.9, 0.99]).collect()
+    }
+    r = out[0.9]
+    assert (r.tp, r.fp, r.fn) == (1, 1, 3)
+    assert r.precision == 0.5 and r.recall == 0.25
+    r = out[0.5]
+    assert (r.tp, r.fp, r.fn) == (2, 1, 2)
+    r = out[0.99]
+    assert (r.tp, r.fp, r.fn) == (0, 0, 4)
+    assert r.precision == 1.0  # vacuous cut: nothing predicted
+    assert r.f1 == 0.0
