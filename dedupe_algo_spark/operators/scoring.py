@@ -114,7 +114,13 @@ def confirm_pairs(
     like token Jaccard but sub-word-granular, the dial for boilerplate
     with small edits). The prefix scorers exist for fielded-record
     linkage (names, titles); they reuse the exact same carve-out/join
-    shape, so text still never shuffles.
+    shape, so text still never shuffles. ``"tfidf"`` scores pairs by
+    corpus-IDF-weighted cosine (operators/corpus_stats.py) — the dial
+    when candidate pages share heavy boilerplate that unweighted token
+    Jaccard over-credits; it adds ONE corpus-wide slim aggregate (the
+    (token-hash, df) model — the same cost class as the signature
+    stage) and its pair joins are pair-side-small like the branches
+    below. Text never shuffles on any path.
 
     The text column is read from the source exactly ONCE: a semi-join
     against the candidate url set carves out the text slice (≤2×|pairs|
@@ -157,7 +163,17 @@ def confirm_pairs(
     if 2 * n_pairs <= BROADCAST_URL_LIMIT:
         urls = F.broadcast(urls)
     sliced = pages.join(urls, "url", "left_semi")
-    if scorer != "jaccard":
+    if scorer == "tfidf":
+        from .corpus_stats import tfidf_cosine_pairs
+
+        scored = tfidf_cosine_pairs(
+            pages,
+            cand,
+            id_col="url",
+            id_a="url_a",
+            id_b="url_b",
+        ).withColumnRenamed("cosine", "score")
+    elif scorer != "jaccard":
         from ..functions.similarity import (
             LEV_CAP,
             levenshtein_sim_col,

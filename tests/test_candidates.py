@@ -184,3 +184,33 @@ def test_confirm_pairs_never_shuffles_table_text(spark, pages_1k):
     assert "text" not in moved, moved
     rows = scored.collect()
     assert len(rows) == 1 and 0.0 <= rows[0]["score"] <= 1.0
+
+
+def test_confirm_pairs_tfidf_scorer(spark):
+    """scorer='tfidf': corpus-IDF-weighted cosine — identical texts
+    score 1.0, boilerplate-only overlap scores BELOW its unweighted
+    token Jaccard (IDF discounts tokens every doc shares), and no
+    Exchange in the plan ever carries the text column."""
+    import math
+
+    from dedupe_algo_spark.plans import exchange_columns
+
+    pages = spark.createDataFrame(
+        [
+            ("u1", "nav home about contact rare1 rare2"),
+            ("u2", "nav home about contact rare1 rare2"),
+            ("u3", "nav home about contact other3 other4"),
+            ("u4", "nav home about contact misc5 misc6"),
+        ],
+        "url string, text string",
+    )
+    pairs = spark.createDataFrame(
+        [("u1", "u2"), ("u1", "u3")], "url_a string, url_b string"
+    )
+    df = confirm_pairs(pairs, pages, 0.0, scorer="tfidf")
+    out = {(r["url_a"], r["url_b"]): r["score"] for r in df.collect()}
+    assert out[("u1", "u2")] == 1.0
+    # unweighted token Jaccard of (u1,u3) is 4/8 = 0.5; the 4 shared
+    # tokens appear in ALL 4 docs (df=4 → w=ln(5/5)=0) so cosine = 0
+    assert out[("u1", "u3")] == 0.0
+    assert "text" not in exchange_columns(df)
