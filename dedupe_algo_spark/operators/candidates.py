@@ -164,3 +164,56 @@ def dropped_buckets(buckets: DataFrame, max_bucket: int = DEFAULT_MAX_BUCKET) ->
         .agg(F.count(F.lit(1)).alias("n_members"))
         .where(F.col("n_members") > max_bucket)
     )
+
+
+def wminhash_candidate_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_shared: int = 1,
+    max_bucket: int = DEFAULT_MAX_BUCKET,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """→ (``id_a``, ``id_b``, n_shared): candidate pairs under the
+    WEIGHTED Jaccard measure — ICWS weighted-MinHash signatures
+    (functions/wminhash.py, Ioffe ICDM 2010) banded 16×4 and
+    self-joined on band keys. The weighted twin of ``candidate_pairs``:
+    where the unweighted LSH treats a token spammed 100× like one
+    occurrence, ICWS band collisions track Σmin/Σmax over counts, so
+    repetition-inflated pages stop bucketing with everything sharing
+    their vocabulary. Confirm survivors with
+    ``corpus_stats.weighted_jaccard_pairs`` — the sketch estimates the
+    exact measure that operator computes.
+
+    Scale shape, same contract as the flagship generator above: one
+    Arrow-batched UDF computes signature+bands in the scan stage
+    (text never leaves it), the self-join input is the slim
+    (band_key, id) posting table, hot buckets beyond ``max_bucket``
+    are dropped before pairing (auditable the same way as
+    ``dropped_buckets``), one exchange keyed on the band hash, one
+    slim pair rollup."""
+    from ..functions.wminhash import wband_udf, wminhash_udf
+
+    posts = (
+        docs.select(
+            F.col(id_col).alias("_id"),
+            F.explode(wband_udf(wminhash_udf(F.col(text_col)))).alias("bk"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("bk")
+    kept = (
+        posts.withColumn("_n", F.count(F.lit(1)).over(w))
+        .where((F.col("_n") >= 2) & (F.col("_n") <= max_bucket))
+        .select("_id", "bk")
+    )
+    a = kept.select(F.col("_id").alias(id_a), "bk")
+    b = kept.select(F.col("_id").alias(id_b), "bk")
+    return (
+        a.join(b, "bk")
+        .where(F.col(id_a) < F.col(id_b))
+        .groupBy(id_a, id_b)
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )

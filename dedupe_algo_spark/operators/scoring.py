@@ -120,7 +120,11 @@ def confirm_pairs(
     Jaccard over-credits; it adds ONE corpus-wide slim aggregate (the
     (token-hash, df) model — the same cost class as the signature
     stage) and its pair joins are pair-side-small like the branches
-    below. Text never shuffles on any path.
+    below. ``"weighted_jaccard"`` scores exact multiset Jaccard over
+    token COUNTS (Σmin/Σmax via the Σmax = |A|+|B|−Σmin identity — one
+    inner join on shared token hashes), the dial when repetition-spam
+    pages inflate a set-Jaccard score. Text never shuffles on any
+    path.
 
     The text column is read from the source exactly ONCE: a semi-join
     against the candidate url set carves out the text slice (≤2×|pairs|
@@ -163,16 +167,17 @@ def confirm_pairs(
     if 2 * n_pairs <= BROADCAST_URL_LIMIT:
         urls = F.broadcast(urls)
     sliced = pages.join(urls, "url", "left_semi")
-    if scorer == "tfidf":
-        from .corpus_stats import tfidf_cosine_pairs
+    if scorer in ("tfidf", "weighted_jaccard"):
+        from .corpus_stats import tfidf_cosine_pairs, weighted_jaccard_pairs
 
-        scored = tfidf_cosine_pairs(
-            pages,
-            cand,
-            id_col="url",
-            id_a="url_a",
-            id_b="url_b",
-        ).withColumnRenamed("cosine", "score")
+        if scorer == "tfidf":
+            scored = tfidf_cosine_pairs(
+                pages, cand, id_col="url", id_a="url_a", id_b="url_b"
+            ).withColumnRenamed("cosine", "score")
+        else:
+            scored = weighted_jaccard_pairs(
+                pages, cand, id_col="url", id_a="url_a", id_b="url_b"
+            ).withColumnRenamed("wjaccard", "score")
     elif scorer != "jaccard":
         from ..functions.similarity import (
             LEV_CAP,

@@ -3308,6 +3308,164 @@ LEFT JOIN dots d ON d.id_a = p.id_a AND d.id_b = p.id_b
 """
 
 
+def q_weighted_jaccard(spark, sf_dir):
+    """Exact weighted (multiset) Jaccard — Σmin(cA,cB)/Σmax(cA,cB)
+    over token COUNTS — on the same base∪prefix-twin corpus and pairs
+    as tfidf_cosine. Repeated tokens count at multiplicity, so the
+    twin of a repetitive doc scores differently than under set
+    Jaccard. Integer counts → every score is one exact division,
+    hash-identical with no rounding."""
+    from .operators.corpus_stats import weighted_jaccard_pairs
+
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 100)
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    twins = docs.select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(toks, 1, 10)).alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(twins)
+    pairs = docs.select(
+        F.col("doc_id").alias("id_a"),
+        (F.col("doc_id") + 10000).alias("id_b"),
+    )
+    return weighted_jaccard_pairs(corpus, pairs)
+
+
+SQL_WEIGHTED_JACCARD = r"""
+WITH base AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 100
+), twins AS (
+  SELECT doc_id + 10000 AS doc_id,
+         array_to_string(
+           list_slice(regexp_split_to_array(trim(text), '\s+'), 1, 10), ' ')
+           AS text
+  FROM base
+), corpus AS (
+  SELECT * FROM base UNION ALL SELECT * FROM twins
+), toks AS (
+  SELECT doc_id, token FROM (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+    FROM corpus
+  ) WHERE token <> ''
+), tf AS (
+  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS c
+  FROM toks GROUP BY 1, 2
+), totals AS (
+  SELECT c.doc_id, COALESCE(cnt.n_tok, 0) AS n_tok
+  FROM corpus c LEFT JOIN (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok FROM toks GROUP BY 1
+  ) cnt USING (doc_id)
+), pairs AS (
+  SELECT doc_id AS id_a, doc_id + 10000 AS id_b FROM base
+), mins AS (
+  SELECT p.id_a, p.id_b, SUM(LEAST(a.c, b.c)) AS m
+  FROM pairs p
+  JOIN tf a ON a.doc_id = p.id_a
+  JOIN tf b ON b.doc_id = p.id_b AND b.token = a.token
+  GROUP BY 1, 2
+)
+SELECT p.id_a, p.id_b,
+  CASE WHEN na.n_tok + nb.n_tok - COALESCE(mi.m, 0) = 0 THEN 1.0
+       ELSE CAST(COALESCE(mi.m, 0) AS DOUBLE)
+            / (na.n_tok + nb.n_tok - COALESCE(mi.m, 0)) END AS wjaccard
+FROM pairs p
+JOIN totals na ON na.doc_id = p.id_a
+JOIN totals nb ON nb.doc_id = p.id_b
+LEFT JOIN mins mi ON mi.id_a = p.id_a AND mi.id_b = p.id_b
+"""
+
+
+def q_wminhash_near_pairs(spark, sf_dir):
+    """Weighted-MinHash (ICWS) LSH candidates → exact weighted-Jaccard
+    confirm ≥ 0.8, on the base∪prefix-twin corpus. The DuckDB twin is
+    the EXHAUSTIVE weighted Jaccard over all pairs — hash-equality
+    therefore gates the sketch's RECALL exactly (a ≥0.8 pair the
+    banding misses breaks the hash), the same contract as
+    embedding_lsh_pairs vs its exhaustive twin. Precision is free: the
+    exact confirm discards sub-threshold candidates on both engines."""
+    from .operators.candidates import wminhash_candidate_pairs
+    from .operators.corpus_stats import weighted_jaccard_pairs
+
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 100)
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    twins = docs.select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(toks, 1, 10)).alias("text"),
+    )
+    # second family: drop the last 3 tokens — wJ=(n-3)/n ≥0.8 for every
+    # doc with ≥15 tokens, so the recall gate covers ~all long docs too
+    trunc = docs.select(
+        (F.col("doc_id") + 20000).alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.slice(toks, 1, F.greatest(F.size(toks) - 3, F.lit(0))),
+        ).alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(twins).unionByName(
+        trunc
+    )
+    cand = wminhash_candidate_pairs(corpus).select("id_a", "id_b")
+    return weighted_jaccard_pairs(corpus, cand).where(
+        F.col("wjaccard") >= 0.8
+    )
+
+
+SQL_WMINHASH_NEAR_PAIRS = r"""
+WITH base AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 100
+), twins AS (
+  SELECT doc_id + 10000 AS doc_id,
+         array_to_string(
+           list_slice(regexp_split_to_array(trim(text), '\s+'), 1, 10), ' ')
+           AS text
+  FROM base
+), trunc AS (
+  SELECT doc_id + 20000 AS doc_id,
+         array_to_string(
+           list_slice(regexp_split_to_array(trim(text), '\s+'), 1,
+                      greatest(len(regexp_split_to_array(trim(text), '\s+'))
+                               - 3, 0)), ' ')
+           AS text
+  FROM base
+), corpus AS (
+  SELECT * FROM base UNION ALL SELECT * FROM twins
+  UNION ALL SELECT * FROM trunc
+), toks AS (
+  SELECT doc_id, token FROM (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+    FROM corpus
+  ) WHERE token <> ''
+), tf AS (
+  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS c
+  FROM toks GROUP BY 1, 2
+), totals AS (
+  SELECT c.doc_id, COALESCE(cnt.n_tok, 0) AS n_tok
+  FROM corpus c LEFT JOIN (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok FROM toks GROUP BY 1
+  ) cnt USING (doc_id)
+), mins AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, SUM(LEAST(a.c, b.c)) AS m
+  FROM tf a JOIN tf b ON a.token = b.token AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), shared AS (
+  SELECT mi.id_a, mi.id_b,
+         CAST(mi.m AS DOUBLE) / (na.n_tok + nb.n_tok - mi.m) AS wjaccard
+  FROM mins mi
+  JOIN totals na ON na.doc_id = mi.id_a
+  JOIN totals nb ON nb.doc_id = mi.id_b
+), empties AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(1.0 AS DOUBLE) AS wjaccard
+  FROM totals a JOIN totals b ON a.doc_id < b.doc_id
+  WHERE a.n_tok = 0 AND b.n_tok = 0
+)
+SELECT * FROM (
+  SELECT * FROM shared UNION ALL SELECT * FROM empties
+) WHERE wjaccard >= 0.8
+"""
+
+
 # Same planted-role CASE as _SQL_PLANTED_ROLES, in Spark SQL dialect
 # (DIV for integer division) — used to inject deterministic false
 # positives into the PR-curve's scored set from the url index alone.
@@ -3495,6 +3653,8 @@ QUERIES = {
     "bcubed_eval": q_bcubed_eval,
     "fs_frequency_scores": q_fs_frequency_scores,
     "tfidf_cosine": q_tfidf_cosine,
+    "weighted_jaccard": q_weighted_jaccard,
+    "wminhash_near_pairs": q_wminhash_near_pairs,
     "pr_curve": q_pr_curve,
     "asof_click_view": q_asof_click_view,
     # rows-only (the sf-scaled flagship; its full value-level twin is
@@ -3589,6 +3749,8 @@ ORACLES = {
     "bcubed_eval": SQL_BCUBED_EVAL,
     "fs_frequency_scores": SQL_FS_FREQUENCY_SCORES,
     "tfidf_cosine": SQL_TFIDF_COSINE,
+    "weighted_jaccard": SQL_WEIGHTED_JACCARD,
+    "wminhash_near_pairs": SQL_WMINHASH_NEAR_PAIRS,
     "pr_curve": SQL_PR_CURVE,
     "asof_click_view": SQL_ASOF_CLICK_VIEW,
 }

@@ -214,3 +214,31 @@ def test_confirm_pairs_tfidf_scorer(spark):
     # tokens appear in ALL 4 docs (df=4 → w=ln(5/5)=0) so cosine = 0
     assert out[("u1", "u3")] == 0.0
     assert "text" not in exchange_columns(df)
+
+
+def test_confirm_pairs_weighted_jaccard_scorer(spark):
+    """scorer='weighted_jaccard': repetition counts. u1/u2 share the
+    same token SET but different multiplicities — set Jaccard says
+    1.0, the weighted scorer must not."""
+    pages = spark.createDataFrame(
+        [
+            ("u1", "spam spam spam ham"),
+            ("u2", "spam ham ham"),
+            ("u3", "spam ham"),
+        ],
+        "url string, text string",
+    )
+    pairs = spark.createDataFrame(
+        [("u1", "u2"), ("u2", "u3")], "url_a string, url_b string"
+    )
+    out = {
+        (r["url_a"], r["url_b"]): r["score"]
+        for r in confirm_pairs(pairs, pages, 0.0, scorer="weighted_jaccard").collect()
+    }
+    assert out[("u1", "u2")] == 2 / 5
+    assert out[("u2", "u3")] == 2 / 3
+    jac = {
+        (r["url_a"], r["url_b"]): r["score"]
+        for r in confirm_pairs(pairs, pages, 0.0).collect()
+    }
+    assert jac[("u2", "u3")] == 1.0  # the set scorer can't see counts

@@ -180,3 +180,35 @@ def test_tfidf_cosine_hashed_matches_strings(spark):
     m = h.sort_values(key).reset_index(drop=True)
     n = s.sort_values(key).reset_index(drop=True)
     assert (m["cosine"] - n["cosine"]).abs().max() <= 1e-6
+
+
+def test_weighted_jaccard_hand_values(spark):
+    from dedupe_algo_spark.operators.corpus_stats import (
+        weighted_jaccard_pairs,
+    )
+
+    docs = _df(
+        spark,
+        [
+            (1, "a a a b"),
+            (2, "a b b"),
+            (3, "a b"),      # set-identical to 2's support, diff counts
+            (4, ""),
+            (5, "  "),
+            (6, "c"),
+        ],
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5), (4, 6)], "id_a bigint, id_b bigint"
+    )
+    out = {
+        (r.id_a, r.id_b): r.wjaccard
+        for r in weighted_jaccard_pairs(docs, pairs).collect()
+    }
+    # (1,2): min(3,1)+min(1,2)=2; union=4+3-2=5
+    assert out[(1, 2)] == 2 / 5
+    # (2,3): min(1,1)+min(2,1)=2; union=3+2-2=3 — counts matter:
+    # set Jaccard would say 1.0
+    assert out[(2, 3)] == 2 / 3
+    assert out[(4, 5)] == 1.0  # both empty → identical
+    assert out[(4, 6)] == 0.0  # empty vs non-empty
