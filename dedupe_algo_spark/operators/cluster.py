@@ -259,3 +259,57 @@ def connected_components(
     members = cur.select(F.col("src").alias("url"), F.col("dst").alias("component"))
     roots = cur.select(F.col("dst").alias("url"), F.col("dst").alias("component")).distinct()
     return members.union(roots).groupBy("url").agg(F.min("component").alias("component"))
+
+
+def merge_clusters(
+    assignments: DataFrame, new_edges: DataFrame, **cc_kwargs
+) -> DataFrame:
+    """→ (url, component): an existing cluster assignment updated with
+    a batch of new match edges, recomputing ONLY the clusters the
+    batch touches — the incremental counterpart of
+    :func:`connected_components` for the daily-ingest deployment
+    (sources/bucketed.py finds the batch's pairs exchange-free; this
+    folds them into yesterday's entities without re-running CC over
+    the 10^12-node historical graph).
+
+    ``assignments`` is a prior CC output (url, component) where
+    ``component`` is the min-url member — the star encoding of the
+    historical partition, so each old cluster is reconstructible from
+    its assignment rows alone (component→url star edges) and the full
+    edge history is never needed. Correctness: a new edge can only
+    change components it touches, and every member of a touched
+    component is pulled into the subgraph via its star edges, so
+    CC(star(touched) ∪ batch) equals the touched slice of
+    CC(history ∪ batch); untouched rows pass through by anti-join.
+    Labels stay the global min url because every merged cluster's
+    candidate minima are all present in the subgraph.
+
+    Scale shape: two slim semi/anti-joins on (url)/(component) and one
+    CC over a subgraph proportional to the BATCH's blast radius, not
+    the corpus. Urls unseen in ``assignments`` (brand-new pages, or
+    prior singletons which CC omits) need no special casing — they
+    enter through the batch edges themselves."""
+    a = assignments.select(
+        F.col(assignments.columns[0]).alias("url"),
+        F.col(assignments.columns[1]).alias("component"),
+    )
+    e = new_edges.select(
+        F.col(new_edges.columns[0]).alias("src"),
+        F.col(new_edges.columns[1]).alias("dst"),
+    )
+    touched_urls = (
+        e.select(F.col("src").alias("url"))
+        .unionByName(e.select(F.col("dst").alias("url")))
+        .distinct()
+    )
+    touched_comp = (
+        a.join(touched_urls, "url", "left_semi").select("component").distinct()
+    )
+    star = (
+        a.join(touched_comp, "component", "left_semi")
+        .where(F.col("url") != F.col("component"))
+        .select(F.col("component").alias("src"), F.col("url").alias("dst"))
+    )
+    merged = connected_components(star.unionByName(e), **cc_kwargs)
+    untouched = a.join(touched_comp, "component", "left_anti")
+    return untouched.unionByName(merged.select("url", "component"))

@@ -3466,6 +3466,74 @@ SELECT * FROM (
 """
 
 
+def q_cluster_merge(spark, sf_dir):
+    """Incremental cluster maintenance: history = CC over chain edges
+    (i, i+1) for i%5<2 (3-node chains per 5-block), batch = bridge
+    edges (i, i+5) for i%20=2 (merges chain pairs in half the
+    20-blocks — the rest stay untouched and pass through the
+    anti-join) plus brand-new pairs (i+3, i+4) for i%50=0 (nodes with
+    no history at all). The oracle recomputes the FULL closure over
+    history ∪ batch with a recursive min-label CTE, so hash equality
+    proves the incremental path — touched-subgraph CC + untouched
+    passthrough — equals the from-scratch answer, label for label.
+    Ids ride through CC as zero-padded strings (lexicographic min ==
+    numeric min at fixed width) and come back as bigints."""
+    from .operators.cluster import connected_components, merge_clusters
+
+    ids = _docs(spark, sf_dir).select("doc_id").where(F.col("doc_id") < 500)
+
+    def pad(c):
+        return F.format_string("%010d", c)
+
+    e1 = ids.where("doc_id % 5 < 2").select(
+        pad(F.col("doc_id")).alias("src"),
+        pad(F.col("doc_id") + 1).alias("dst"),
+    )
+    e2 = (
+        ids.where("doc_id % 20 = 2")
+        .select(
+            pad(F.col("doc_id")).alias("src"),
+            pad(F.col("doc_id") + 5).alias("dst"),
+        )
+        .unionByName(
+            ids.where("doc_id % 50 = 0").select(
+                pad(F.col("doc_id") + 3).alias("src"),
+                pad(F.col("doc_id") + 4).alias("dst"),
+            )
+        )
+    )
+    hist = connected_components(e1)
+    out = merge_clusters(hist, e2)
+    return out.select(
+        F.col("url").cast("bigint").alias("node"),
+        F.col("component").cast("bigint").alias("cluster"),
+    )
+
+
+SQL_CLUSTER_MERGE = """
+WITH RECURSIVE ids AS (
+  SELECT doc_id AS i FROM documents WHERE doc_id < 500
+), e1 AS (
+  SELECT i AS src, i + 1 AS dst FROM ids WHERE i % 5 < 2
+), e2 AS (
+  SELECT i AS src, i + 5 AS dst FROM ids WHERE i % 20 = 2
+  UNION ALL
+  SELECT i + 3 AS src, i + 4 AS dst FROM ids WHERE i % 50 = 0
+), alle AS (
+  SELECT * FROM e1 UNION ALL SELECT * FROM e2
+), edges AS (
+  SELECT src, dst FROM alle UNION ALL SELECT dst AS src, src AS dst FROM alle
+), nodes AS (
+  SELECT DISTINCT src AS n FROM edges
+), reach(id, lab) AS (
+  SELECT n, n FROM nodes
+  UNION
+  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id
+)
+SELECT id AS node, MIN(lab) AS cluster FROM reach GROUP BY id
+"""
+
+
 # Same planted-role CASE as _SQL_PLANTED_ROLES, in Spark SQL dialect
 # (DIV for integer division) — used to inject deterministic false
 # positives into the PR-curve's scored set from the url index alone.
@@ -3655,6 +3723,7 @@ QUERIES = {
     "tfidf_cosine": q_tfidf_cosine,
     "weighted_jaccard": q_weighted_jaccard,
     "wminhash_near_pairs": q_wminhash_near_pairs,
+    "cluster_merge": q_cluster_merge,
     "pr_curve": q_pr_curve,
     "asof_click_view": q_asof_click_view,
     # rows-only (the sf-scaled flagship; its full value-level twin is
@@ -3751,6 +3820,7 @@ ORACLES = {
     "tfidf_cosine": SQL_TFIDF_COSINE,
     "weighted_jaccard": SQL_WEIGHTED_JACCARD,
     "wminhash_near_pairs": SQL_WMINHASH_NEAR_PAIRS,
+    "cluster_merge": SQL_CLUSTER_MERGE,
     "pr_curve": SQL_PR_CURVE,
     "asof_click_view": SQL_ASOF_CLICK_VIEW,
 }

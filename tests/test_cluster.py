@@ -123,3 +123,55 @@ def test_threshold_boundary_both_paths_identical(spark):
         for r in connected_components(df, small_graph_edges=n_canon).collect()
     }
     assert dist == fast and len(dist) > 1000
+
+
+def test_merge_clusters_equals_full_recompute(spark):
+    """Incremental merge over a batch == full CC over history ∪ batch,
+    for every touch pattern: merging two old clusters, extending one
+    with a brand-new node, a new-only pair, and untouched clusters."""
+    from dedupe_algo_spark.operators.cluster import (
+        connected_components,
+        merge_clusters,
+    )
+
+    e1 = spark.createDataFrame(
+        [
+            ("a1", "a2"), ("a2", "a3"),        # cluster A
+            ("b1", "b2"),                       # cluster B
+            ("c1", "c2"), ("c2", "c3"),        # cluster C (untouched)
+            ("d1", "d2"),                       # cluster D (untouched)
+        ],
+        "src string, dst string",
+    )
+    e2 = spark.createDataFrame(
+        [
+            ("a3", "b1"),   # merges A and B
+            ("b2", "n1"),   # extends the merged cluster with a new url
+            ("x1", "x2"),   # brand-new cluster, no history
+        ],
+        "src string, dst string",
+    )
+    hist = connected_components(e1)
+    inc = {(r.url, r.component) for r in merge_clusters(hist, e2).collect()}
+    full = {
+        (r.url, r.component)
+        for r in connected_components(e1.unionByName(e2)).collect()
+    }
+    assert inc == full
+    assert ("c1", "c1") in inc and ("d1", "d1") in inc  # untouched intact
+    assert ("n1", "a1") in inc  # merged A∪B∪n1 keeps the global min
+
+
+def test_merge_clusters_empty_batch_is_identity(spark):
+    from dedupe_algo_spark.operators.cluster import (
+        connected_components,
+        merge_clusters,
+    )
+
+    e1 = spark.createDataFrame(
+        [("a1", "a2"), ("b1", "b2")], "src string, dst string"
+    )
+    hist = connected_components(e1)
+    empty = spark.createDataFrame([], "src string, dst string")
+    out = {(r.url, r.component) for r in merge_clusters(hist, empty).collect()}
+    assert out == {(r.url, r.component) for r in hist.collect()}
