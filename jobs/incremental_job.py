@@ -1,6 +1,6 @@
 """spark-submit entry point for INCREMENTAL ingest against a seen-corpus.
 
-Two subcommands:
+Three subcommands:
 
     # one-time (or periodic) index build from the accepted corpus
     spark-submit --master <master> --py-files dedupe_algo_spark.zip \
@@ -17,6 +17,13 @@ Two subcommands:
         --name seen --location /path/to/warehouse/seen \
         --output /path/to/probe_out \
         [--buckets 64] [--threshold 0.8] [--min-matches 2] [--min-len 10]
+
+    # per-batch entity maintenance: fold the probe's exact+near hits
+    # into the entity table, recomputing only the touched clusters
+    spark-submit --master <master> --py-files dedupe_algo_spark.zip \
+        jobs/incremental_job.py merge \
+        --assignments /path/to/entities  --hits /path/to/probe_out \
+        --output /path/to/entities_v2    # omit --assignments on run 1
 
 ``index`` materializes THREE Hive-bucketed tables (sources/bucketed.py):
 ``{name}_hashes`` (content_sha256-keyed exact tier), and the near-dup
@@ -141,6 +148,27 @@ def probe_batch(
     return unseen, exact, near
 
 
+def merge_entities(spark, assignments, hits_dir: str):
+    """→ updated (url, component): fold a probe run's exact + near hit
+    tables (each a (url, corpus_url[, score]) edge list under
+    ``{hits_dir}/exact`` and ``{hits_dir}/near``) into the prior
+    entity assignment with :func:`~dedupe_algo_spark.operators.cluster
+    .merge_clusters` — only the clusters the batch touches are
+    recomputed, the historical graph is never revisited. Pass an
+    EMPTY assignments frame on the first run; every batch edge then
+    simply seeds new entities."""
+    from pyspark.sql import functions as F
+
+    from dedupe_algo_spark.operators.cluster import merge_clusters
+
+    exact = spark.read.parquet(f"{hits_dir}/exact").select("url", "corpus_url")
+    near = spark.read.parquet(f"{hits_dir}/near").select("url", "corpus_url")
+    edges = exact.unionByName(near).select(
+        F.col("url").alias("src"), F.col("corpus_url").alias("dst")
+    )
+    return merge_clusters(assignments, edges)
+
+
 def main() -> None:
     p = argparse.ArgumentParser(description="incremental ingest vs seen-corpus")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -162,6 +190,16 @@ def main() -> None:
     pp.add_argument("--threshold", type=float, default=0.80)
     pp.add_argument("--min-matches", type=int, default=2)
     pp.add_argument("--min-len", type=int, default=10)
+    pm = sub.add_parser(
+        "merge",
+        help="fold a probe run's exact+near hits into the entity table",
+    )
+    pm.add_argument(
+        "--assignments",
+        help="prior (url, component) parquet; omit on the first run",
+    )
+    pm.add_argument("--hits", required=True, help="a probe run's --output dir")
+    pm.add_argument("--output", required=True)
     args = p.parse_args()
 
     from pyspark.sql import SparkSession
@@ -172,6 +210,21 @@ def main() -> None:
         corpus = spark.read.parquet(args.corpus)
         build_index(spark, corpus, args.name, args.location, args.buckets)
         print(json.dumps({"indexed": corpus.count(), "name": args.name}))
+    elif args.cmd == "merge":
+        if args.assignments:
+            prior = spark.read.parquet(args.assignments)
+        else:
+            prior = spark.createDataFrame([], "url string, component string")
+        updated = merge_entities(spark, prior, args.hits)
+        updated.write.mode("overwrite").parquet(args.output)
+        print(
+            json.dumps(
+                {
+                    "prior": prior.count(),
+                    "entities_rows": spark.read.parquet(args.output).count(),
+                }
+            )
+        )
     else:
         batch = spark.read.parquet(args.batch).where(
             F.length("text") >= args.min_len

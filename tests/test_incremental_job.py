@@ -110,3 +110,60 @@ def test_unseen_dedups_within_batch(spark, index):
     unseen, exact, near = probe_batch(spark, batch, index)
     assert exact.count() == 0 and near.count() == 0
     assert [r["url"] for r in unseen.collect()] == ["https://new/a-copy"]
+
+
+def test_merge_entities_end_to_end(spark, index, tmp_path):
+    """probe hits → merge subcommand logic: batch urls join their
+    corpus entities; prior clusters untouched by the batch survive
+    unchanged; a first-run (empty prior) seeds entities from hits."""
+    from jobs.incremental_job import merge_entities
+
+    near_toks = _text(9).split()
+    near_toks[0], near_toks[1] = "edited1", "edited2"
+    batch = spark.createDataFrame(
+        [
+            ("https://new/exact", _text(5)),
+            ("https://new/near", " ".join(near_toks)),
+        ],
+        "url string, text string",
+    )
+    unseen, exact, near = probe_batch(spark, batch, index)
+    hits = str(tmp_path / "hits")
+    exact.write.mode("overwrite").parquet(f"{hits}/exact")
+    near.write.mode("overwrite").parquet(f"{hits}/near")
+
+    prior = spark.createDataFrame(
+        [
+            ("https://seen/5", "https://old/alias5"),
+            ("https://old/alias5", "https://old/alias5"),
+            ("https://seen/30", "https://other/keep"),
+            ("https://other/keep", "https://other/keep"),
+        ],
+        "url string, component string",
+    )
+    got = {
+        (r.url, r.component)
+        for r in merge_entities(spark, prior, hits).collect()
+    }
+    # untouched prior cluster intact
+    assert ("https://seen/30", "https://other/keep") in got
+    assert ("https://other/keep", "https://other/keep") in got
+    # the exact hit joins seen/5's existing entity (min-url label)
+    lab5 = {c for (u, c) in got if u == "https://new/exact"}
+    assert lab5 == {"https://new/exact"} or lab5 == {"https://old/alias5"}
+    lab = lab5.pop()
+    members5 = {u for (u, c) in got if c == lab}
+    assert {
+        "https://new/exact", "https://seen/5", "https://old/alias5"
+    } <= members5
+    # the near hit seeds a fresh 2-entity with its corpus twin
+    assert ("https://seen/9", "https://new/near") in got
+
+    # first run: empty prior, hits alone seed the entity table
+    empty = spark.createDataFrame([], "url string, component string")
+    fresh = {
+        (r.url, r.component)
+        for r in merge_entities(spark, empty, hits).collect()
+    }
+    assert ("https://seen/5", "https://new/exact") in fresh
+    assert ("https://seen/9", "https://new/near") in fresh
