@@ -397,3 +397,50 @@ def weighted_jaccard_pairs(
             .alias("wjaccard"),
         )
     )
+
+
+def explain_pairs(
+    docs: DataFrame,
+    pairs: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """→ (``id_a``, ``id_b``, rank, token, df): the k RAREST tokens a
+    pair shares — the human-auditable "why did these two match" view a
+    reviewer pulls up before trusting a merge decision. Rarity = corpus
+    document frequency; rank order (df asc, token asc) is a total
+    order on integer+string, so the selection is engine-exact with no
+    float anywhere.
+
+    This is the one pair operator that intentionally emits token
+    STRINGS (the whole point is a human reading them), so unlike the
+    scorers it shuffles distinct (id, token) rows — but only for pair
+    MEMBERS (semi-join first), never the corpus, and distinct tokens
+    of a page are a sliver of its text. The df model is the same
+    corpus-wide slim aggregate the TF-IDF scorer builds."""
+    toks = _tokens(docs, id_col, text_col).distinct()
+    dfreq = toks.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    members = (
+        pairs.select(F.col(id_a).alias(id_col))
+        .unionByName(pairs.select(F.col(id_b).alias(id_col)))
+        .distinct()
+    )
+    mt = toks.join(members, id_col, "left_semi")
+    p = pairs.select(id_a, id_b)
+    ta = mt.select(F.col(id_col).alias(id_a), "token")
+    tb = mt.select(F.col(id_col).alias(id_b), "token")
+    shared = p.join(ta, id_a).join(tb, [id_b, "token"])
+    w = Window.partitionBy(id_a, id_b).orderBy(
+        F.col("df").asc(), F.col("token").asc()
+    )
+    return (
+        shared.join(dfreq, "token")
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(id_a, id_b, "rank", "token", "df")
+    )

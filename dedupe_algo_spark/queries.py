@@ -3534,6 +3534,63 @@ SELECT id AS node, MIN(lab) AS cluster FROM reach GROUP BY id
 """
 
 
+def q_explain_pairs(spark, sf_dir):
+    """Match explainability: the 3 rarest shared tokens per
+    base∕prefix-twin pair, ranked (df asc, token asc) — integer+string
+    total order, engine-exact."""
+    from .operators.corpus_stats import explain_pairs
+
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 100)
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    twins = docs.select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(toks, 1, 10)).alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(twins)
+    pairs = docs.select(
+        F.col("doc_id").alias("id_a"),
+        (F.col("doc_id") + 10000).alias("id_b"),
+    )
+    return explain_pairs(corpus, pairs, k=3)
+
+
+SQL_EXPLAIN_PAIRS = r"""
+WITH base AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 100
+), twins AS (
+  SELECT doc_id + 10000 AS doc_id,
+         array_to_string(
+           list_slice(regexp_split_to_array(trim(text), '\s+'), 1, 10), ' ')
+           AS text
+  FROM base
+), corpus AS (
+  SELECT * FROM base UNION ALL SELECT * FROM twins
+), toks AS (
+  SELECT DISTINCT doc_id, token FROM (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+    FROM corpus
+  ) WHERE token <> ''
+), dfreq AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM toks GROUP BY 1
+), pairs AS (
+  SELECT doc_id AS id_a, doc_id + 10000 AS id_b FROM base
+), shared AS (
+  SELECT p.id_a, p.id_b, a.token
+  FROM pairs p
+  JOIN toks a ON a.doc_id = p.id_a
+  JOIN toks b ON b.doc_id = p.id_b AND b.token = a.token
+), ranked AS (
+  SELECT s.id_a, s.id_b, s.token, d.df,
+         row_number() OVER (PARTITION BY s.id_a, s.id_b
+                            ORDER BY d.df ASC, s.token ASC) AS rank
+  FROM shared s JOIN dfreq d USING (token)
+)
+SELECT id_a, id_b, CAST(rank AS INTEGER) AS rank, token, df
+FROM ranked WHERE rank <= 3
+"""
+
+
 # Same planted-role CASE as _SQL_PLANTED_ROLES, in Spark SQL dialect
 # (DIV for integer division) — used to inject deterministic false
 # positives into the PR-curve's scored set from the url index alone.
@@ -3724,6 +3781,7 @@ QUERIES = {
     "weighted_jaccard": q_weighted_jaccard,
     "wminhash_near_pairs": q_wminhash_near_pairs,
     "cluster_merge": q_cluster_merge,
+    "explain_pairs": q_explain_pairs,
     "pr_curve": q_pr_curve,
     "asof_click_view": q_asof_click_view,
     # rows-only (the sf-scaled flagship; its full value-level twin is
@@ -3821,6 +3879,7 @@ ORACLES = {
     "weighted_jaccard": SQL_WEIGHTED_JACCARD,
     "wminhash_near_pairs": SQL_WMINHASH_NEAR_PAIRS,
     "cluster_merge": SQL_CLUSTER_MERGE,
+    "explain_pairs": SQL_EXPLAIN_PAIRS,
     "pr_curve": SQL_PR_CURVE,
     "asof_click_view": SQL_ASOF_CLICK_VIEW,
 }

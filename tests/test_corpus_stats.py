@@ -212,3 +212,23 @@ def test_weighted_jaccard_hand_values(spark):
     assert out[(2, 3)] == 2 / 3
     assert out[(4, 5)] == 1.0  # both empty → identical
     assert out[(4, 6)] == 0.0  # empty vs non-empty
+
+
+def test_explain_pairs_ranks_rarest_shared(spark):
+    from dedupe_algo_spark.operators.corpus_stats import explain_pairs
+
+    docs = _df(
+        spark,
+        [
+            (1, "common rare1 rare2 filler1"),
+            (2, "common rare1 rare2 filler2"),
+            (3, "common other stuff here"),
+            (4, "common more words again"),
+        ],
+    )
+    pairs = spark.createDataFrame([(1, 2)], "id_a bigint, id_b bigint")
+    out = explain_pairs(docs, pairs, k=2).collect()
+    got = [(r.rank, r.token, r.df) for r in sorted(out, key=lambda r: r.rank)]
+    # shared = {common(df4), rare1(df2), rare2(df2)}; rarest two win,
+    # token asc breaks the df tie
+    assert got == [(1, "rare1", 2), (2, "rare2", 2)]
