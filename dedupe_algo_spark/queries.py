@@ -3591,6 +3591,61 @@ FROM ranked WHERE rank <= 3
 """
 
 
+def q_keeper_audit(spark, sf_dir):
+    """Cluster-integrity audit: score every member against its
+    cluster's keeper, flag chain-only members. Synthetic heterogeneous
+    clusters (doc_id % 40 — genuinely dissimilar members) exercise the
+    flag; string-token mode is the engine-reproducible oracle dial."""
+    from .operators.integrity import keeper_audit
+
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 200)
+    assigns = docs.select(
+        "doc_id", (F.col("doc_id") % 40).alias("cluster_id")
+    )
+    return keeper_audit(
+        assigns,
+        docs.select("doc_id", "text"),
+        threshold=0.2,
+        id_col="doc_id",
+        hashed=False,
+    )
+
+
+SQL_KEEPER_AUDIT = r"""
+WITH docs AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 200
+), a AS (
+  SELECT doc_id, doc_id % 40 AS cluster_id FROM docs
+), t AS (
+  SELECT doc_id,
+         list_distinct(list_filter(
+           regexp_split_to_array(trim(text), '\s+'), x -> x <> ''))
+           AS toks
+  FROM docs
+), k AS (
+  SELECT cluster_id, MIN(doc_id) AS keeper FROM a GROUP BY 1
+), m AS (
+  SELECT a.doc_id, a.cluster_id, t.toks FROM a JOIN t USING (doc_id)
+), kt AS (
+  SELECT k.cluster_id, k.keeper, t.toks AS ktoks
+  FROM k JOIN t ON t.doc_id = k.keeper
+), scored AS (
+  SELECT m.doc_id, m.cluster_id, kt.keeper,
+         len(list_intersect(m.toks, kt.ktoks)) AS i,
+         len(m.toks) + len(kt.ktoks)
+           - len(list_intersect(m.toks, kt.ktoks)) AS u
+  FROM m JOIN kt USING (cluster_id)
+  WHERE m.doc_id <> kt.keeper
+)
+SELECT doc_id, cluster_id, keeper,
+       CASE WHEN u = 0 THEN 1.0
+            ELSE CAST(i AS DOUBLE) / u END AS score,
+       (CASE WHEN u = 0 THEN 1.0 ELSE CAST(i AS DOUBLE) / u END) < 0.2
+         AS flagged
+FROM scored
+"""
+
+
 # Same planted-role CASE as _SQL_PLANTED_ROLES, in Spark SQL dialect
 # (DIV for integer division) — used to inject deterministic false
 # positives into the PR-curve's scored set from the url index alone.
@@ -3782,6 +3837,7 @@ QUERIES = {
     "wminhash_near_pairs": q_wminhash_near_pairs,
     "cluster_merge": q_cluster_merge,
     "explain_pairs": q_explain_pairs,
+    "keeper_audit": q_keeper_audit,
     "pr_curve": q_pr_curve,
     "asof_click_view": q_asof_click_view,
     # rows-only (the sf-scaled flagship; its full value-level twin is
@@ -3880,6 +3936,7 @@ ORACLES = {
     "wminhash_near_pairs": SQL_WMINHASH_NEAR_PAIRS,
     "cluster_merge": SQL_CLUSTER_MERGE,
     "explain_pairs": SQL_EXPLAIN_PAIRS,
+    "keeper_audit": SQL_KEEPER_AUDIT,
     "pr_curve": SQL_PR_CURVE,
     "asof_click_view": SQL_ASOF_CLICK_VIEW,
 }
