@@ -184,3 +184,102 @@ def mixture_weights(
         F.round(p_alpha, ndigits).alias("p_alpha"),
         F.round(boost, ndigits).alias("boost"),
     )
+
+
+def corpus_shuffle(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    seed: int = 13,
+    num_shards: int = 64,
+) -> DataFrame:
+    """Deterministic global training-order shuffle for corpus export:
+    appends ``shard`` and ``pos`` such that reading rows in
+    ``(shard, pos)`` order visits the corpus in a fixed pseudo-random
+    permutation. Every LLM training pipeline ends with exactly this
+    step — ``df.orderBy(rand())`` is neither reproducible (rand() is
+    seeded per-partition, so any repartition reshuffles the epoch
+    order) nor restartable; here the position is a function of the
+    KEY alone, so re-running the export after adding or dropping
+    documents leaves every surviving document's relative order intact.
+
+    Construction: ``h = md5(key:seed)[:12]``;
+    ``shard = int(h[:6], 16) mod num_shards`` (narrow, whole-stage
+    codegen); ``pos = row_number() over (partition by shard
+    order by h, key)``. md5 is uniform, so shards are balanced to
+    ~±(rows/shard)^-1/2 and the within-shard hash order is a uniform
+    random permutation of the shard's rows.
+
+    Scale shape: ONE hash-partitioned exchange on ``shard`` plus a
+    per-shard external sort over slim (h, key) pairs — no global
+    single-reducer sort. Size ``num_shards`` so one shard's rows fit
+    an executor's spill budget (10^12 docs want ~10^5 shards of 10^7
+    rows); the writer then emits one file group per shard
+    (``partitionBy("shard")``) and a trainer streams shards in index
+    order, or round-robins across shard readers for extra inter-shard
+    mixing. Apply to the slim meta (key + payload pointer), not the
+    page text, and the text bytes never enter the exchange.
+    """
+    from pyspark.sql import Window
+
+    h = _bucket(F.col(key_col), seed)
+    out = df.withColumn("_h", h).withColumn(
+        "shard",
+        F.pmod(
+            F.conv(F.substring("_h", 1, 6), 16, 10).cast("int"),
+            F.lit(num_shards),
+        ),
+    )
+    w = Window.partitionBy("shard").orderBy("_h", key_col)
+    return out.withColumn("pos", F.row_number().over(w)).drop("_h")
+
+
+def domain_cap(
+    df: DataFrame,
+    k: int,
+    domain_col: str = "domain",
+    key_col: str = "url",
+    seed: int = 99,
+    salt_buckets: int = 64,
+) -> DataFrame:
+    """Keep at most ``k`` rows per domain, chosen as the k smallest by
+    ``md5(key:seed)`` — the per-domain cap of RefinedWeb/FineWeb-style
+    curation (a handful of template-heavy megadomains otherwise
+    dominate the token budget). Hash order makes the kept subset an
+    unbiased within-domain sample that is rerun-stable: re-crawling a
+    domain never swaps previously kept pages for equally ranked ones.
+
+    Exact two-phase top-k so no single task ever sees a whole
+    megadomain: phase 1 ranks within ``(domain, salt)`` where ``salt =
+    pmod(xxhash64(key), salt_buckets)`` and keeps rank ≤ k — the union
+    of per-salt top-k necessarily contains the global per-domain top-k,
+    and bounds any window partition to ~count(domain)/salt_buckets
+    rows; phase 2 re-ranks the ≤ k·salt_buckets survivors per domain.
+    Both windows run over a slim (domain, salt, h, key) projection;
+    the kept keys then filter ``df`` with a left-semi join. Feed the
+    slim meta (url, domain, stats) — the pipeline's normal curation
+    shape — and page text never shuffles; the final semi-join is the
+    one exchange proportional to ``df``.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from pyspark.sql import Window
+
+    slim = df.select(
+        F.col(domain_col).alias("_d"),
+        F.col(key_col).alias("_k"),
+        _bucket(F.col(key_col), seed).alias("_h"),
+        F.pmod(F.xxhash64(key_col), F.lit(salt_buckets)).alias("_s"),
+    )
+    w1 = Window.partitionBy("_d", "_s").orderBy("_h", "_k")
+    survivors = (
+        slim.withColumn("_r", F.row_number().over(w1))
+        .where(F.col("_r") <= k)
+        .drop("_r", "_s")
+    )
+    w2 = Window.partitionBy("_d").orderBy("_h", "_k")
+    kept = (
+        survivors.withColumn("_r", F.row_number().over(w2))
+        .where(F.col("_r") <= k)
+        .select(F.col("_k").alias(key_col))
+    )
+    return df.join(kept, key_col, "left_semi")

@@ -2439,6 +2439,69 @@ FROM hashed
 """
 
 
+def q_corpus_shuffle(spark, sf_dir):
+    """Deterministic training-order shuffle: (shard, pos) is a
+    rerun-stable pseudo-random total order keyed on md5(doc_id:seed) —
+    one hash-partitioned exchange + per-shard sort, no global
+    single-reducer orderBy(rand()). The oracle replays the identical
+    hex algebra (DuckDB casts '0x'||hex, Spark conv(·,16,10))."""
+    from .operators.sampling import corpus_shuffle
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    return corpus_shuffle(docs, key_col="doc_id", seed=13, num_shards=8)
+
+
+SQL_CORPUS_SHUFFLE = """
+WITH hashed AS (
+  SELECT doc_id,
+         substr(md5(CAST(doc_id AS VARCHAR) || ':13'), 1, 12) AS h
+  FROM documents
+), sharded AS (
+  SELECT doc_id, h,
+         CAST(('0x' || substr(h, 1, 6)) AS INT) % 8 AS shard
+  FROM hashed
+)
+SELECT doc_id, shard,
+       row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS pos
+FROM sharded
+"""
+
+
+def q_domain_cap(spark, sf_dir):
+    """Per-domain cap (RefinedWeb/FineWeb curation): keep the 3 pages
+    with the smallest md5(url:seed) per host — an unbiased,
+    rerun-stable within-domain sample. The Spark side runs the exact
+    two-phase salted top-k (no single task ever holds a megadomain);
+    the oracle is the single-window definition the two-phase
+    construction provably equals."""
+    from .functions.urls import host_of
+    from .operators.sampling import domain_cap
+    from .synth import synth_pages
+
+    pages = synth_pages(spark, 2_000).select(
+        "url", host_of(F.col("url")).alias("host")
+    )
+    return domain_cap(pages, k=3, domain_col="host", key_col="url", seed=99)
+
+
+SQL_DOMAIN_CAP = rf"""
+WITH pages AS (
+  SELECT url FROM read_parquet('{SNAPSHOT_2K}')
+), hosted AS (
+  SELECT url,
+         lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)', 1))
+           AS host,
+         substr(md5(url || ':99'), 1, 12) AS h
+  FROM pages
+), ranked AS (
+  SELECT url, host,
+         row_number() OVER (PARTITION BY host ORDER BY h, url) AS r
+  FROM hosted
+)
+SELECT url, host FROM ranked WHERE r <= 3
+"""
+
+
 SQL_STRATIFIED_SAMPLE = _sql_stratified_sample()
 SQL_DETERMINISTIC_SPLIT = _sql_deterministic_split()
 
@@ -3818,6 +3881,8 @@ QUERIES = {
     "decontam_report": q_decontam_report,
     "stratified_sample": q_stratified_sample,
     "deterministic_split": q_deterministic_split,
+    "corpus_shuffle": q_corpus_shuffle,
+    "domain_cap": q_domain_cap,
     "pii_report": q_pii_report,
     "pii_redact": q_pii_redact,
     "tfidf_topk": q_tfidf_topk,
@@ -3917,6 +3982,8 @@ ORACLES = {
     "decontam_report": SQL_DECONTAM_REPORT,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "deterministic_split": SQL_DETERMINISTIC_SPLIT,
+    "corpus_shuffle": SQL_CORPUS_SHUFFLE,
+    "domain_cap": SQL_DOMAIN_CAP,
     "pii_report": SQL_PII_REPORT,
     "pii_redact": SQL_PII_REDACT,
     "tfidf_topk": SQL_TFIDF_TOPK,

@@ -148,3 +148,61 @@ def test_mixture_weights_zero_token_stratum_is_defined(spark):
     empty = spark.createDataFrame([("xx", "")], "source string, text string")
     row = mixture_weights(empty).collect()[0]
     assert (row["p_raw"], row["p_alpha"], row["boost"]) == (0.0, 0.0, 0.0)
+
+
+def test_corpus_shuffle_is_deterministic_permutation(spark, corpus):
+    """(shard, pos) is a total order: shards partition the corpus, pos
+    is 1..count(shard) within each, and the whole assignment replays
+    the hashlib.md5 reference exactly — rerun- and layout-stable."""
+    from dedupe_algo_spark.operators.sampling import corpus_shuffle
+
+    out = corpus_shuffle(corpus, key_col="doc_id", seed=13, num_shards=8).toPandas()
+    assert len(out) == 600
+    # expected order from the pure-Python reference
+    def ref(i):
+        h = hashlib.md5(f"{i}:13".encode()).hexdigest()[:12]
+        return int(h[:6], 16) % 8, h
+    for shard, grp in out.groupby("shard"):
+        assert sorted(grp["pos"]) == list(range(1, len(grp) + 1))
+        got = list(grp.sort_values("pos")["doc_id"])
+        want = [i for _, i in sorted((ref(i)[1], i) for i in range(600) if ref(i)[0] == shard)]
+        assert got == want, f"shard {shard} order diverges"
+    # layout invariance
+    again = corpus_shuffle(
+        corpus.repartition(17, "lang"), key_col="doc_id", seed=13, num_shards=8
+    ).toPandas()
+    a = out.sort_values("doc_id").reset_index(drop=True)
+    b = again.sort_values("doc_id").reset_index(drop=True)
+    assert (a[["shard", "pos"]].values == b[["shard", "pos"]].values).all()
+
+
+def test_domain_cap_keeps_k_smallest_hashes(spark):
+    """Cap = the k smallest md5(key:seed) per domain, all original
+    columns intact; under-cap domains pass through whole; the two-phase
+    salted ranking equals the single-window definition."""
+    from dedupe_algo_spark.operators.sampling import domain_cap
+
+    rows = [
+        (f"https://d{i % 7}.example.com/p/{i}", f"d{i % 7}", i)
+        for i in range(350)
+    ]
+    df = spark.createDataFrame(rows, "url string, domain string, n int")
+    out = domain_cap(df, k=4, domain_col="domain", key_col="url", seed=99).toPandas()
+    # single-window reference
+    def h(u):
+        return hashlib.md5(f"{u}:99".encode()).hexdigest()[:12]
+    want = set()
+    for d in {f"d{i}" for i in range(7)}:
+        urls = [u for (u, dd, _) in rows if dd == d]
+        want |= set(sorted(urls, key=lambda u: (h(u), u))[:4])
+    assert set(out["url"]) == want
+    assert set(out.columns) == {"url", "domain", "n"}
+    # under-cap domain passes through whole
+    small = spark.createDataFrame(
+        [("https://tiny.example.com/1", "tiny", 0),
+         ("https://tiny.example.com/2", "tiny", 1)],
+        "url string, domain string, n int",
+    )
+    assert domain_cap(small, k=4, domain_col="domain").count() == 2
+    with pytest.raises(ValueError):
+        domain_cap(small, k=0, domain_col="domain")
