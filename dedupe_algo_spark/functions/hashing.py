@@ -76,3 +76,29 @@ def length_bucket(text: Column) -> Column:
     return F.when(n <= 0, F.lit(0)).otherwise(
         F.floor(F.log2(n.cast("double"))).cast("int")
     )
+
+
+def normalized_for_dedup(text: Column) -> Column:
+    """CCNet/Gopher-style "exact after normalization" key: lowercase,
+    every digit → ``0``, every run of non-alphanumerics → one space,
+    trimmed. Raw-byte exact dedup (pass 2) misses the web's cheapest
+    mutations — casing, punctuation, whitespace, counters ("Page 3 of
+    10") — which this key collapses while leaving real content edits
+    distinct; hashing it adds a second exact tier between pass 2 and
+    the MinHash near tier.
+
+    Scale shape identical to pass 2: three codegen ``regexp_replace``
+    passes at scan time, then a 32-byte ``sha2`` groupBy key — the
+    text itself never shuffles. The character classes are RE2-safe
+    (``\\p{L}``/``\\p{N}``), so the DuckDB oracle replays the exact
+    algebra (with its explicit ``'g'`` flag)."""
+    t = F.lower(text)
+    t = F.regexp_replace(t, r"[0-9]", "0")
+    t = F.regexp_replace(t, r"[^\p{L}\p{N}]+", " ")
+    return F.trim(t)
+
+
+def normalized_sha256_col(text: Column) -> Column:
+    """``sha256(normalized_for_dedup(text))`` — the normalized exact
+    dedup key, all built-ins."""
+    return F.sha2(normalized_for_dedup(text).cast("binary"), 256)

@@ -2439,6 +2439,64 @@ FROM hashed
 """
 
 
+def q_normalized_exact(spark, sf_dir):
+    """Second exact tier — dedup after CCNet-style normalization
+    (lowercase, digits→0, punctuation/whitespace runs→one space):
+    catches the web's cheapest mutations that raw-byte SHA-256 misses.
+    Planted variants (uppercased+bannered, double-spaced) of each doc
+    must collapse into its cluster; n_distinct_raw > 1 proves the tier
+    merges what pass 2 could not. The oracle replays the identical
+    regex algebra with RE2 classes and DuckDB's explicit 'g' flag."""
+    from .functions.hashing import normalized_sha256_col
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    variants = (
+        docs.select("doc_id", "text")
+        .unionByName(
+            docs.select(
+                (F.col("doc_id") + 1_000_000).alias("doc_id"),
+                F.concat(F.upper("text"), F.lit(" *** 123 ***")).alias("text"),
+            )
+        )
+        .unionByName(
+            docs.select(
+                (F.col("doc_id") + 2_000_000).alias("doc_id"),
+                F.regexp_replace("text", " ", "   ").alias("text"),
+            )
+        )
+    )
+    return (
+        variants.groupBy(normalized_sha256_col(F.col("text")).alias("norm_key"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("text").alias("n_distinct_raw"),
+            F.min("doc_id").alias("keeper_doc"),
+        )
+        .where(F.col("n_docs") >= 2)
+    )
+
+
+SQL_NORMALIZED_EXACT = r"""
+WITH variants AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, upper(text) || ' *** 123 ***' FROM documents
+  UNION ALL
+  SELECT doc_id + 2000000, regexp_replace(text, ' ', '   ', 'g') FROM documents
+), normed AS (
+  SELECT doc_id, text,
+         sha256(trim(regexp_replace(regexp_replace(lower(text),
+                  '[0-9]', '0', 'g'), '[^\p{L}\p{N}]+', ' ', 'g')))
+           AS norm_key
+  FROM variants
+)
+SELECT norm_key, COUNT(*) AS n_docs,
+       COUNT(DISTINCT text) AS n_distinct_raw,
+       MIN(doc_id) AS keeper_doc
+FROM normed GROUP BY norm_key HAVING COUNT(*) >= 2
+"""
+
+
 def q_corpus_shuffle(spark, sf_dir):
     """Deterministic training-order shuffle: (shard, pos) is a
     rerun-stable pseudo-random total order keyed on md5(doc_id:seed) —
@@ -3883,6 +3941,7 @@ QUERIES = {
     "deterministic_split": q_deterministic_split,
     "corpus_shuffle": q_corpus_shuffle,
     "domain_cap": q_domain_cap,
+    "normalized_exact": q_normalized_exact,
     "pii_report": q_pii_report,
     "pii_redact": q_pii_redact,
     "tfidf_topk": q_tfidf_topk,
@@ -3984,6 +4043,7 @@ ORACLES = {
     "deterministic_split": SQL_DETERMINISTIC_SPLIT,
     "corpus_shuffle": SQL_CORPUS_SHUFFLE,
     "domain_cap": SQL_DOMAIN_CAP,
+    "normalized_exact": SQL_NORMALIZED_EXACT,
     "pii_report": SQL_PII_REPORT,
     "pii_redact": SQL_PII_REDACT,
     "tfidf_topk": SQL_TFIDF_TOPK,

@@ -96,3 +96,46 @@ def test_udf_and_builtin_hash_agree(spark, pages_1k):
         .toPandas()
     )
     assert a.equals(b)
+
+
+def test_normalized_key_collapses_cheap_mutations(spark):
+    """The normalization tier merges casing / punctuation / whitespace /
+    counter mutations and nothing else; the key equals the pure-Python
+    reference and is idempotent."""
+    import hashlib
+    import re
+
+    from dedupe_algo_spark.functions.hashing import (
+        normalized_for_dedup,
+        normalized_sha256_col,
+    )
+
+    base = "Breaking News: storm hits Page 3 of 10 — details inside."
+    variants = [
+        base,
+        base.upper(),
+        "breaking   news!!! storm hits page 7 of 99 ... details inside",
+        base.replace(" ", "\t  "),  # tab+space whitespace runs
+    ]
+    different = "Breaking News: calm weather on page 3 of 10 — details inside."
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(variants + [different])], "id int, text string"
+    ).select("id", normalized_for_dedup(F.col("text")).alias("norm"),
+             normalized_sha256_col(F.col("text")).alias("key"))
+    out = df.toPandas().sort_values("id")
+    assert out["key"].iloc[0] == out["key"].iloc[1] == out["key"].iloc[2] == out["key"].iloc[3]
+    assert out["key"].iloc[4] != out["key"].iloc[0]
+
+    def ref_norm(t):
+        t = t.lower()
+        t = re.sub(r"[0-9]", "0", t)
+        t = re.sub(r"[^\w]+|_", " ", t, flags=re.UNICODE).strip()
+        return re.sub(r"\s+", " ", t)
+
+    assert out["norm"].iloc[0] == ref_norm(base)
+    assert out["key"].iloc[0] == hashlib.sha256(ref_norm(base).encode()).hexdigest()
+    # idempotence: normalizing a normalized string is a no-op
+    twice = spark.createDataFrame([(out["norm"].iloc[0],)], "text string").select(
+        normalized_for_dedup(F.col("text")).alias("n")
+    ).collect()[0]["n"]
+    assert twice == out["norm"].iloc[0]
