@@ -39,6 +39,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import (
+    normalized_for_dedup,
     partial_sha256_col,
     partial_sha256_udf,
     sha256_col,
@@ -54,6 +55,7 @@ def page_meta(
     with_signature: bool = True,
     with_ts: bool = False,
     signature: str = "bands",
+    exact_key: str = "raw",
 ) -> DataFrame:
     """One-pass map-side projection of everything dedup needs, with the
     text column dropped at the end of the pass. Zero shuffles.
@@ -62,16 +64,29 @@ def page_meta(
     (~256B/row) — all the near-dup path needs when gating on band
     collisions — so every shuffle downstream of the scan moves 4× fewer
     signature bytes than the full 128-perm ``signature="sig"`` form
-    (which remains for callers that score MinHash-Jaccard estimates)."""
-    partial = (
-        partial_sha256_udf(F.col("text"))
-        if use_pandas_udf
-        else partial_sha256_col(F.col("text"))
+    (which remains for callers that score MinHash-Jaccard estimates).
+
+    ``exact_key="normalized"`` keys the whole exact cascade (size
+    bucket, partial hash, full hash) on the CCNet-style normalized view
+    of the text (:func:`~..functions.hashing.normalized_for_dedup`) —
+    casing/punctuation/whitespace/counter mutations then land in one
+    exact cluster instead of leaking to the near tier. Still one
+    codegen scan pass; the raw text is untouched (byte-identity
+    invariant) and still never shuffles. Identical raw texts always
+    normalize identically, so normalized-mode clusters are a coarsening
+    of raw-mode clusters, never a split."""
+    keyed = (
+        normalized_for_dedup(F.col("text"))
+        if exact_key == "normalized"
+        else F.col("text")
     )
-    full = sha256_udf(F.col("text")) if use_pandas_udf else sha256_col(F.col("text"))
+    if exact_key not in ("raw", "normalized"):
+        raise ValueError(f"unknown exact_key {exact_key!r}")
+    partial = partial_sha256_udf(keyed) if use_pandas_udf else partial_sha256_col(keyed)
+    full = sha256_udf(keyed) if use_pandas_udf else sha256_col(keyed)
     cols = [
         F.col("url"),
-        F.length("text").cast("long").alias("text_len"),
+        F.length(keyed).cast("long").alias("text_len"),
         partial.alias("partial_hash"),
         full.alias("content_sha256"),
     ]
@@ -91,11 +106,16 @@ def page_meta_incremental(
     min_len: int = 10,
     with_signature: bool = True,
     signature: str = "bands",
+    exact_key: str = "raw",
 ) -> DataFrame:
     """Incremental variant of ``page_meta`` — the reference's cache fast
     path (lib.rs:83-107,130-152): rows whose (url, text_len, warc_ts)
     match a memo entry REUSE the stored hashes; stale or unseen rows
-    compute them. Shape: hashes are computed unconditionally map-side
+    compute them. ``exact_key`` mirrors :func:`page_meta`; a memo must
+    be written and read under the SAME mode (the published text_len and
+    hashes — the memo's validity key and payload — are both functions
+    of the chosen key view, so mixing modes would reuse raw hashes in a
+    normalized run or vice versa). Shape: hashes are computed unconditionally map-side
     (they're one codegen pass) but the *published* value prefers the
     memoized one, so downstream grouping keys are stable across runs
     even if the hash function version changes; signatures are computed
@@ -107,10 +127,17 @@ def page_meta_incremental(
     """
     from ..sources.memo import validity_join
 
+    if exact_key not in ("raw", "normalized"):
+        raise ValueError(f"unknown exact_key {exact_key!r}")
+    keyed = (
+        normalized_for_dedup(F.col("text"))
+        if exact_key == "normalized"
+        else F.col("text")
+    )
     base = pages.where(F.length("text") >= min_len).select(
         "url",
         "warc_ts",
-        F.length("text").cast("long").alias("text_len"),
+        F.length(keyed).cast("long").alias("text_len"),
         F.col("text"),
     )
     joined = validity_join(base, memo)
@@ -118,10 +145,10 @@ def page_meta_incremental(
         F.col("url"),
         F.col("warc_ts"),
         F.col("text_len"),
-        F.coalesce(F.col("reused_partial"), partial_sha256_col(F.col("text"))).alias(
+        F.coalesce(F.col("reused_partial"), partial_sha256_col(keyed)).alias(
             "partial_hash"
         ),
-        F.coalesce(F.col("reused_sha256"), sha256_col(F.col("text"))).alias(
+        F.coalesce(F.col("reused_sha256"), sha256_col(keyed)).alias(
             "content_sha256"
         ),
         F.col("reused_sha256").isNotNull().alias("cache_hit"),

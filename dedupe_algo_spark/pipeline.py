@@ -95,6 +95,7 @@ def dedup_pipeline(
     include_near: bool = True,
     exact_confirm: bool = True,
     scorer: str = "jaccard",
+    exact_key: str = "raw",
     memo=None,
     stage=None,
 ) -> DedupResult:
@@ -111,6 +112,12 @@ def dedup_pipeline(
     ``scorer`` selects the tier-2 similarity ("jaccard" | "jaro_winkler"
     | "levenshtein" | "ngram_jaccard" — see
     :func:`~.operators.scoring.confirm_pairs`).
+    ``exact_key="normalized"`` keys the exact tier on the CCNet-style
+    normalized text view (casing/punctuation/whitespace/counter
+    mutations become exact duplicates — see
+    :func:`~.operators.dedup.page_meta`); raw-mode exact clusters can
+    only merge, never split, under it. A ``memo`` must have been
+    written under the same ``exact_key`` mode.
     ``memo`` (a :class:`~dedupe_algo_spark.sources.memo.HashMemo`)
     switches the meta scan to the incremental path: hashes memoized
     under a matching (url, text_len, warc_ts) are REUSED instead of
@@ -144,6 +151,7 @@ def dedup_pipeline(
                     min_len=min_len,
                     with_signature=include_near,
                     signature=sig_mode,
+                    exact_key=exact_key,
                 ),
             )
         )
@@ -157,6 +165,7 @@ def dedup_pipeline(
                     use_pandas_udf=use_pandas_udf_hash,
                     with_signature=include_near,
                     signature=sig_mode,
+                    exact_key=exact_key,
                 ),
             )
         )

@@ -2455,7 +2455,7 @@ def q_normalized_exact(spark, sf_dir):
         .unionByName(
             docs.select(
                 (F.col("doc_id") + 1_000_000).alias("doc_id"),
-                F.concat(F.upper("text"), F.lit(" *** 123 ***")).alias("text"),
+                F.concat(F.upper("text"), F.lit(" *** !!! ***")).alias("text"),
             )
         )
         .unionByName(
@@ -2480,7 +2480,7 @@ SQL_NORMALIZED_EXACT = r"""
 WITH variants AS (
   SELECT doc_id, text FROM documents
   UNION ALL
-  SELECT doc_id + 1000000, upper(text) || ' *** 123 ***' FROM documents
+  SELECT doc_id + 1000000, upper(text) || ' *** !!! ***' FROM documents
   UNION ALL
   SELECT doc_id + 2000000, regexp_replace(text, ' ', '   ', 'g') FROM documents
 ), normed AS (

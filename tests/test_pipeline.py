@@ -112,3 +112,49 @@ def test_unpersist_releases_all_pipeline_blocks(spark, pages_1k):
     assert persistent_rdd_ids(spark) - before  # pipeline did persist things
     res.unpersist()
     assert persistent_rdd_ids(spark) - before == set()
+
+
+def test_normalized_exact_key_merges_cheap_mutations(spark, pages_1k):
+    """exact_key="normalized" pulls casing/punctuation/counter mutations
+    into the EXACT tier (match_kind='exact' without any near tier),
+    while raw mode leaves them unclustered at include_near=False; and on
+    mutation-free input the two modes produce identical clusters (raw
+    clusters never split under normalization)."""
+    from pyspark.sql import Row
+
+    base = "the quick brown fox jumped over the lazy dog " * 6
+    mut = [
+        ("https://m.example.com/a", base),
+        ("https://m.example.com/b", base.upper()),
+        ("https://m.example.com/c", base.replace(" ", " ... ") + "!!!"),
+    ]
+    extra = spark.createDataFrame(
+        [
+            Row(
+                url=u,
+                warc_ts=__import__("datetime").datetime(2026, 1, 1),
+                html=b"",
+                text=t,
+                lang="en",
+            )
+            for u, t in mut
+        ],
+        pages_1k.schema,
+    )
+    pages = pages_1k.unionByName(extra)
+    raw = dedup_pipeline(pages, include_near=False).clusters
+    norm = dedup_pipeline(pages, include_near=False, exact_key="normalized").clusters
+    muts = {u for u, _ in mut}
+    assert raw.where(F.col("url").isin(*muts)).count() == 0
+    got = norm.where(F.col("url").isin(*muts)).toPandas()
+    assert set(got["url"]) == muts
+    assert got["cluster_id"].nunique() == 1
+    assert (got["match_kind"] == "exact").all()
+    # coarsening-only: on the mutation-free corpus both modes agree
+    a = dedup_pipeline(pages_1k, include_near=False).clusters.orderBy("url").toPandas()
+    b = (
+        dedup_pipeline(pages_1k, include_near=False, exact_key="normalized")
+        .clusters.orderBy("url")
+        .toPandas()
+    )
+    assert a[["url", "cluster_id"]].equals(b[["url", "cluster_id"]])
