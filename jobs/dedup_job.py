@@ -39,6 +39,14 @@ def main() -> None:
         help="derive missing text from the raw html column (codegen "
         "extraction, functions/html.py) before deduping",
     )
+    p.add_argument(
+        "--exact-key",
+        choices=["raw", "normalized"],
+        default="raw",
+        help="key the exact tier on raw bytes or the CCNet-normalized "
+        "text view (casing/punct/whitespace/counter mutations become "
+        "exact duplicates)",
+    )
     p.add_argument("--checkpoint-dir", default=None)
     p.add_argument("--run-id", default=None)
     args = p.parse_args()
@@ -66,6 +74,7 @@ def main() -> None:
         min_len=args.min_len,
         threshold=args.threshold,
         include_near=not args.no_near,
+        exact_key=args.exact_key,
         stage=stage,
     )
     result.clusters.write.mode("overwrite").parquet(args.output)
