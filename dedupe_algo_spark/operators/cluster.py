@@ -239,12 +239,32 @@ def connected_components(
     for i in range(max_iter):
         cur = _canonical(_small_star(_large_star(cur)))
         if checkpoint:
+            # convergence signature piggybacks on the checkpoint job
+            # itself: CollectMetrics rides the eager materialization
+            # (localCheckpoint runs under withAction, so the observed
+            # (count, bit_xor) lands with ZERO extra jobs or driver
+            # round-trips per superstep — previously a separate
+            # two-stage agg-collect each iteration)
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            cur = cur.observe(
+                obs,
+                F.count(F.lit(1)).alias("n"),
+                F.coalesce(
+                    F.expr("bit_xor(xxhash64(src, dst))"), F.lit(0)
+                ).alias("h"),
+            )
             cur = _ckpt(cur)
-        # signature check every superstep: the collect is two sub-second
-        # stages while a wasted superstep is ~10 shuffle/checkpoint jobs,
-        # so eager checking minimizes total job count (star/clique edge
-        # sets -- the dedup shape -- converge at superstep 2)
-        sig = _signature(cur)
+            m = obs.get
+            sig = (int(m["n"]), int(m["h"]))
+        else:
+            # uncheckpointed path: no materializing job to ride — the
+            # signature stays its own two-stage agg over the lineage
+            # (a wasted superstep is ~10 shuffle jobs, so eager checking
+            # still minimizes total job count; star/clique edge sets --
+            # the dedup shape -- converge at superstep 2)
+            sig = _signature(cur)
         if base_cache is not None:
             # the non-checkpoint input cache fed the first superstep's
             # signature pass; later iterations re-derive from lineage
