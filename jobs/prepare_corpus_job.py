@@ -15,10 +15,16 @@ reported as lineage:
                         confirm → connected components); keep one
                         representative per cluster (min url — the same
                         keeper rule the reference's UI defaults to)
+    4b. domain cap      optional (--domain-cap K): keep at most K pages
+                        per registered domain (exact two-phase salted
+                        top-k by md5 order — megadomain-safe)
     5. decontamination  drop docs sharing an n-gram with --eval docs
     6. mixing           deterministic per-language sampling rates
                         (explicit --rates or --alpha token-share
                         derivation) + hash-range train/valid/test split
+    7. export shuffle   optional (--shuffle-shards S): rerun-stable
+                        pseudo-random (shard, pos) training order; the
+                        writer emits each shard's rows position-sorted
 
 Run on any cluster as:
 
@@ -73,6 +79,8 @@ def prepare(
     c4_min_sentences: int = 5,
     c4_blocklist: tuple[str, ...] = (),
     alpha: float | None = None,
+    domain_cap_k: int | None = None,
+    shuffle_shards: int | None = None,
 ):
     """Run the six-stage preparation over a pages DataFrame. Returns
     (mixed DataFrame ready to write, lineage dict of per-stage counts,
@@ -181,6 +189,25 @@ def prepare(
     result.unpersist()
     pages.unpersist()
 
+    # 4b. optional per-domain cap (RefinedWeb/FineWeb curation): at most
+    # K pages per registered domain, the K smallest by md5(url:seed) —
+    # an unbiased rerun-stable within-domain sample, exact two-phase
+    # salted top-k so no task ever holds a whole megadomain
+    if domain_cap_k is not None:
+        from dedupe_algo_spark.functions.urls import registered_domain
+        from dedupe_algo_spark.operators.sampling import domain_cap
+
+        capped = domain_cap(
+            kept.withColumn("_dom", registered_domain(F.col("url"))),
+            k=domain_cap_k,
+            domain_col="_dom",
+            key_col="url",
+            seed=seed + 3,
+        ).drop("_dom").persist()
+        lineage["domain_cap"] = capped.count()
+        kept.unpersist()
+        kept = capped
+
     # 5. decontamination against the eval corpus (optional)
     final = kept
     if eval_docs is not None:
@@ -224,6 +251,18 @@ def prepare(
         key_col="url",
         seed=seed + 1,
     )
+
+    # 7. optional training-order export shuffle: rerun-stable
+    # pseudo-random (shard, pos) total order. One exchange on shard;
+    # the caller's writer should emit shard-partitioned files with rows
+    # position-sorted (main() below repartitions by shard and sorts
+    # within partitions so each output file IS a training-order run).
+    if shuffle_shards is not None:
+        from dedupe_algo_spark.operators.sampling import corpus_shuffle
+
+        mixed = corpus_shuffle(
+            mixed, key_col="url", seed=seed + 2, num_shards=shuffle_shards
+        )
     return mixed, lineage, lambda: final.unpersist()
 
 
@@ -261,6 +300,20 @@ def main() -> None:
         default="",
         help="comma-separated phrases that drop a page outright",
     )
+    p.add_argument(
+        "--domain-cap",
+        type=int,
+        default=None,
+        help="keep at most K pages per registered domain after dedup "
+        "(unbiased hash-order sample, megadomain-safe two-phase top-k)",
+    )
+    p.add_argument(
+        "--shuffle-shards",
+        type=int,
+        default=None,
+        help="append a rerun-stable pseudo-random training order "
+        "(shard, pos) and write each shard position-sorted",
+    )
     args = p.parse_args()
     if bool(args.input) == bool(args.synth):
         p.error("exactly one of --input / --synth required")
@@ -295,8 +348,17 @@ def main() -> None:
             w.strip() for w in args.c4_blocklist.split(",") if w.strip()
         ),
         alpha=args.alpha,
+        domain_cap_k=args.domain_cap,
+        shuffle_shards=args.shuffle_shards,
     )
-    mixed.write.mode("overwrite").partitionBy("split").parquet(args.output)
+    writer = mixed
+    if args.shuffle_shards:
+        # one file group per (split, shard); rows inside each file are in
+        # training order, so a trainer streams files by (shard, pos)
+        writer = mixed.repartition(args.shuffle_shards, "shard").sortWithinPartitions(
+            "shard", "pos"
+        )
+    writer.write.mode("overwrite").partitionBy("split").parquet(args.output)
     release()
     out = spark.read.parquet(args.output)
     lineage["output"] = out.count()

@@ -120,3 +120,44 @@ def test_prepare_with_alpha_mixing(spark):
     assert len(out) < lineage["content_dedup"]  # some downsampling happened
     assert set(counts.index) <= set(rates)  # every kept lang has a rate
     pages.unpersist()
+
+
+def test_prepare_with_domain_cap_and_shuffle(spark):
+    """--domain-cap bounds survivors per registered domain (lineage
+    records the cut); --shuffle-shards appends a (shard, pos) training
+    order that is a valid permutation: pos is 1..count within each
+    shard and every output row carries one."""
+    from dedupe_algo_spark.functions.urls import registered_domain
+    from dedupe_algo_spark.synth import synth_pages
+
+    pages = synth_pages(spark, 400).cache()
+    mixed, lineage, release = prepare(
+        spark,
+        pages,
+        rates={},
+        default_rate=1.0,
+        fractions={"train": 1.0},
+        seed=5,
+        domain_cap_k=3,
+        shuffle_shards=4,
+    )
+    out = mixed.toPandas()
+    release()
+
+    assert lineage["domain_cap"] <= lineage["content_dedup"]
+    assert len(out) == lineage["domain_cap"]
+    # cap actually binds: no registered domain keeps more than 3 pages
+    doms = (
+        spark.createDataFrame(out[["url"]])
+        .select(registered_domain(F.col("url")).alias("d"))
+        .groupBy("d")
+        .count()
+        .toPandas()
+    )
+    assert (doms["count"] <= 3).all()
+    assert doms["count"].max() == 3  # synth plants >3-page domains
+    # shuffle columns form a per-shard 1..n permutation
+    assert {"shard", "pos"} <= set(out.columns)
+    for _, grp in out.groupby("shard"):
+        assert sorted(grp["pos"]) == list(range(1, len(grp) + 1))
+    pages.unpersist()
