@@ -2497,6 +2497,43 @@ FROM normed GROUP BY norm_key HAVING COUNT(*) >= 2
 """
 
 
+def q_chunk_documents(spark, sf_dir):
+    """Sliding-window chunking for the embedding/RAG leg: 32-token
+    windows with 8-token overlap, pure codegen (split → sequence →
+    explode → slice), zero shuffle. The oracle replays the identical
+    chunk arithmetic with DuckDB list functions (1-based inclusive
+    list_slice == Spark's 1-based slice(start, length))."""
+    from .operators.chunking import chunk_documents
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    return chunk_documents(docs, chunk_tokens=32, overlap=8)
+
+
+SQL_CHUNK_DOCUMENTS = r"""
+WITH toked AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\s+'),
+                     t -> t <> '') AS toks
+  FROM documents
+), sized AS (
+  SELECT doc_id, toks,
+         greatest(1, CAST(ceil((len(toks) - 8) / 24.0) AS BIGINT)) AS n_chunks
+  FROM toked
+), idx AS (
+  SELECT doc_id, toks, unnest(generate_series(0, n_chunks - 1)) AS chunk_idx
+  FROM sized
+), sliced AS (
+  SELECT doc_id, chunk_idx,
+         list_slice(toks, chunk_idx * 24 + 1, chunk_idx * 24 + 32) AS chunk
+  FROM idx
+)
+SELECT doc_id, chunk_idx,
+       array_to_string(chunk, ' ') AS chunk_text,
+       len(chunk) AS n_tokens
+FROM sliced
+"""
+
+
 def q_corpus_shuffle(spark, sf_dir):
     """Deterministic training-order shuffle: (shard, pos) is a
     rerun-stable pseudo-random total order keyed on md5(doc_id:seed) —
@@ -3942,6 +3979,7 @@ QUERIES = {
     "corpus_shuffle": q_corpus_shuffle,
     "domain_cap": q_domain_cap,
     "normalized_exact": q_normalized_exact,
+    "chunk_documents": q_chunk_documents,
     "pii_report": q_pii_report,
     "pii_redact": q_pii_redact,
     "tfidf_topk": q_tfidf_topk,
@@ -4044,6 +4082,7 @@ ORACLES = {
     "corpus_shuffle": SQL_CORPUS_SHUFFLE,
     "domain_cap": SQL_DOMAIN_CAP,
     "normalized_exact": SQL_NORMALIZED_EXACT,
+    "chunk_documents": SQL_CHUNK_DOCUMENTS,
     "pii_report": SQL_PII_REPORT,
     "pii_redact": SQL_PII_REDACT,
     "tfidf_topk": SQL_TFIDF_TOPK,
