@@ -82,3 +82,93 @@ def chunk_documents(
         F.concat_ws(" ", F.col("_chunk")).alias("chunk_text"),
         F.size("_chunk").alias("n_tokens"),
     )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    seq_len: int,
+    sep_tokens: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shard_col: str = "shard",
+    pos_col: str = "pos",
+) -> DataFrame:
+    """Concat-and-chunk sequence packing — the final corpus-export
+    stage of a decoder-LM data pipeline (the GPT-2/3 recipe and every
+    public descendant): documents are concatenated in training order
+    with ``sep_tokens`` separator slots (EOS) after each one, and the
+    resulting token stream is cut into fixed ``seq_len`` blocks so a
+    50-token page and a 50k-token page both land in full training
+    sequences with no padding waste.
+
+    Input is the :func:`~dedupe_algo_spark.operators.sampling.corpus_shuffle`
+    output — ``(shard_col, pos_col)`` is the training order — and the
+    stream is per-shard: shards are the parallel unit, so the packing
+    needs NO global coordination. The per-shard token offset is one
+    window cumsum over a slim (shard, pos, id, n_tokens) projection —
+    the distributed prefix-sum idiom; page text never enters the
+    exchange. Blocks a document spans come from ``sequence`` +
+    ``explode`` (narrow); every stage is whole-stage codegen, zero
+    Python.
+
+    → one row per (document, block) overlap segment:
+    ``(id_col, shard, block, doc_start, block_off, n_toks)`` — block
+    ``block`` of shard ``shard`` carries tokens
+    ``[doc_start, doc_start + n_toks)`` of the document at offset
+    ``block_off``. This is the packing MAP (what an export writer or
+    attention-masking trainer consumes); the block's token ids follow
+    by slicing each document once, and positions not covered by any
+    segment are the separator slots. Documents with zero tokens
+    consume their separator slot in the stream (offsets shift) but
+    emit no segment row. The last block of a shard is short; the
+    trainer pads or drops it.
+
+    Invariants (tested): segments within a block are disjoint,
+    ``0 <= block_off < block_off + n_toks <= seq_len``, each
+    document's segments cover exactly its tokens in order, and total
+    stream length per shard is ``sum(n_tokens + sep_tokens)``.
+    """
+    if seq_len <= 0:
+        raise ValueError(f"seq_len must be positive, got {seq_len}")
+    if sep_tokens < 0:
+        raise ValueError(f"sep_tokens must be >= 0, got {sep_tokens}")
+    from pyspark.sql import Window
+
+    toks = F.filter(
+        F.split(F.col(text_col), TOKEN_SPLIT), lambda t: t != F.lit("")
+    )
+    slim = docs.select(
+        id_col,
+        shard_col,
+        pos_col,
+        F.size(toks).cast("long").alias("_n"),
+    )
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(pos_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = slim.withColumn(
+        "_off",
+        F.coalesce(F.sum(F.col("_n") + sep_tokens).over(w), F.lit(0).cast("long")),
+    ).where(F.col("_n") > 0)
+    L = F.lit(seq_len).cast("long")
+    first_b = F.floor(F.col("_off") / L)
+    last_b = F.floor((F.col("_off") + F.col("_n") - 1) / L)
+    seg = offs.select(
+        id_col,
+        F.col(shard_col).alias("shard"),
+        "_off",
+        "_n",
+        F.explode(F.sequence(first_b, last_b)).alias("block"),
+    )
+    gstart = F.greatest(F.col("_off"), F.col("block") * L)
+    gend = F.least(F.col("_off") + F.col("_n"), (F.col("block") + 1) * L)
+    return seg.select(
+        id_col,
+        "shard",
+        "block",
+        (gstart - F.col("_off")).alias("doc_start"),
+        (gstart - F.col("block") * L).alias("block_off"),
+        (gend - gstart).alias("n_toks"),
+    )

@@ -2534,6 +2534,59 @@ FROM sliced
 """
 
 
+def q_pack_sequences(spark, sf_dir):
+    """Concat-and-chunk sequence packing (the GPT-style corpus-export
+    stage) over the deterministic training order: per-shard token
+    streams with one EOS slot per document, cut into 64-token blocks.
+    Per-shard window cumsum (distributed prefix sum) + sequence/explode
+    — all codegen, no global coordination. The oracle replays the
+    shuffle's hex algebra, the same cumsum, and the same block/segment
+    arithmetic with generate_series."""
+    from .operators.chunking import pack_sequences
+    from .operators.sampling import corpus_shuffle
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    ordered = corpus_shuffle(docs, key_col="doc_id", seed=13, num_shards=8)
+    return pack_sequences(ordered, seq_len=64, sep_tokens=1)
+
+
+SQL_PACK_SEQUENCES = r"""
+WITH hashed AS (
+  SELECT doc_id, text,
+         substr(md5(CAST(doc_id AS VARCHAR) || ':13'), 1, 12) AS h
+  FROM documents
+), ordered AS (
+  SELECT doc_id, text,
+         CAST(('0x' || substr(h, 1, 6)) AS INT) % 8 AS shard,
+         row_number() OVER (
+           PARTITION BY CAST(('0x' || substr(h, 1, 6)) AS INT) % 8
+           ORDER BY h, doc_id) AS pos
+  FROM hashed
+), sized AS (
+  SELECT doc_id, shard, pos,
+         CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+                              t -> t <> '')) AS BIGINT) AS n
+  FROM ordered
+), offs AS (
+  SELECT doc_id, shard, n,
+         CAST(COALESCE(SUM(n + 1) OVER (
+           PARTITION BY shard ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           0) AS BIGINT) AS off
+  FROM sized
+), seg AS (
+  SELECT doc_id, shard, off, n,
+         unnest(generate_series(off // 64, (off + n - 1) // 64)) AS block
+  FROM offs WHERE n > 0
+)
+SELECT doc_id, shard, block,
+       greatest(off, block * 64) - off AS doc_start,
+       greatest(off, block * 64) - block * 64 AS block_off,
+       least(off + n, (block + 1) * 64) - greatest(off, block * 64) AS n_toks
+FROM seg
+"""
+
+
 def q_corpus_shuffle(spark, sf_dir):
     """Deterministic training-order shuffle: (shard, pos) is a
     rerun-stable pseudo-random total order keyed on md5(doc_id:seed) —
@@ -3980,6 +4033,7 @@ QUERIES = {
     "domain_cap": q_domain_cap,
     "normalized_exact": q_normalized_exact,
     "chunk_documents": q_chunk_documents,
+    "pack_sequences": q_pack_sequences,
     "pii_report": q_pii_report,
     "pii_redact": q_pii_redact,
     "tfidf_topk": q_tfidf_topk,
@@ -4083,6 +4137,7 @@ ORACLES = {
     "domain_cap": SQL_DOMAIN_CAP,
     "normalized_exact": SQL_NORMALIZED_EXACT,
     "chunk_documents": SQL_CHUNK_DOCUMENTS,
+    "pack_sequences": SQL_PACK_SEQUENCES,
     "pii_report": SQL_PII_REPORT,
     "pii_redact": SQL_PII_REDACT,
     "tfidf_topk": SQL_TFIDF_TOPK,

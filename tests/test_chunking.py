@@ -82,3 +82,107 @@ def test_overlap_validation(spark, docs):
         chunk_documents(docs, chunk_tokens=32, overlap=32)
     with pytest.raises(ValueError):
         chunk_documents(docs, chunk_tokens=32, overlap=-1)
+
+
+def _ref_pack(rows, seq_len, sep):
+    """Driver-side reference: concat per shard in pos order with `sep`
+    separator slots per doc, cut into seq_len blocks, emit segments."""
+    out = []
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard, docs_ in by_shard.items():
+        off = 0
+        for r in sorted(docs_, key=lambda r: r["pos"]):
+            n = len(r["text"].split())
+            lo, hi = off, off + n
+            b = lo // seq_len
+            while n and b * seq_len < hi:
+                gs, ge = max(lo, b * seq_len), min(hi, (b + 1) * seq_len)
+                out.append(
+                    dict(
+                        doc_id=r["doc_id"],
+                        shard=shard,
+                        block=b,
+                        doc_start=gs - lo,
+                        block_off=gs - b * seq_len,
+                        n_toks=ge - gs,
+                    )
+                )
+                b += 1
+            off = hi + sep
+    return out
+
+
+@pytest.fixture(scope="module")
+def sharded(spark):
+    # two shards; pos order is the training order. Doc 4 is empty (its
+    # separator slot still shifts later offsets); doc 0 spans blocks.
+    rows = [
+        (0, 0, 1, " ".join(f"a{i}" for i in range(23))),  # spans 3 blocks of 10
+        (1, 0, 2, "one two three"),
+        (4, 0, 3, ""),  # empty: sep slot only
+        (2, 0, 4, " ".join(f"b{i}" for i in range(10))),  # exactly one block long
+        (3, 1, 1, " ".join(f"c{i}" for i in range(7))),
+        (5, 1, 2, "x"),
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id int, shard int, pos int, text string"
+    ).cache()
+
+
+def test_pack_sequences_matches_reference(spark, sharded):
+    from dedupe_algo_spark.operators.chunking import pack_sequences
+
+    got = (
+        pack_sequences(sharded, seq_len=10, sep_tokens=1)
+        .toPandas()
+        .sort_values(["shard", "block", "block_off"])
+        .reset_index(drop=True)
+    )
+    want = sorted(
+        _ref_pack([r.asDict() for r in sharded.collect()], 10, 1),
+        key=lambda d: (d["shard"], d["block"], d["block_off"]),
+    )
+    assert len(got) == len(want)
+    for i, w in enumerate(want):
+        for k, v in w.items():
+            assert got.loc[i, k] == v, (i, k, dict(got.loc[i]))
+
+
+def test_pack_sequences_invariants(spark, sharded):
+    from dedupe_algo_spark.operators.chunking import pack_sequences
+
+    seq_len, sep = 10, 1
+    out = pack_sequences(sharded, seq_len=seq_len, sep_tokens=sep).toPandas()
+    src = {r["doc_id"]: r["text"].split() for r in sharded.collect()}
+    # segment bounds and disjointness within each block
+    for (_, _), grp in out.groupby(["shard", "block"]):
+        assert (grp["block_off"] >= 0).all()
+        assert ((grp["block_off"] + grp["n_toks"]) <= seq_len).all()
+        assert (grp["n_toks"] >= 1).all()
+        ivs = sorted(zip(grp["block_off"], grp["block_off"] + grp["n_toks"]))
+        assert all(a_end <= b_start for (_, a_end), (b_start, _) in zip(ivs, ivs[1:]))
+    # per-document token conservation, in order, gap-free
+    for doc_id, grp in out.groupby("doc_id"):
+        grp = grp.sort_values(["block", "block_off"])
+        assert grp["n_toks"].sum() == len(src[doc_id])
+        starts = list(grp["doc_start"])
+        ends = list(grp["doc_start"] + grp["n_toks"])
+        assert starts[0] == 0 and ends[-1] == len(src[doc_id])
+        assert all(e == s for e, s in zip(ends, starts[1:]))
+    # empty docs emit no segment but DO shift the stream: doc 2 starts
+    # after doc 0 (23+1) + doc 1 (3+1) + empty doc 4 (0+1) = 29 slots
+    d2 = out[out["doc_id"] == 2].sort_values("block")
+    assert list(d2["block"]) == [2, 3]
+    assert list(d2["block_off"]) == [9, 0]
+    assert 4 not in set(out["doc_id"])
+
+
+def test_pack_sequences_validation(spark, sharded):
+    from dedupe_algo_spark.operators.chunking import pack_sequences
+
+    with pytest.raises(ValueError):
+        pack_sequences(sharded, seq_len=0)
+    with pytest.raises(ValueError):
+        pack_sequences(sharded, seq_len=10, sep_tokens=-1)
