@@ -25,6 +25,10 @@ reported as lineage:
     7. export shuffle   optional (--shuffle-shards S): rerun-stable
                         pseudo-random (shard, pos) training order; the
                         writer emits each shard's rows position-sorted
+    8. sequence packing optional (--pack-seq-len L): write the
+                        concat-and-chunk packing map (<output>_packmap)
+                        cutting each (split, shard) token stream into
+                        fixed L-token training blocks
 
 Run on any cluster as:
 
@@ -266,6 +270,41 @@ def prepare(
     return mixed, lineage, lambda: final.unpersist()
 
 
+def pack_map(mixed, seq_len: int, sep_tokens: int = 1):
+    """Stage 8 (``--pack-seq-len``): the concat-and-chunk packing map
+    for the export writer — which tokens of which document land in
+    which fixed-length training block (GPT-style concatenation with
+    one EOS slot per document). Packing is per (split, shard): a block
+    must never straddle a split boundary, so the two columns are fused
+    into one narrow window key and the whole map still costs ONE hash
+    exchange (it runs over the re-read committed output).
+    → (url, split, shard, block, doc_start, block_off, n_toks)."""
+    from pyspark.sql import functions as F
+
+    from dedupe_algo_spark.operators.chunking import pack_sequences
+
+    tagged = mixed.withColumn(
+        "_ps", F.concat_ws("/", F.col("split"), F.col("shard"))
+    )
+    packed = pack_sequences(
+        tagged,
+        seq_len=seq_len,
+        sep_tokens=sep_tokens,
+        id_col="url",
+        shard_col="_ps",
+        pos_col="pos",
+    )
+    return packed.select(
+        "url",
+        F.substring_index("shard", "/", 1).alias("split"),
+        F.substring_index("shard", "/", -1).cast("int").alias("shard"),
+        "block",
+        "doc_start",
+        "block_off",
+        "n_toks",
+    )
+
+
 def main() -> None:
     p = argparse.ArgumentParser(description="end-to-end corpus preparation")
     p.add_argument("--input")
@@ -314,9 +353,19 @@ def main() -> None:
         help="append a rerun-stable pseudo-random training order "
         "(shard, pos) and write each shard position-sorted",
     )
+    p.add_argument(
+        "--pack-seq-len",
+        type=int,
+        default=None,
+        help="also write <output>_packmap: the concat-and-chunk "
+        "packing map cutting each (split, shard) token stream into "
+        "fixed blocks of this many tokens (requires --shuffle-shards)",
+    )
     args = p.parse_args()
     if bool(args.input) == bool(args.synth):
         p.error("exactly one of --input / --synth required")
+    if args.pack_seq_len and not args.shuffle_shards:
+        p.error("--pack-seq-len requires --shuffle-shards")
 
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
@@ -364,6 +413,21 @@ def main() -> None:
     lineage["output"] = out.count()
     for s in ("train", "valid", "test"):
         lineage[f"output_{s}"] = out.where(F.col("split") == s).count()
+    if args.pack_seq_len:
+        pm = pack_map(out, seq_len=args.pack_seq_len)
+        pm.write.mode("overwrite").partitionBy("split").parquet(
+            args.output + "_packmap"
+        )
+        stats = (
+            spark.read.parquet(args.output + "_packmap")
+            .agg(
+                F.count(F.lit(1)).alias("segments"),
+                F.count_distinct("split", "shard", "block").alias("blocks"),
+            )
+            .collect()[0]
+        )
+        lineage["pack_segments"] = stats["segments"]
+        lineage["pack_blocks"] = stats["blocks"]
     print(json.dumps({"lineage": lineage}))
     spark.stop()
 

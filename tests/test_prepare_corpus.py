@@ -161,3 +161,57 @@ def test_prepare_with_domain_cap_and_shuffle(spark):
     for _, grp in out.groupby("shard"):
         assert sorted(grp["pos"]) == list(range(1, len(grp) + 1))
     pages.unpersist()
+
+
+def test_pack_map_stage(spark):
+    """--pack-seq-len contract: the packing map covers every surviving
+    document's tokens exactly once, blocks never straddle a split
+    boundary or exceed seq_len, and empty-after-redaction docs cost a
+    separator slot without emitting segments."""
+    from jobs.prepare_corpus_job import pack_map
+
+    from dedupe_algo_spark.synth import synth_pages
+
+    pages = synth_pages(spark, 300).cache()
+    mixed, lineage, release = prepare(
+        spark,
+        pages,
+        rates={},
+        default_rate=1.0,
+        fractions={"train": 0.9, "valid": 0.1},
+        seed=5,
+        shuffle_shards=4,
+    )
+    mixed = mixed.persist()
+    pm = pack_map(mixed, seq_len=32).toPandas()
+    src = mixed.select(
+        "url",
+        "split",
+        F.size(
+            F.filter(
+                F.split("text", r"(?U)[\s\x1c-\x1f]+"),
+                lambda t: t != F.lit(""),
+            )
+        ).alias("n"),
+    ).toPandas()
+    release()
+    mixed.unpersist()
+    pages.unpersist()
+
+    n_by_url = dict(zip(src["url"], src["n"]))
+    split_by_url = dict(zip(src["url"], src["split"]))
+    # per-document conservation: segments cover exactly the doc's tokens
+    for url, grp in pm.groupby("url"):
+        assert grp["n_toks"].sum() == n_by_url[url], url
+        # and land in the doc's own split
+        assert set(grp["split"]) == {split_by_url[url]}, url
+    # every non-empty doc appears; empty docs never do
+    assert set(pm["url"]) == {u for u, n in n_by_url.items() if n > 0}
+    # block geometry: segments disjoint, inside [0, seq_len)
+    for (_, _, _), grp in pm.groupby(["split", "shard", "block"]):
+        assert (grp["block_off"] >= 0).all()
+        assert ((grp["block_off"] + grp["n_toks"]) <= 32).all()
+        ivs = sorted(zip(grp["block_off"], grp["block_off"] + grp["n_toks"]))
+        assert all(
+            a_end <= b_start for (_, a_end), (b_start, _) in zip(ivs, ivs[1:])
+        )
