@@ -92,6 +92,7 @@ def pack_sequences(
     text_col: str = "text",
     shard_col: str = "shard",
     pos_col: str = "pos",
+    n_col: str | None = None,
 ) -> DataFrame:
     """Concat-and-chunk sequence packing — the final corpus-export
     stage of a decoder-LM data pipeline (the GPT-2/3 recipe and every
@@ -127,6 +128,16 @@ def pack_sequences(
     ``0 <= block_off < block_off + n_toks <= seq_len``, each
     document's segments cover exactly its tokens in order, and total
     stream length per shard is ``sum(n_tokens + sep_tokens)``.
+
+    ``n_col`` names a precomputed token-count column to use instead of
+    tokenizing ``text_col`` here. Pass it when chaining lazily after
+    ``corpus_shuffle``: the shuffle's window otherwise forces the raw
+    text through its shard exchange (the count is computed above the
+    window, so column pruning must keep ``text_col`` below it) —
+    counting tokens BEFORE the shuffle keeps that exchange slim
+    (plan-asserted in test_plans). Over a materialized input (the
+    export job's re-read output) the built-in tokenize is already
+    below the exchange and equally slim.
     """
     if seq_len <= 0:
         raise ValueError(f"seq_len must be positive, got {seq_len}")
@@ -134,14 +145,18 @@ def pack_sequences(
         raise ValueError(f"sep_tokens must be >= 0, got {sep_tokens}")
     from pyspark.sql import Window
 
-    toks = F.filter(
-        F.split(F.col(text_col), TOKEN_SPLIT), lambda t: t != F.lit("")
-    )
+    if n_col is None:
+        toks = F.filter(
+            F.split(F.col(text_col), TOKEN_SPLIT), lambda t: t != F.lit("")
+        )
+        n_expr = F.size(toks)
+    else:
+        n_expr = F.col(n_col)
     slim = docs.select(
         id_col,
         shard_col,
         pos_col,
-        F.size(toks).cast("long").alias("_n"),
+        n_expr.cast("long").alias("_n"),
     )
     w = (
         Window.partitionBy(shard_col)

@@ -2542,12 +2542,19 @@ def q_pack_sequences(spark, sf_dir):
     — all codegen, no global coordination. The oracle replays the
     shuffle's hex algebra, the same cumsum, and the same block/segment
     arithmetic with generate_series."""
-    from .operators.chunking import pack_sequences
+    from .operators.chunking import TOKEN_SPLIT, pack_sequences
     from .operators.sampling import corpus_shuffle
 
-    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    # count tokens BEFORE the shuffle so the shard exchange carries
+    # slim (doc_id, n) meta, never the page text (plan-asserted)
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(
+            F.filter(F.split("text", TOKEN_SPLIT), lambda t: t != F.lit(""))
+        ).alias("_n"),
+    )
     ordered = corpus_shuffle(docs, key_col="doc_id", seed=13, num_shards=8)
-    return pack_sequences(ordered, seq_len=64, sep_tokens=1)
+    return pack_sequences(ordered, seq_len=64, sep_tokens=1, n_col="_n")
 
 
 SQL_PACK_SEQUENCES = r"""

@@ -94,3 +94,27 @@ def test_selection_join_broadcasts(spark, pages_1k):
         category=F.col("lang"),
     )
     assert has_broadcast_join(df)
+
+
+def test_pack_sequences_shares_the_shuffle_exchange(spark, pages_1k):
+    # the packing window must REUSE corpus_shuffle's shard exchange
+    # (same partitioning key), and page text must never enter it —
+    # the whole shuffle+pack chain costs ONE slim exchange
+    from dedupe_algo_spark.operators.chunking import TOKEN_SPLIT, pack_sequences
+    from dedupe_algo_spark.operators.sampling import corpus_shuffle
+    from dedupe_algo_spark.plans import formatted_plan
+
+    slim = pages_1k.select(
+        F.col("url").alias("doc_id"),
+        F.size(
+            F.filter(F.split("text", TOKEN_SPLIT), lambda t: t != F.lit(""))
+        ).alias("_n"),
+    )
+    ordered = corpus_shuffle(slim, key_col="doc_id", num_shards=8)
+    packed = pack_sequences(ordered, seq_len=64, id_col="doc_id", n_col="_n")
+    plan = formatted_plan(packed)
+    n_exchanges = sum(
+        1 for ln in plan.splitlines() if ") Exchange" in ln
+    )
+    assert n_exchanges == 1, plan
+    assert "text" not in exchange_columns(packed)
