@@ -30,7 +30,20 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-TOKEN_SPLIT = r"(?U)[\s\x1c-\x1f]+"
+# the scoring tier's tokenizer class (Python str.split() semantics) —
+# ONE constant so chunk/pack token counts can never drift from the
+# pipeline's other token math
+from .scoring import TOKEN_SPLIT_RE as TOKEN_SPLIT
+
+
+def _tokens(text_col: str):
+    """Unicode-whitespace tokens of ``text_col`` with ``str.split()``
+    semantics; NULL text tokenizes as the empty document (a NULL would
+    otherwise poison size()/window arithmetic downstream)."""
+    return F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), TOKEN_SPLIT),
+        lambda t: t != F.lit(""),
+    )
 
 
 def chunk_documents(
@@ -42,8 +55,9 @@ def chunk_documents(
 ) -> DataFrame:
     """→ (``id_col``, chunk_idx, chunk_text, n_tokens) — one row per
     sliding window. ``overlap`` must be < ``chunk_tokens``; empty /
-    whitespace-only documents yield one empty chunk (chunk_idx 0,
-    n_tokens 0) so no document silently disappears from the index."""
+    whitespace-only / NULL-text documents yield one empty chunk
+    (chunk_idx 0, n_tokens 0) so no document silently disappears from
+    the index."""
     if not 0 <= overlap < chunk_tokens:
         raise ValueError(
             f"need 0 <= overlap < chunk_tokens, got {overlap}/{chunk_tokens}"
@@ -52,9 +66,7 @@ def chunk_documents(
     # split + drop-empties is exactly Python str.split(): boundary
     # whitespace (incl. tabs, which F.trim does NOT strip) yields ""
     # elements; interior ones can't occur with a `+` quantifier.
-    toks = F.filter(
-        F.split(F.col(text_col), TOKEN_SPLIT), lambda t: t != F.lit("")
-    )
+    toks = _tokens(text_col)
     n = F.size(toks)
     n_chunks = F.greatest(F.lit(1), F.ceil((n - F.lit(overlap)) / F.lit(step)))
     out = (
@@ -146,12 +158,12 @@ def pack_sequences(
     from pyspark.sql import Window
 
     if n_col is None:
-        toks = F.filter(
-            F.split(F.col(text_col), TOKEN_SPLIT), lambda t: t != F.lit("")
-        )
-        n_expr = F.size(toks)
+        n_expr = F.size(_tokens(text_col))
     else:
-        n_expr = F.col(n_col)
+        # NULL counts (a NULL-text doc counted upstream without the
+        # coalesce) must still consume their separator slot, not
+        # silently drop out of the cumsum
+        n_expr = F.coalesce(F.col(n_col), F.lit(0))
     slim = docs.select(
         id_col,
         shard_col,

@@ -2502,7 +2502,11 @@ def q_chunk_documents(spark, sf_dir):
     windows with 8-token overlap, pure codegen (split → sequence →
     explode → slice), zero shuffle. The oracle replays the identical
     chunk arithmetic with DuckDB list functions (1-based inclusive
-    list_slice == Spark's 1-based slice(start, length))."""
+    list_slice == Spark's 1-based slice(start, length)). Tokenizer
+    caveat: DuckDB's RE2 ``\\s`` is ASCII-only while the Spark side
+    splits the full Unicode class — equal on the ASCII fixture corpus
+    (which is what makes the value-hash comparable); the arithmetic
+    being checked is tokenizer-independent."""
     from .operators.chunking import chunk_documents
 
     docs = _docs(spark, sf_dir).select("doc_id", "text")
@@ -2541,7 +2545,8 @@ def q_pack_sequences(spark, sf_dir):
     Per-shard window cumsum (distributed prefix sum) + sequence/explode
     — all codegen, no global coordination. The oracle replays the
     shuffle's hex algebra, the same cumsum, and the same block/segment
-    arithmetic with generate_series."""
+    arithmetic with generate_series (ASCII-whitespace tokens on both
+    engines over the ASCII fixture — see q_chunk_documents)."""
     from .operators.chunking import TOKEN_SPLIT, pack_sequences
     from .operators.sampling import corpus_shuffle
 

@@ -364,8 +364,10 @@ def main() -> None:
     args = p.parse_args()
     if bool(args.input) == bool(args.synth):
         p.error("exactly one of --input / --synth required")
-    if args.pack_seq_len and not args.shuffle_shards:
+    if args.pack_seq_len is not None and not args.shuffle_shards:
         p.error("--pack-seq-len requires --shuffle-shards")
+    if args.pack_seq_len is not None and args.pack_seq_len <= 0:
+        p.error("--pack-seq-len must be positive")
 
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
@@ -413,7 +415,7 @@ def main() -> None:
     lineage["output"] = out.count()
     for s in ("train", "valid", "test"):
         lineage[f"output_{s}"] = out.where(F.col("split") == s).count()
-    if args.pack_seq_len:
+    if args.pack_seq_len is not None:
         pm = pack_map(out, seq_len=args.pack_seq_len)
         pm.write.mode("overwrite").partitionBy("split").parquet(
             args.output + "_packmap"

@@ -28,13 +28,14 @@ def docs(spark):
         (4, ""),  # empty
         (5, "   \t  "),  # whitespace-only
         (6, " ".join(f"w{i}" for i in range(24))),  # exactly one step
+        (7, None),  # NULL text — must behave exactly like empty
     ]
     return spark.createDataFrame(rows, "doc_id int, text string").cache()
 
 
 def test_chunks_match_pure_python_reference(spark, docs):
     out = chunk_documents(docs, chunk_tokens=32, overlap=8).toPandas()
-    src = {r["doc_id"]: r["text"] for r in docs.collect()}
+    src = {r["doc_id"]: r["text"] or "" for r in docs.collect()}
     for doc_id, text in src.items():
         want = _ref_chunks(text, 32, 8)
         got = (
@@ -53,7 +54,7 @@ def test_coverage_and_overlap_invariants(spark, docs):
     exactly `overlap` tokens (except possibly with a short final
     chunk); empty docs still emit one empty chunk."""
     out = chunk_documents(docs, chunk_tokens=32, overlap=8).toPandas()
-    src = {r["doc_id"]: r["text"] for r in docs.collect()}
+    src = {r["doc_id"]: r["text"] or "" for r in docs.collect()}
     for doc_id, grp in out.groupby("doc_id"):
         grp = grp.sort_values("chunk_idx")
         chunks = [c.split() if c else [] for c in grp["chunk_text"]]
@@ -68,8 +69,8 @@ def test_coverage_and_overlap_invariants(spark, docs):
         for c in chunks[1:]:
             rebuilt.extend(c[8:])
         assert rebuilt == toks, doc_id
-    # empty and whitespace-only docs each yield exactly one empty chunk
-    for eid in (4, 5):
+    # empty, whitespace-only, and NULL docs each yield one empty chunk
+    for eid in (4, 5, 7):
         grp = out[out["doc_id"] == eid]
         assert len(grp) == 1
         assert grp.iloc[0]["chunk_idx"] == 0
@@ -94,7 +95,7 @@ def _ref_pack(rows, seq_len, sep):
     for shard, docs_ in by_shard.items():
         off = 0
         for r in sorted(docs_, key=lambda r: r["pos"]):
-            n = len(r["text"].split())
+            n = len((r["text"] or "").split())
             lo, hi = off, off + n
             b = lo // seq_len
             while n and b * seq_len < hi:
@@ -124,7 +125,8 @@ def sharded(spark):
         (4, 0, 3, ""),  # empty: sep slot only
         (2, 0, 4, " ".join(f"b{i}" for i in range(10))),  # exactly one block long
         (3, 1, 1, " ".join(f"c{i}" for i in range(7))),
-        (5, 1, 2, "x"),
+        (6, 1, 2, None),  # NULL text: separator slot only, like empty
+        (5, 1, 3, "x"),
     ]
     return spark.createDataFrame(
         rows, "doc_id int, shard int, pos int, text string"
@@ -155,7 +157,7 @@ def test_pack_sequences_invariants(spark, sharded):
 
     seq_len, sep = 10, 1
     out = pack_sequences(sharded, seq_len=seq_len, sep_tokens=sep).toPandas()
-    src = {r["doc_id"]: r["text"].split() for r in sharded.collect()}
+    src = {r["doc_id"]: (r["text"] or "").split() for r in sharded.collect()}
     # segment bounds and disjointness within each block
     for (_, _), grp in out.groupby(["shard", "block"]):
         assert (grp["block_off"] >= 0).all()
@@ -176,7 +178,11 @@ def test_pack_sequences_invariants(spark, sharded):
     d2 = out[out["doc_id"] == 2].sort_values("block")
     assert list(d2["block"]) == [2, 3]
     assert list(d2["block_off"]) == [9, 0]
-    assert 4 not in set(out["doc_id"])
+    # empty (4) and NULL-text (6) docs emit no segments — but doc 6's
+    # separator slot shifted doc 5 (shard 1: 7+1 c-tokens + 0+1 = 9)
+    assert {4, 6}.isdisjoint(set(out["doc_id"]))
+    d5 = out[out["doc_id"] == 5]
+    assert list(d5["block"]) == [0] and list(d5["block_off"]) == [9]
 
 
 def test_pack_sequences_validation(spark, sharded):

@@ -104,13 +104,17 @@ def test_pack_sequences_shares_the_shuffle_exchange(spark, pages_1k):
     from dedupe_algo_spark.operators.sampling import corpus_shuffle
     from dedupe_algo_spark.plans import formatted_plan
 
-    slim = pages_1k.select(
+    # text stays IN the input: the assertion below is only meaningful
+    # if column pruning (not the test) is what keeps it out of the
+    # shuffle once the count is precomputed
+    with_n = pages_1k.select(
         F.col("url").alias("doc_id"),
+        "text",
         F.size(
             F.filter(F.split("text", TOKEN_SPLIT), lambda t: t != F.lit(""))
         ).alias("_n"),
     )
-    ordered = corpus_shuffle(slim, key_col="doc_id", num_shards=8)
+    ordered = corpus_shuffle(with_n, key_col="doc_id", num_shards=8)
     packed = pack_sequences(ordered, seq_len=64, id_col="doc_id", n_col="_n")
     plan = formatted_plan(packed)
     n_exchanges = sum(

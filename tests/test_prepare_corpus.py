@@ -6,6 +6,8 @@ from pyspark.sql import functions as F
 
 from jobs.prepare_corpus_job import prepare
 
+from dedupe_algo_spark.operators.chunking import TOKEN_SPLIT
+
 
 def test_prepare_end_to_end(spark):
     """The six-stage chain runs on 400 synthetic pages: lineage is
@@ -189,7 +191,7 @@ def test_pack_map_stage(spark):
         "split",
         F.size(
             F.filter(
-                F.split("text", r"(?U)[\s\x1c-\x1f]+"),
+                F.split("text", TOKEN_SPLIT),
                 lambda t: t != F.lit(""),
             )
         ).alias("n"),
