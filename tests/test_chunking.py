@@ -192,3 +192,48 @@ def test_pack_sequences_validation(spark, sharded):
         pack_sequences(sharded, seq_len=0)
     with pytest.raises(ValueError):
         pack_sequences(sharded, seq_len=10, sep_tokens=-1)
+
+
+def test_chunk_and_pack_parameter_grid(spark, docs, sharded):
+    """Sweep the parameter space against the pure-python references:
+    the window/packing arithmetic must hold for every (chunk, overlap)
+    and (seq_len, sep) combination, not just the defaults."""
+    from dedupe_algo_spark.operators.chunking import pack_sequences
+
+    src = {r["doc_id"]: r["text"] or "" for r in docs.collect()}
+    for chunk_tokens, overlap in [(2, 0), (2, 1), (5, 2), (10, 9), (50, 10)]:
+        out = chunk_documents(
+            docs, chunk_tokens=chunk_tokens, overlap=overlap
+        ).toPandas()
+        for doc_id, text in src.items():
+            want = _ref_chunks(text, chunk_tokens, overlap)
+            got = (
+                out[out["doc_id"] == doc_id]
+                .sort_values("chunk_idx")
+                .reset_index(drop=True)
+            )
+            assert len(got) == len(want), (chunk_tokens, overlap, doc_id)
+            for i, w in enumerate(want):
+                assert got.loc[i, "chunk_text"] == " ".join(w), (
+                    chunk_tokens,
+                    overlap,
+                    doc_id,
+                    i,
+                )
+
+    rows = [r.asDict() for r in sharded.collect()]
+    for seq_len, sep in [(1, 0), (3, 2), (7, 1), (10, 0), (64, 1)]:
+        got = (
+            pack_sequences(sharded, seq_len=seq_len, sep_tokens=sep)
+            .toPandas()
+            .sort_values(["shard", "block", "block_off"])
+            .reset_index(drop=True)
+        )
+        want = sorted(
+            _ref_pack(rows, seq_len, sep),
+            key=lambda d: (d["shard"], d["block"], d["block_off"]),
+        )
+        assert len(got) == len(want), (seq_len, sep)
+        for i, w in enumerate(want):
+            for k, v in w.items():
+                assert got.loc[i, k] == v, (seq_len, sep, i, k)

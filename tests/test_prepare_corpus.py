@@ -217,3 +217,31 @@ def test_pack_map_stage(spark):
         assert all(
             a_end <= b_start for (_, a_end), (b_start, _) in zip(ivs, ivs[1:])
         )
+
+
+def test_pack_map_exchange_is_slim(spark, tmp_path):
+    """pack_map over the re-read committed output must cost one hash
+    exchange carrying slim meta only: the token count is computed below
+    the packing window's shuffle, so page text never moves."""
+    from jobs.prepare_corpus_job import pack_map
+
+    from dedupe_algo_spark.plans import exchange_columns, formatted_plan
+
+    p = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        [
+            ("u1", "train", 0, 1, "a b c d e f g h i j"),
+            ("u2", "train", 0, 2, "k l m"),
+            ("u3", "valid", 0, 1, "n o p q"),
+        ],
+        "url string, split string, shard int, pos int, text string",
+    ).write.parquet(p)
+    pm = pack_map(spark.read.parquet(p), seq_len=8)
+    plan = formatted_plan(pm)
+    n_exchanges = sum(1 for ln in plan.splitlines() if ") Exchange" in ln)
+    assert n_exchanges == 1, plan
+    assert "text" not in exchange_columns(pm)
+    # and the map itself is correct across the split boundary
+    got = pm.toPandas()
+    assert got[got["url"] == "u1"]["n_toks"].sum() == 10
+    assert set(got[got["split"] == "valid"]["url"]) == {"u3"}
