@@ -16,8 +16,58 @@ from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType, DoubleType, LongType, StringType
 
 NUM_PERM = 128
-LSH_BANDS = 32  # 32 bands × 4 rows → catches Jaccard ≳ 0.7 w.h.p.
+LSH_BANDS = 32  # = lsh_plan(128, tau=0.7)["bands"]; see below
 _SEED = 0x5EED_ABCD
+
+
+def lsh_plan(
+    n_slots: int, tau: float, target_recall: float = 0.95
+) -> dict:
+    """Derive the (bands, rows) split for an ``n_slots``-permutation
+    MinHash-LSH index targeting Jaccard threshold ``tau`` — the
+    standard S-curve analysis (Leskovec/Rajaraman/Ullman, Mining of
+    Massive Datasets §3.4). For ``b`` bands of ``r`` rows the
+    probability a pair at Jaccard ``j`` collides in ≥1 band is
+    ``p(j) = 1 - (1 - j^r)^b``; larger ``r`` steepens the curve and
+    shifts its threshold ``(1/b)^(1/r)`` right, trading false
+    positives (candidate volume) for recall. The planner keeps every
+    factorization ``b*r = n_slots`` and selects the LARGEST ``r``
+    whose recall at ``tau`` still meets ``target_recall`` — the
+    cheapest index (fewest spurious candidates) that won't miss the
+    pairs the confirm tier is owed.
+
+    → ``{"bands", "rows", "recall_at_tau", "threshold",
+    "candidates": [...]}`` with one candidate dict per factorization.
+    The flagship's constants are this plan: ``lsh_plan(128, 0.7)``
+    chooses 32×4 (recall 0.9998 at J=0.7, curve threshold 0.42).
+    Pure driver-side math — call it at config time, not per row.
+    """
+    if n_slots <= 0:
+        raise ValueError(f"n_slots must be positive, got {n_slots}")
+    if not 0.0 < tau < 1.0:
+        raise ValueError(f"tau must be in (0, 1), got {tau}")
+    cands = []
+    for r in range(1, n_slots + 1):
+        if n_slots % r:
+            continue
+        b = n_slots // r
+        recall = 1.0 - (1.0 - tau**r) ** b
+        cands.append(
+            {
+                "bands": b,
+                "rows": r,
+                "recall_at_tau": recall,
+                "threshold": (1.0 / b) ** (1.0 / r) if b > 1 else 0.0,
+            }
+        )
+    ok = [c for c in cands if c["recall_at_tau"] >= target_recall]
+    # every plan includes r=1 (recall 1-(1-tau)^n, ~1 for any sane n),
+    # so ok is only empty for tiny n_slots with a low tau — fall back
+    # to the highest-recall candidate rather than failing
+    best = max(ok, key=lambda c: c["rows"]) if ok else max(
+        cands, key=lambda c: c["recall_at_tau"]
+    )
+    return {**best, "candidates": cands}
 
 
 def _perm_params(num_perm: int = NUM_PERM) -> tuple[np.ndarray, np.ndarray]:

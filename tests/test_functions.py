@@ -284,3 +284,36 @@ def test_minhash_batch_equals_per_doc():
     refs = [minhash_band_keys(t) for t in texts if t is not None]
     for got, ref in zip(keys, refs):
         assert np.array_equal(got, ref)
+
+
+def test_lsh_plan_derives_the_flagship_constants():
+    """The 32x4 banding is lsh_plan's choice for the flagship's
+    128-slot signature at tau=0.7, not a magic number; the S-curve
+    algebra matches a direct computation and the selection rule picks
+    the largest row count meeting the recall target."""
+    from dedupe_algo_spark.functions.minhash import LSH_BANDS, NUM_PERM, lsh_plan
+
+    plan = lsh_plan(NUM_PERM, tau=0.7)
+    assert (plan["bands"], plan["rows"]) == (LSH_BANDS, NUM_PERM // LSH_BANDS)
+    assert plan["recall_at_tau"] > 0.999
+    assert abs(plan["threshold"] - (1 / 32) ** 0.25) < 1e-12
+
+    # the S-curve values match the closed form for every factorization
+    for c in plan["candidates"]:
+        b, r = c["bands"], c["rows"]
+        assert b * r == NUM_PERM
+        assert abs(c["recall_at_tau"] - (1 - (1 - 0.7**r) ** b)) < 1e-12
+    # selection is the LARGEST r meeting the target: r=8 (16 bands)
+    # misses 0.95 at tau=0.7, r=4 clears it
+    by_r = {c["rows"]: c for c in plan["candidates"]}
+    assert by_r[8]["recall_at_tau"] < 0.95 < by_r[4]["recall_at_tau"]
+
+    # a stricter tau moves the choice to more rows (fewer candidates)
+    assert lsh_plan(NUM_PERM, tau=0.9)["rows"] > plan["rows"]
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        lsh_plan(0, 0.7)
+    with pytest.raises(ValueError):
+        lsh_plan(128, 1.0)
