@@ -283,3 +283,117 @@ def domain_cap(
         .select(F.col("_k").alias(key_col))
     )
     return df.join(kept, key_col, "left_semi")
+
+
+def token_budget_sample(
+    df: DataFrame,
+    budgets: dict[str, int],
+    stratum_col: str = "lang",
+    key_col: str = "url",
+    text_col: str = "text",
+    seed: int = 7,
+    n_col: str | None = None,
+    prefix_len: int = 3,
+) -> DataFrame:
+    """Exact per-stratum TOKEN budgets — "give me a 30B-token English
+    slice, 8B German, everything else whole": the operating unit of a
+    training mix is tokens, not rows, so rate-based sampling
+    (:func:`stratified_sample`) can only approximate a token target.
+    This keeps, per budgeted stratum, the documents with the smallest
+    ``md5(key:seed)`` until the budget is reached — an unbiased,
+    rerun-stable within-stratum sample under the same hash order every
+    other sampling stage here uses. The decision rule is exact and
+    engine-reproducible: a document is kept iff the token sum of
+    hash-earlier documents in its stratum is ``< budget`` (so the
+    budget-crossing document is included and overshoot is bounded by
+    one document). Strata absent from ``budgets`` pass through whole.
+
+    Megastratum-safe two-phase construction (a 10^11-document language
+    must never land in one window partition): phase 1 groups documents
+    by an order-PRESERVING hash prefix — the first ``prefix_len`` hex
+    chars of ``h``, so prefix order is a coarsening of the global
+    (h, key) order — and runs the cumulative token sum over the
+    ≤ 16^prefix_len bucket aggregates per stratum (a tiny window).
+    Buckets whose cumulative sum stays under the budget keep every
+    document; buckets starting at or past it drop every document; the
+    (at most one per stratum) boundary bucket — ~16^-prefix_len of the
+    stratum — gets the exact per-document window. The union provably
+    equals the single-window definition (the DuckDB oracle runs that
+    definition; equality is also pinned by test against a driver-side
+    reference). All heavy exchanges carry slim (stratum, bucket, key,
+    h, n) meta; text never shuffles; the final semi-join on ``df`` is
+    the one exchange proportional to the input.
+    """
+    if not budgets:
+        return df
+    if not 1 <= prefix_len <= _HEX_DIGITS - 1:
+        raise ValueError(f"prefix_len must be in [1, {_HEX_DIGITS - 1}]")
+    for s, b in budgets.items():
+        if b < 0:
+            raise ValueError(f"budget for {s!r} must be >= 0, got {b}")
+    from pyspark.sql import Window
+
+    from ..functions.text import token_count
+
+    strata = list(budgets)
+    n_expr = (
+        token_count(F.coalesce(F.col(text_col), F.lit("")))
+        if n_col is None
+        else F.coalesce(F.col(n_col), F.lit(0))
+    ).cast("long")
+    budget_expr = F.element_at(
+        F.create_map(
+            *[
+                F.lit(x)
+                for s, b in budgets.items()
+                for x in (s, int(b))
+            ]
+        ),
+        F.col("_st"),
+    ).cast("long")
+
+    slim = df.where(F.col(stratum_col).isin(strata)).select(
+        F.col(stratum_col).alias("_st"),
+        F.col(key_col).alias("_k"),
+        _bucket(F.col(key_col), seed).alias("_h"),
+        n_expr.alias("_n"),
+    )
+    slim = slim.withColumn("_b", F.substring("_h", 1, prefix_len))
+
+    per_bucket = slim.groupBy("_st", "_b").agg(F.sum("_n").alias("_bn"))
+    wb = Window.partitionBy("_st").orderBy("_b")
+    marked = (
+        per_bucket.withColumn("_cum", F.sum("_bn").over(wb))
+        .withColumn("_before", F.col("_cum") - F.col("_bn"))
+        .withColumn("_budget", budget_expr)
+    )
+    full_keep = marked.where(F.col("_cum") < F.col("_budget")).select(
+        "_st", "_b"
+    )
+    boundary = marked.where(
+        (F.col("_before") < F.col("_budget"))
+        & (F.col("_cum") >= F.col("_budget"))
+    ).select("_st", "_b", "_before", "_budget")
+
+    kept_full = slim.join(full_keep, ["_st", "_b"], "left_semi").select("_k")
+    wd = (
+        Window.partitionBy("_st", "_b")
+        .orderBy("_h", "_k")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    kept_boundary = (
+        slim.join(F.broadcast(boundary), ["_st", "_b"])
+        .withColumn(
+            "_prev",
+            F.col("_before")
+            + F.coalesce(F.sum("_n").over(wd), F.lit(0).cast("long")),
+        )
+        .where(F.col("_prev") < F.col("_budget"))
+        .select("_k")
+    )
+    kept = kept_full.unionByName(kept_boundary).withColumnRenamed(
+        "_k", key_col
+    )
+    return df.where(~F.col(stratum_col).isin(strata)).unionByName(
+        df.join(kept, key_col, "left_semi")
+    )

@@ -2599,6 +2599,49 @@ FROM seg
 """
 
 
+def q_token_budget_sample(spark, sf_dir):
+    """Exact per-language TOKEN budgets (the unit of a training mix):
+    keep hash-smallest docs per stratum until the preceding token sum
+    reaches the budget; unbudgeted strata pass whole. The Spark side
+    runs the megastratum-safe two-phase prefix construction; the
+    oracle is the single-window definition the construction provably
+    equals. en/de budgets bind, zh's exceeds its total (keeps all),
+    es/fr are unbudgeted."""
+    from .operators.sampling import token_budget_sample
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "text")
+    kept = token_budget_sample(
+        docs,
+        {"en": 5000, "de": 1500, "zh": 99999},
+        stratum_col="lang",
+        key_col="doc_id",
+        seed=7,
+    )
+    return kept.select("doc_id", "lang")
+
+
+SQL_TOKEN_BUDGET_SAMPLE = r"""
+WITH slim AS (
+  SELECT doc_id, lang,
+         substr(md5(CAST(doc_id AS VARCHAR) || ':7'), 1, 12) AS h,
+         CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(TRIM(text), '\s+')) END AS n
+  FROM documents
+), cum AS (
+  SELECT doc_id, lang,
+         CAST(COALESCE(SUM(n) OVER (PARTITION BY lang ORDER BY h, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS prev
+  FROM slim
+)
+SELECT doc_id, lang FROM cum
+WHERE CASE lang WHEN 'en' THEN prev < 5000
+                WHEN 'de' THEN prev < 1500
+                WHEN 'zh' THEN prev < 99999
+                ELSE TRUE END
+"""
+
+
 def q_corpus_shuffle(spark, sf_dir):
     """Deterministic training-order shuffle: (shard, pos) is a
     rerun-stable pseudo-random total order keyed on md5(doc_id:seed) —
@@ -4046,6 +4089,7 @@ QUERIES = {
     "normalized_exact": q_normalized_exact,
     "chunk_documents": q_chunk_documents,
     "pack_sequences": q_pack_sequences,
+    "token_budget_sample": q_token_budget_sample,
     "pii_report": q_pii_report,
     "pii_redact": q_pii_redact,
     "tfidf_topk": q_tfidf_topk,
@@ -4150,6 +4194,7 @@ ORACLES = {
     "normalized_exact": SQL_NORMALIZED_EXACT,
     "chunk_documents": SQL_CHUNK_DOCUMENTS,
     "pack_sequences": SQL_PACK_SEQUENCES,
+    "token_budget_sample": SQL_TOKEN_BUDGET_SAMPLE,
     "pii_report": SQL_PII_REPORT,
     "pii_redact": SQL_PII_REDACT,
     "tfidf_topk": SQL_TFIDF_TOPK,

@@ -206,3 +206,115 @@ def test_domain_cap_keeps_k_smallest_hashes(spark):
     assert domain_cap(small, k=4, domain_col="domain").count() == 2
     with pytest.raises(ValueError):
         domain_cap(small, k=0, domain_col="domain")
+
+
+def _budget_reference(rows, budgets, seed=7):
+    """Single-window definition: per stratum, docs in md5(key:seed)
+    order are kept while the preceding token sum is < budget; other
+    strata keep everything."""
+    kept = set()
+    by_st = {}
+    for doc_id, lang, n in rows:
+        by_st.setdefault(lang, []).append((doc_id, n))
+    for lang, docs in by_st.items():
+        if lang not in budgets:
+            kept.update(d for d, _ in docs)
+            continue
+        order = sorted(
+            docs,
+            key=lambda d: (
+                hashlib.md5(f"{d[0]}:{seed}".encode()).hexdigest()[:12],
+                d[0],
+            ),
+        )
+        cum = 0
+        for doc_id, n in order:
+            if cum < budgets[lang]:
+                kept.add(doc_id)
+            cum += n
+    return kept
+
+
+@pytest.fixture(scope="module")
+def token_corpus(spark):
+    # deterministic per-doc token counts 1..20; text is that many words
+    rows = [
+        (i, ["en", "de", "zh"][i % 3], " ".join(["w"] * (i % 20 + 1)))
+        for i in range(300)
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id bigint, lang string, text string"
+    ).cache()
+
+
+def test_token_budget_two_phase_equals_single_window(spark, token_corpus):
+    """The order-preserving-prefix two-phase construction equals the
+    single-window definition exactly, including the budget-crossing
+    document — swept across prefix lengths (prefix_len=1 forces the
+    boundary logic through just 16 buckets) and budget placements
+    (0, tiny, interior, beyond-total)."""
+    from dedupe_algo_spark.operators.sampling import token_budget_sample
+
+    rows = [
+        (r["doc_id"], r["lang"], len(r["text"].split()))
+        for r in token_corpus.collect()
+    ]
+    totals = {}
+    for _, lang, n in rows:
+        totals[lang] = totals.get(lang, 0) + n
+    for budgets in [
+        {"en": 0},
+        {"en": 1},
+        {"en": 400, "de": 37},
+        {"en": totals["en"]},  # exactly the stratum total
+        {"en": totals["en"] + 10_000, "zh": 5},  # beyond-total keeps all
+    ]:
+        want = _budget_reference(rows, budgets)
+        for prefix_len in (1, 2, 3):
+            got = set(
+                r["doc_id"]
+                for r in token_budget_sample(
+                    token_corpus,
+                    budgets,
+                    key_col="doc_id",
+                    prefix_len=prefix_len,
+                ).collect()
+            )
+            assert got == want, (budgets, prefix_len)
+
+
+def test_token_budget_adherence_and_passthrough(spark, token_corpus):
+    """Kept token mass reaches the budget (stratum has enough), the
+    overshoot is bounded by one document, and unbudgeted strata pass
+    through whole."""
+    from dedupe_algo_spark.operators.sampling import token_budget_sample
+
+    out = token_budget_sample(
+        token_corpus, {"en": 300}, key_col="doc_id"
+    ).toPandas()
+    en = out[out["lang"] == "en"]
+    ns = en["text"].str.split().str.len()
+    assert ns.sum() >= 300  # crossing doc included
+    assert ns.sum() - ns.max() < 300  # minus any one doc → under budget
+    # de/zh untouched
+    src = token_corpus.toPandas()
+    for lang in ("de", "zh"):
+        assert set(out[out["lang"] == lang]["doc_id"]) == set(
+            src[src["lang"] == lang]["doc_id"]
+        )
+
+
+def test_token_budget_validation(spark, token_corpus):
+    from dedupe_algo_spark.operators.sampling import token_budget_sample
+
+    with pytest.raises(ValueError):
+        token_budget_sample(token_corpus, {"en": -1}, key_col="doc_id")
+    with pytest.raises(ValueError):
+        token_budget_sample(
+            token_corpus, {"en": 10}, key_col="doc_id", prefix_len=0
+        )
+    # empty budgets: identity
+    assert (
+        token_budget_sample(token_corpus, {}, key_col="doc_id").count()
+        == token_corpus.count()
+    )
