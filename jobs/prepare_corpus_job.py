@@ -21,7 +21,9 @@ reported as lineage:
     5. decontamination  drop docs sharing an n-gram with --eval docs
     6. mixing           deterministic per-language sampling rates
                         (explicit --rates or --alpha token-share
-                        derivation) + hash-range train/valid/test split
+                        derivation), optional exact per-language token
+                        budgets (--token-budgets en=5e9,de=1e9), +
+                        hash-range train/valid/test split
     7. export shuffle   optional (--shuffle-shards S): rerun-stable
                         pseudo-random (shard, pos) training order; the
                         writer emits each shard's rows position-sorted
@@ -85,6 +87,7 @@ def prepare(
     alpha: float | None = None,
     domain_cap_k: int | None = None,
     shuffle_shards: int | None = None,
+    token_budgets: dict[str, int] | None = None,
 ):
     """Run the six-stage preparation over a pages DataFrame. Returns
     (mixed DataFrame ready to write, lineage dict of per-stage counts,
@@ -249,6 +252,19 @@ def prepare(
         key_col="url",
         seed=seed,
     )
+    # exact per-language token caps after rate sampling: rates shape
+    # the mix proportionally, budgets pin absolute token mass (the
+    # unit the training run is actually provisioned in)
+    if token_budgets:
+        from dedupe_algo_spark.operators.sampling import token_budget_sample
+
+        mixed = token_budget_sample(
+            mixed,
+            token_budgets,
+            stratum_col="lang",
+            key_col="url",
+            seed=seed + 4,
+        )
     mixed = deterministic_split(
         mixed,
         fractions or {"train": 0.98, "valid": 0.01, "test": 0.01},
@@ -354,6 +370,12 @@ def main() -> None:
         "(shard, pos) and write each shard position-sorted",
     )
     p.add_argument(
+        "--token-budgets",
+        default="",
+        help="exact per-language token caps after rate sampling, e.g. "
+        "en=5000000000,de=1000000000; unlisted languages pass whole",
+    )
+    p.add_argument(
         "--pack-seq-len",
         type=int,
         default=None,
@@ -401,6 +423,10 @@ def main() -> None:
         alpha=args.alpha,
         domain_cap_k=args.domain_cap,
         shuffle_shards=args.shuffle_shards,
+        token_budgets={
+            k: int(float(v)) for k, v in _parse_rates(args.token_budgets).items()
+        }
+        or None,
     )
     writer = mixed
     if args.shuffle_shards:

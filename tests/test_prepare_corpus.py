@@ -245,3 +245,43 @@ def test_pack_map_exchange_is_slim(spark, tmp_path):
     got = pm.toPandas()
     assert got[got["url"] == "u1"]["n_toks"].sum() == 10
     assert set(got[got["split"] == "valid"]["url"]) == {"u3"}
+
+
+def test_prepare_with_token_budgets(spark):
+    """--token-budgets contract: the budgeted language's kept token
+    mass lands at the budget (crossing doc included), other languages
+    pass through the mixing stage untouched."""
+    from dedupe_algo_spark.synth import synth_pages
+
+    pages = synth_pages(spark, 300).cache()
+    base, _, release0 = prepare(
+        spark, pages, rates={}, default_rate=1.0, fractions={"train": 1.0}, seed=5
+    )
+    base_pdf = base.toPandas()
+    release0()
+    langs = sorted(base_pdf["lang"].unique())
+    tgt = langs[0]
+    ntok = base_pdf["text"].str.split().str.len()
+    total_tgt = int(ntok[base_pdf["lang"] == tgt].sum())
+    budget = total_tgt // 2
+
+    mixed, lineage, release = prepare(
+        spark,
+        pages,
+        rates={},
+        default_rate=1.0,
+        fractions={"train": 1.0},
+        seed=5,
+        token_budgets={tgt: budget},
+    )
+    out = mixed.toPandas()
+    release()
+    pages.unpersist()
+
+    kept = out[out["lang"] == tgt]["text"].str.split().str.len()
+    assert kept.sum() >= budget
+    assert kept.sum() - kept.max() < budget
+    for lang in langs[1:]:
+        assert set(out[out["lang"] == lang]["url"]) == set(
+            base_pdf[base_pdf["lang"] == lang]["url"]
+        )
