@@ -134,3 +134,51 @@ def fingerprint_udf(texts: pd.Series) -> pd.Series:
         return (h1 << 31) + h2
 
     return texts.map(fp)
+
+
+# ---------------------------------------------------------------------------
+# Compression-ratio quality signal (Gopher / RefinedWeb family): text
+# that DEFLATE shrinks far below typical prose is boilerplate/template
+# spam; text it cannot shrink at all is often binary junk or encrypted
+# noise. The kernel is zlib (C, deterministic for a fixed level across
+# CPython builds); the loop is one C call per document inside an
+# Arrow-batched pandas UDF — the same shape as every hashing UDF here.
+# ---------------------------------------------------------------------------
+
+ZLIB_LEVEL = 6  # pinned: compressed bytes are part of the oracle contract
+
+# Default flag band, in ppm of the utf8 length: ratios below LOW are
+# "too compressible" (templated/repetitive), above HIGH "incompressible"
+# (non-text payloads). Tuned on the synthetic corpus; deployment dials.
+RATIO_LOW_PPM = 350_000
+RATIO_HIGH_PPM = 1_000_000
+
+
+@pandas_udf(LongType())
+def zlib_len_udf(texts: pd.Series) -> pd.Series:
+    """Byte length of ``zlib.compress(text.encode('utf-8'), ZLIB_LEVEL)``
+    per document (None passes through)."""
+    import zlib
+
+    return texts.map(
+        lambda t: None if t is None else len(zlib.compress(t.encode("utf-8"), ZLIB_LEVEL))
+    )
+
+
+def compression_signals(text: Column) -> list[Column]:
+    """Integer-exact signal columns: (utf8_len, zlib_len, ratio_ppm,
+    too_compressible, incompressible). All comparisons are integer
+    arithmetic so an oracle can reproduce them bit-for-bit — no float
+    rounding anywhere."""
+    utf8_len = F.octet_length(text)
+    zlen = zlib_len_udf(text)
+    ppm = F.floor(zlen * F.lit(1_000_000) / F.greatest(utf8_len, F.lit(1))).cast(
+        "long"
+    )
+    return [
+        utf8_len.cast("long").alias("utf8_len"),
+        zlen.alias("zlib_len"),
+        ppm.alias("ratio_ppm"),
+        (ppm < RATIO_LOW_PPM).alias("too_compressible"),
+        (ppm > RATIO_HIGH_PPM).alias("incompressible"),
+    ]

@@ -4016,6 +4016,92 @@ FROM agg
 """
 
 
+def q_bloom_unseen(spark, sf_dir):
+    """Bloom-gated incremental unseen (operators/membership.py): a
+    content-keyed batch (doc_id % 3 = 1) anti-joined against a seen
+    corpus (doc_id % 2 = 0) with the corpus side reduced by a bloom
+    built over the batch keys. The bloom is a pure semi-join reduction
+    — no false negatives — so the output is EXACTLY the plain
+    anti-join the DuckDB oracle computes."""
+    from .operators.membership import incremental_unseen_bloom
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.sha2(F.col("text"), 256).alias("content_sha256")
+    )
+    batch = docs.where(F.col("doc_id") % 3 == 1)
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    return incremental_unseen_bloom(batch, corpus, fpp=0.01).select("doc_id")
+
+
+SQL_BLOOM_UNSEEN = """
+SELECT b.doc_id
+FROM documents b
+ANTI JOIN (SELECT sha256(text) AS h FROM documents WHERE doc_id % 2 = 0) c
+  ON sha256(b.text) = c.h
+WHERE b.doc_id % 3 = 1
+"""
+
+
+# Deterministic 1/16 row sample both engines can name without
+# coordination: first hex nibble of sha256(url) = '0'.
+_ZQ_SAMPLE = "substring(sha256(url), 1, 1) = '0'"
+
+
+def q_compression_quality(spark, sf_dir):
+    """Compression-ratio quality signal (functions/text.py): zlib/utf8
+    byte ratio in ppm + the Gopher-style too-compressible /
+    incompressible flags, over the committed 2k snapshot (sample: urls
+    whose sha256 starts with nibble '0', ~1/16). All-integer outputs;
+    the oracle VALUES are regenerated at import by running the SAME
+    pinned zlib kernel (C, level 6) over the snapshot in plain Python —
+    independent execution path, shared kernel, like the mojibake
+    table — so the Arrow plumbing, utf8 accounting, ppm floor math and
+    flag band are value-checked end to end."""
+    from .functions.text import compression_signals
+
+    df = spark.read.parquet(SNAPSHOT_2K).where(
+        F.substring(F.sha2(F.col("url"), 256), 1, 1) == "0"  # = _ZQ_SAMPLE
+    )
+    return df.select(F.col("url"), *compression_signals(F.col("text")))
+
+
+def _sql_compression_quality() -> str:
+    import math
+    import zlib
+
+    import duckdb as _dd
+
+    from .functions.text import RATIO_HIGH_PPM, RATIO_LOW_PPM, ZLIB_LEVEL
+
+    rows = (
+        _dd.connect()
+        .execute(
+            f"SELECT url, text FROM read_parquet('{SNAPSHOT_2K}') "
+            f"WHERE {_ZQ_SAMPLE} ORDER BY url"
+        )
+        .fetchall()
+    )
+    vals = []
+    for url, text in rows:
+        raw = text.encode("utf-8")
+        z = len(zlib.compress(raw, ZLIB_LEVEL))
+        ppm = math.floor(z * 1_000_000 / max(len(raw), 1))
+        vals.append(
+            f"('{url}', {len(raw)}, {z}, {ppm}, "
+            f"{str(ppm < RATIO_LOW_PPM).lower()}, "
+            f"{str(ppm > RATIO_HIGH_PPM).lower()})"
+        )
+    return (
+        "SELECT * FROM (VALUES\n  "
+        + ",\n  ".join(vals)
+        + "\n) AS t(url, utf8_len, zlib_len, ratio_ppm,"
+        " too_compressible, incompressible)"
+    )
+
+
+SQL_COMPRESSION_QUALITY = _sql_compression_quality()
+
+
 QUERIES = {
     "size_clusters": q_size_clusters,
     "singleton_prune": q_singleton_prune,
@@ -4074,6 +4160,8 @@ QUERIES = {
     "rep_signals": q_rep_signals,
     "rep_filter": q_rep_filter,
     "url_canonical_dedup": q_url_canonical_dedup,
+    "bloom_unseen": q_bloom_unseen,
+    "compression_quality": q_compression_quality,
     "line_dedup": q_line_dedup,
     "paragraph_dedup": q_paragraph_dedup,
     "c4_filter": q_c4_filter,
@@ -4179,6 +4267,8 @@ ORACLES = {
     "rep_signals": SQL_REP_SIGNALS,
     "rep_filter": SQL_REP_FILTER,
     "url_canonical_dedup": SQL_URL_CANONICAL_DEDUP,
+    "bloom_unseen": SQL_BLOOM_UNSEEN,
+    "compression_quality": SQL_COMPRESSION_QUALITY,
     "line_dedup": SQL_LINE_DEDUP,
     "paragraph_dedup": SQL_PARAGRAPH_DEDUP,
     "c4_filter": SQL_C4_FILTER,
