@@ -1,6 +1,6 @@
 """spark-submit entry point for INCREMENTAL ingest against a seen-corpus.
 
-Three subcommands:
+Four subcommands:
 
     # one-time (or periodic) index build from the accepted corpus
     spark-submit --master <master> --py-files dedupe_algo_spark.zip \
@@ -17,6 +17,13 @@ Three subcommands:
         --name seen --location /path/to/warehouse/seen \
         --output /path/to/probe_out \
         [--buckets 64] [--threshold 0.8] [--min-matches 2] [--min-len 10]
+
+    # exact-tier screen against an UN-indexed ad-hoc corpus (no prior
+    # `index` run): bloom-gated, exact output (see screen_batch)
+    spark-submit --master <master> --py-files dedupe_algo_spark.zip \
+        jobs/incremental_job.py screen \
+        --batch /path/to/new_batch_parquet --corpus /path/to/corpus \
+        --output /path/to/screen_out [--bloom-fpp 1e-3] [--min-len 10]
 
     # per-batch entity maintenance: fold the probe's exact+near hits
     # into the entity table, recomputing only the touched clusters
@@ -148,6 +155,50 @@ def probe_batch(
     return unseen, exact, near
 
 
+def screen_batch(spark, batch, corpus, fpp: float = 1e-3):
+    """→ (unseen, seen, bloom): exact-tier batch-vs-corpus screen when
+    NO index exists (ad-hoc snapshots, foreign tables — the un-bucketed
+    case ``probe`` can't serve without an ``index`` run first).
+
+    A Bloom filter over the batch's content hashes
+    (operators/membership.py) gates the corpus scan before the join, so
+    corpus-side bytes in motion are ``overlap + fpp*|corpus|`` instead
+    of ``|corpus|`` — the result is EXACT (no false negatives + trailing
+    exact joins). ``unseen`` keeps the batch schema deduped to one row
+    per content hash (min url, same accept-and-append contract as
+    ``probe``); ``seen`` is the (url, corpus_url) exact-hit table. The
+    near tier genuinely needs the LSH index — build one (``index``) for
+    near-dup screening.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from dedupe_algo_spark.operators.membership import build_key_bloom
+
+    hashed = batch.withColumn(
+        "content_sha256", F.sha2(F.col("text"), 256)
+    ).persist()
+    bloom = build_key_bloom(hashed, "content_sha256", fpp=fpp)
+    gated = bloom.gate(
+        corpus.select(
+            F.sha2(F.col("text"), 256).alias("content_sha256"),
+            F.col("url").alias("corpus_url"),
+        ),
+        "content_sha256",
+    ).persist()
+    seen = hashed.join(gated, "content_sha256").select("url", "corpus_url")
+    first_of_content = F.row_number().over(
+        Window.partitionBy("content_sha256").orderBy("url")
+    )
+    unseen = (
+        hashed.join(gated.select("content_sha256"), "content_sha256", "left_anti")
+        .withColumn("_rn", first_of_content)
+        .where(F.col("_rn") == 1)
+        .drop("_rn", "content_sha256")
+    )
+    return unseen, seen, bloom
+
+
 def merge_entities(spark, assignments, hits_dir: str):
     """→ updated (url, component): fold a probe run's exact + near hit
     tables (each a (url, corpus_url[, score]) edge list under
@@ -190,6 +241,15 @@ def main() -> None:
     pp.add_argument("--threshold", type=float, default=0.80)
     pp.add_argument("--min-matches", type=int, default=2)
     pp.add_argument("--min-len", type=int, default=10)
+    ps = sub.add_parser(
+        "screen",
+        help="exact-tier bloom-gated screen against an UN-indexed corpus",
+    )
+    ps.add_argument("--batch", required=True)
+    ps.add_argument("--corpus", required=True, help="ad-hoc corpus parquet")
+    ps.add_argument("--output", required=True)
+    ps.add_argument("--bloom-fpp", type=float, default=1e-3)
+    ps.add_argument("--min-len", type=int, default=10)
     pm = sub.add_parser(
         "merge",
         help="fold a probe run's exact+near hits into the entity table",
@@ -222,6 +282,26 @@ def main() -> None:
                 {
                     "prior": prior.count(),
                     "entities_rows": spark.read.parquet(args.output).count(),
+                }
+            )
+        )
+    elif args.cmd == "screen":
+        batch = spark.read.parquet(args.batch).where(
+            F.length("text") >= args.min_len
+        )
+        corpus = spark.read.parquet(args.corpus)
+        unseen, seen, bloom = screen_batch(spark, batch, corpus, args.bloom_fpp)
+        unseen.write.mode("overwrite").parquet(f"{args.output}/unseen")
+        seen.write.mode("overwrite").parquet(f"{args.output}/seen")
+        print(
+            json.dumps(
+                {
+                    "batch": batch.count(),
+                    "unseen": spark.read.parquet(f"{args.output}/unseen").count(),
+                    "seen_hits": spark.read.parquet(f"{args.output}/seen").count(),
+                    "bloom_bits": bloom.m,
+                    "bloom_hashes": bloom.k,
+                    "bloom_fpp_estimate": round(bloom.fpp_estimate, 8),
                 }
             )
         )

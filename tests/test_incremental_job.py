@@ -167,3 +167,35 @@ def test_merge_entities_end_to_end(spark, index, tmp_path):
     }
     assert ("https://seen/5", "https://new/exact") in fresh
     assert ("https://seen/9", "https://new/near") in fresh
+
+
+def test_screen_batch_unindexed_corpus(spark):
+    """screen: exact-tier bloom-gated split against an ad-hoc corpus —
+    identical verdicts to a plain anti-join, plus the within-batch
+    content dedup of the accept contract."""
+    from jobs.incremental_job import screen_batch
+
+    corpus = spark.createDataFrame(
+        [(f"https://seen/{i}", _text(i)) for i in range(40)],
+        "url string, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            ("https://new/exact", _text(5)),
+            ("https://new/novel-a", _text(901)),
+            ("https://new/novel-b", _text(901)),  # same novel content
+            ("https://new/other", _text(902)),
+        ],
+        "url string, text string",
+    )
+    unseen, seen, bloom = screen_batch(spark, batch, corpus, fpp=0.01)
+    assert [(r["url"], r["corpus_url"]) for r in seen.collect()] == [
+        ("https://new/exact", "https://seen/5")
+    ]
+    # novel content admitted once (min url), batch schema preserved
+    assert sorted(r["url"] for r in unseen.collect()) == [
+        "https://new/novel-a",
+        "https://new/other",
+    ]
+    assert set(unseen.columns) == {"url", "text"}
+    assert bloom.m > 0 and bloom.fpp_estimate < 0.5
