@@ -58,6 +58,40 @@ def pair_jaccard_udf(text_a: pd.Series, text_b: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+@pandas_udf(DoubleType())
+def pair_containment_udf(text_a: pd.Series, text_b: pd.Series) -> pd.Series:
+    """Exact token-set containment |A∩B|/min(|A|,|B|) per pair — the
+    doc-in-doc dial (see operators/scoring.token_containment_score for
+    semantics; this is its pandas twin for the non-jvm_tokens path).
+    Same memory-lean distinct-text cache as pair_jaccard_udf."""
+    cache: dict[str, np.ndarray] = {}
+
+    def tok_hashes(s: str) -> np.ndarray:
+        arr = cache.get(s)
+        if arr is None:
+            toks = s.split()
+            arr = (
+                np.unique(pd.util.hash_array(np.asarray(toks, dtype=object)))
+                if toks
+                else np.empty(0, dtype=np.uint64)
+            )
+            cache[s] = arr
+        return arr
+
+    out = np.empty(len(text_a), dtype=np.float64)
+    for i, (a, b) in enumerate(zip(text_a.values, text_b.values)):
+        if a is None or b is None:
+            out[i] = np.nan
+            continue
+        ha, hb = tok_hashes(a), tok_hashes(b)
+        mn = min(ha.size, hb.size)
+        if mn == 0:
+            out[i] = 1.0
+            continue
+        out[i] = np.intersect1d(ha, hb, assume_unique=True).size / mn
+    return pd.Series(out)
+
+
 def levenshtein_sim_col(a: Column, b: Column, cap: int = LEV_CAP) -> Column:
     """1 − lev(a,b)/max(len) on ``cap``-char prefixes — built-in, JVM-side."""
     pa, pb = F.substring(a, 1, cap), F.substring(b, 1, cap)

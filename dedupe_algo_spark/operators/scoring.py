@@ -65,6 +65,19 @@ def token_jaccard_score(ta, tb):
     return F.when(union == 0, F.lit(1.0)).otherwise(inter / union.cast("double"))
 
 
+def token_containment_score(ta, tb):
+    """Containment over two token-hash arrays: |A∩B| / min(|A|,|B|) —
+    the doc-in-doc dial. A page embedded verbatim in a longer page
+    (syndicated article + surrounding boilerplate, quoted post inside a
+    thread) scores 1.0 here while its Jaccard sinks toward
+    |A|/|B|. Symmetric min-denominator form (Broder's containment is
+    one-sided; min makes the pair score order-independent, matching the
+    url_a<url_b canonical pair orientation). Two empty docs score 1.0."""
+    inter = F.size(F.array_intersect(ta, tb))
+    mn = F.least(F.size(ta), F.size(tb))
+    return F.when(mn == 0, F.lit(1.0)).otherwise(inter / mn.cast("double"))
+
+
 def band_gate(
     pairs_with_counts: DataFrame, min_matches: int = DEFAULT_MIN_BAND_MATCHES
 ) -> DataFrame:
@@ -114,7 +127,11 @@ def confirm_pairs(
     like token Jaccard but sub-word-granular, the dial for boilerplate
     with small edits). The prefix scorers exist for fielded-record
     linkage (names, titles); they reuse the exact same carve-out/join
-    shape, so text still never shuffles. ``"tfidf"`` scores pairs by
+    shape, so text still never shuffles. ``"containment"`` swaps the
+    token-set denominator for min(|A|,|B|) — the doc-in-doc dial
+    (syndicated article embedded in a longer page scores 1.0 where its
+    Jaccard sinks); identical plan to "jaccard" on both the jvm_tokens
+    and pandas paths. ``"tfidf"`` scores pairs by
     corpus-IDF-weighted cosine (operators/corpus_stats.py) — the dial
     when candidate pages share heavy boilerplate that unweighted token
     Jaccard over-credits; it adds ONE corpus-wide slim aggregate (the
@@ -178,7 +195,7 @@ def confirm_pairs(
             scored = weighted_jaccard_pairs(
                 pages, cand, id_col="url", id_a="url_a", id_b="url_b"
             ).withColumnRenamed("wjaccard", "score")
-    elif scorer != "jaccard":
+    elif scorer not in ("jaccard", "containment"):
         from ..functions.similarity import (
             LEV_CAP,
             levenshtein_sim_col,
@@ -235,16 +252,25 @@ def confirm_pairs(
         slice_.count()
         ta = slice_.select(F.col("url").alias("url_a"), F.col("_toks").alias("_ta"))
         tb = slice_.select(F.col("url").alias("url_b"), F.col("_toks").alias("_tb"))
-        score = token_jaccard_score(F.col("_ta"), F.col("_tb"))
+        score = (
+            token_containment_score(F.col("_ta"), F.col("_tb"))
+            if scorer == "containment"
+            else token_jaccard_score(F.col("_ta"), F.col("_tb"))
+        )
         scored = cand.join(ta, "url_a").join(tb, "url_b").withColumn("score", score)
     else:
+        from ..functions.similarity import pair_containment_udf
+
         slice_ = _persist(sliced.select("url", "text"))
         ta = slice_.select(F.col("url").alias("url_a"), F.col("text").alias("_ta"))
         tb = slice_.select(F.col("url").alias("url_b"), F.col("text").alias("_tb"))
+        pair_udf = (
+            pair_containment_udf if scorer == "containment" else pair_jaccard_udf
+        )
         scored = (
             cand.join(ta, "url_a")
             .join(tb, "url_b")
-            .withColumn("score", pair_jaccard_udf(F.col("_ta"), F.col("_tb")))
+            .withColumn("score", pair_udf(F.col("_ta"), F.col("_tb")))
         )
     return scored.where(F.col("score") >= threshold).select("url_a", "url_b", "score")
 

@@ -4047,6 +4047,83 @@ WHERE b.doc_id % 3 = 1
 _ZQ_SAMPLE = "substring(sha256(url), 1, 1) = '0'"
 
 
+def q_containment_pairs(spark, sf_dir):
+    """Token-set containment |A∩B|/min(|A|,|B|) — the doc-in-doc dial
+    (confirm_pairs scorer="containment") — on planted embedded pairs:
+    each doc vs its own first-40-token slice (containment exactly 1.0)
+    and vs its successor doc (containment vs jaccard contrast). Scored
+    TWICE — the JVM column form over string token arrays and the
+    batched pandas UDF — so one row pins builtin == UDF == DuckDB."""
+    from .functions.similarity import pair_containment_udf
+    from .operators.scoring import token_containment_score, token_jaccard_score
+
+    toks = F.array_distinct(
+        F.array_remove(F.split(F.trim(F.col("text")), r"\s+"), "")
+    )
+    t = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.col("text"),
+        toks.alias("toks"),
+        F.concat_ws(" ", F.slice(toks, 1, 40)).alias("head40"),
+    )
+    embedded = t.select(
+        "doc_id",
+        F.lit("embedded").alias("kind"),
+        token_containment_score(
+            F.array_distinct(F.array_remove(F.split("head40", r"\s+"), "")),
+            F.col("toks"),
+        ).alias("containment"),
+        pair_containment_udf(F.col("head40"), F.col("text")).alias(
+            "containment_udf"
+        ),
+    )
+    b = t.select(
+        (F.col("doc_id") - 1).alias("doc_id"), F.col("toks").alias("toks_b")
+    )
+    succ = t.join(b, "doc_id").select(
+        "doc_id",
+        F.lit("successor").alias("kind"),
+        token_containment_score(F.col("toks"), F.col("toks_b")).alias(
+            "containment"
+        ),
+        token_jaccard_score(F.col("toks"), F.col("toks_b")).alias(
+            "containment_udf"
+        ),  # jaccard ≤ containment; twin column reused for the contrast
+    )
+    return embedded.unionByName(succ)
+
+
+SQL_CONTAINMENT_PAIRS = r"""
+WITH t AS (
+  SELECT doc_id,
+    list_distinct(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                              x -> x <> '')) AS toks
+  FROM documents
+), h AS (
+  SELECT doc_id, toks, list_slice(toks, 1, 40) AS head FROM t
+)
+SELECT doc_id, 'embedded' AS kind,
+  CASE WHEN least(len(head), len(toks)) = 0 THEN 1.0
+       ELSE CAST(len(list_intersect(head, toks)) AS DOUBLE)
+            / least(len(head), len(toks)) END AS containment,
+  CASE WHEN least(len(head), len(toks)) = 0 THEN 1.0
+       ELSE CAST(len(list_intersect(head, toks)) AS DOUBLE)
+            / least(len(head), len(toks)) END AS containment_udf
+FROM h
+UNION ALL
+SELECT a.doc_id, 'successor' AS kind,
+  CASE WHEN least(len(a.toks), len(b.toks)) = 0 THEN 1.0
+       ELSE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+            / least(len(a.toks), len(b.toks)) END AS containment,
+  CASE WHEN len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)) = 0
+       THEN 1.0
+       ELSE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+            / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
+  END AS containment_udf
+FROM t a JOIN t b ON b.doc_id = a.doc_id + 1
+"""
+
+
 def q_compression_quality(spark, sf_dir):
     """Compression-ratio quality signal (functions/text.py): zlib/utf8
     byte ratio in ppm + the Gopher-style too-compressible /
@@ -4162,6 +4239,7 @@ QUERIES = {
     "url_canonical_dedup": q_url_canonical_dedup,
     "bloom_unseen": q_bloom_unseen,
     "compression_quality": q_compression_quality,
+    "containment_pairs": q_containment_pairs,
     "line_dedup": q_line_dedup,
     "paragraph_dedup": q_paragraph_dedup,
     "c4_filter": q_c4_filter,
@@ -4269,6 +4347,7 @@ ORACLES = {
     "url_canonical_dedup": SQL_URL_CANONICAL_DEDUP,
     "bloom_unseen": SQL_BLOOM_UNSEEN,
     "compression_quality": SQL_COMPRESSION_QUALITY,
+    "containment_pairs": SQL_CONTAINMENT_PAIRS,
     "line_dedup": SQL_LINE_DEDUP,
     "paragraph_dedup": SQL_PARAGRAPH_DEDUP,
     "c4_filter": SQL_C4_FILTER,

@@ -242,3 +242,40 @@ def test_confirm_pairs_weighted_jaccard_scorer(spark):
         for r in confirm_pairs(pairs, pages, 0.0).collect()
     }
     assert jac[("u2", "u3")] == 1.0  # the set scorer can't see counts
+
+
+def test_confirm_pairs_containment_scorer(spark):
+    """scorer='containment': |A∩B|/min(|A|,|B|) — a page embedded
+    verbatim in a longer page scores 1.0 while its Jaccard sinks;
+    jvm_tokens and pandas paths agree exactly."""
+    from dedupe_algo_spark.operators.scoring import confirm_pairs
+
+    inner = "alpha beta gamma delta epsilon"
+    texts = {
+        "u1": inner,
+        "u2": "header menu " + inner + " footer copyright contact",
+        "u3": "totally different page about other things entirely",
+    }
+    pages = spark.createDataFrame(list(texts.items()), "url string, text string")
+    pairs = spark.createDataFrame(
+        [("u1", "u2"), ("u1", "u3")], "url_a string, url_b string"
+    )
+    jvm = {
+        (r["url_a"], r["url_b"]): r["score"]
+        for r in confirm_pairs(pairs, pages, 0.0, scorer="containment").collect()
+    }
+    pd_ = {
+        (r["url_a"], r["url_b"]): r["score"]
+        for r in confirm_pairs(
+            pairs, pages, 0.0, jvm_tokens=False, scorer="containment"
+        ).collect()
+    }
+    assert jvm == pd_
+    assert jvm[("u1", "u2")] == 1.0  # doc-in-doc
+    assert jvm[("u1", "u3")] == 0.0
+    # contrast: plain jaccard punishes the embedded pair
+    jac = {
+        (r["url_a"], r["url_b"]): r["score"]
+        for r in confirm_pairs(pairs, pages, 0.0).collect()
+    }
+    assert jac[("u1", "u2")] == 5 / 10  # inter 5, union 10
