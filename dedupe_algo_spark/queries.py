@@ -1140,6 +1140,51 @@ FROM e
 """
 
 
+def q_warc_ingest(spark, sf_dir):
+    """WARC container round-trip (sources/warc.py): pack the HTML
+    fixture into spec-shaped ``.warc.gz`` blobs (one gzip member per
+    record, Common Crawl layout), then run the distributed
+    ``mapInPandas`` parser over the blobs and emit one row per HTTP
+    response. The oracle recomputes every checked field — url,
+    second-resolution epoch, status, content type, body sha256/length —
+    straight from the source parquet, so a parser bug anywhere
+    (member splitting, header parse, Content-Length slicing, HTTP
+    envelope strip, date decode) breaks the hash. ``warc_epoch`` is a
+    deterministic function of the row (a carried value, not a clock):
+    base epoch + 13·bytes(html) + 7919·len(url)."""
+    from .sources.warc import read_warc_records, warc_blobs_from_pages
+
+    pages = spark.read.parquet(HTML_SNAPSHOT).select(
+        "url",
+        "html",
+        (
+            F.lit(1735689600)
+            + F.length("html") * 13
+            + F.length("url") * 7919
+        ).alias("ts_epoch"),
+    )
+    recs = read_warc_records(warc_blobs_from_pages(pages), only_responses=True)
+    return recs.select(
+        "url",
+        "warc_epoch",
+        "http_status",
+        "content_type",
+        F.sha2(F.col("body").cast("string"), 256).alias("html_sha256"),
+        F.length("body").alias("n_bytes"),
+    )
+
+
+SQL_WARC_INGEST = f"""
+SELECT url,
+       1735689600 + 13 * octet_length(html) + 7919 * length(url) AS warc_epoch,
+       200 AS http_status,
+       'text/html; charset=utf-8' AS content_type,
+       sha256(decode(html)) AS html_sha256,
+       octet_length(html) AS n_bytes
+FROM read_parquet('{HTML_SNAPSHOT}')
+"""
+
+
 SQL_PAGES_DEDUP_EXACT = f"""
 WITH m AS (
   SELECT url, length(text) AS text_len, sha256(text) AS content_sha256
@@ -4223,6 +4268,7 @@ QUERIES = {
     # flagship exact tier with a direct recomputed oracle
     "pages_dedup_exact": q_pages_dedup_exact,
     "html_extract": q_html_extract,
+    "warc_ingest": q_warc_ingest,
     # derived deterministic twins of the rows-only queries below
     "dedup_cluster_stats": q_dedup_cluster_stats,
     "minhash_pair_stats": q_minhash_pair_stats,
@@ -4332,6 +4378,7 @@ ORACLES = {
     "semantic_dedup": SQL_SEMANTIC_DEDUP,
     "pages_dedup_exact": SQL_PAGES_DEDUP_EXACT,
     "html_extract": SQL_HTML_EXTRACT,
+    "warc_ingest": SQL_WARC_INGEST,
     "pages_dedup_clusters_2k": SQL_PAGES_DEDUP_CLUSTERS_2K,
     "minhash_dup_pairs": SQL_MINHASH_DUP_PAIRS,
     "dedup_cluster_stats": SQL_DEDUP_CLUSTER_STATS,

@@ -125,3 +125,28 @@ MEDIA_FEATURES_CSV_SCHEMA = StructType(
         StructField("n_bytes", LongType(), nullable=False),
     ]
 )
+
+# WARC container source (sources/warc.py): Common-Crawl-style blobs in,
+# one row per WARC record out. `warc_epoch` carries the second-resolution
+# WARC-Date as an integer so comparisons never touch timezone semantics;
+# `warc_ts` is the same instant as a timestamp for the API shape.
+WARC_BLOB_SCHEMA = StructType(
+    [
+        StructField("warc_file", StringType(), nullable=False),
+        StructField("data", BinaryType(), nullable=False),
+    ]
+)
+
+WARC_RECORDS_SCHEMA = StructType(
+    [
+        StructField("warc_file", StringType(), nullable=False),
+        StructField("rec_index", IntegerType(), nullable=False),
+        StructField("warc_type", StringType(), nullable=False),
+        StructField("url", StringType(), nullable=True),
+        StructField("warc_epoch", LongType(), nullable=True),
+        StructField("warc_ts", TimestampType(), nullable=True),
+        StructField("http_status", IntegerType(), nullable=True),
+        StructField("content_type", StringType(), nullable=True),
+        StructField("body", BinaryType(), nullable=False),
+    ]
+)

@@ -1,0 +1,257 @@
+"""WARC (ISO 28500) container source — Common-Crawl-style ingestion.
+
+The BASELINE ``input_hint`` table ``(url, warc_ts, html, text, lang)``
+is what a Common Crawl WARC segment parses INTO; this module performs
+that parse as a distributed source. A DataFrame of
+``(warc_file, data binary)`` blobs — one row per ``.warc.gz`` object,
+exactly how Common Crawl ships segments — goes through an Arrow-batched
+``mapInPandas`` parser that yields one row per WARC record. Reference
+parity: SURVEY §2 S1/S7 (scan + system-node enrichment); the reference
+scans a filesystem tree, the web-scale graft scans a WARC bucket.
+
+Scale notes:
+- Parallelism is per-blob (one task per WARC object; CC segments are
+  ~1 GiB — when the blobs come from ``spark.read.format("binaryFile")``
+  each file is already its own partition). Parsing is pure stdlib
+  (``zlib`` for the per-record gzip members) so no extra deps.
+- The parser materializes one *decompressed file* at a time inside the
+  Arrow batch (CC segments decompress to ~4-5 GiB; for full-size segments
+  pass ``spark.sql.execution.arrow.maxRecordsPerBatch=1`` so a task
+  holds one blob). Memory is bounded by the blob, never the partition.
+- The checked fields avoid timestamps-as-timestamps: ``warc_epoch`` is
+  the integer epoch parsed from ``WARC-Date`` (second resolution per
+  the spec), sidestepping session-timezone semantics in comparisons;
+  ``warc_ts`` (timestamp) is also emitted for the API shape.
+
+The writer half (``build_warc`` / ``warc_blobs_from_pages``) exists for
+fixtures and tests: it produces spec-shaped ``.warc.gz`` bytes (one
+gzip member per record — the Common Crawl layout that makes records
+independently seekable) from a pages table, deterministically, so the
+round-trip is oracle-checkable against the source parquet.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+import zlib
+from calendar import timegm
+from time import gmtime, strftime, strptime
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..schemas import WARC_BLOB_SCHEMA, WARC_RECORDS_SCHEMA
+
+_GZIP_MAGIC = b"\x1f\x8b"
+_CRLF2 = b"\r\n\r\n"
+
+
+def _gunzip_members(data: bytes) -> bytes:
+    """Decompress a (possibly multi-member) gzip stream; pass through
+    plain bytes. Member-by-member via ``unused_data`` so a trailing
+    truncated member degrades to 'records so far', matching how CC
+    readers tolerate a cut-off segment."""
+    if not data.startswith(_GZIP_MAGIC):
+        return data
+    out = []
+    while data.startswith(_GZIP_MAGIC):
+        o = zlib.decompressobj(16 + zlib.MAX_WBITS)
+        try:
+            out.append(o.decompress(data))
+            out.append(o.flush())
+        except zlib.error:
+            break  # truncated member: keep what decoded so far
+        data = o.unused_data
+    return b"".join(out)
+
+
+def _parse_headers(block: bytes) -> dict[str, str]:
+    headers: dict[str, str] = {}
+    for line in block.split(b"\r\n")[1:]:  # [0] is the version/status line
+        k, sep, v = line.partition(b":")
+        if sep:
+            headers[k.strip().lower().decode("latin-1")] = v.strip().decode(
+                "latin-1"
+            )
+    return headers
+
+
+def parse_warc(data: bytes) -> Iterator[dict]:
+    """Iterate WARC records in ``data`` (gzipped or plain).
+
+    Yields dicts with ``warc_type, url, warc_epoch, http_status,
+    content_type, body``. For ``response`` records the HTTP envelope is
+    stripped (status + Content-Type parsed out); other record types
+    (``warcinfo``, ``request``, ``metadata``) carry their raw payload
+    and ``http_status=None``. Malformed tails (missing header break,
+    short payload) terminate iteration instead of raising — a cut-off
+    object yields its complete prefix."""
+    buf = _gunzip_members(bytes(data))
+    pos = 0
+    while True:
+        i = buf.find(b"WARC/", pos)
+        if i < 0:
+            return
+        hdr_end = buf.find(_CRLF2, i)
+        if hdr_end < 0:
+            return
+        headers = _parse_headers(buf[i:hdr_end])
+        try:
+            clen = int(headers.get("content-length", ""))
+        except ValueError:
+            return
+        payload = buf[hdr_end + 4 : hdr_end + 4 + clen]
+        if len(payload) < clen:
+            return  # truncated record
+        pos = hdr_end + 4 + clen
+        rec = {
+            "warc_type": headers.get("warc-type", ""),
+            "url": headers.get("warc-target-uri"),
+            "warc_epoch": _parse_warc_date(headers.get("warc-date")),
+            "http_status": None,
+            "content_type": None,
+            "body": payload,
+        }
+        if payload.startswith(b"HTTP/"):
+            he = payload.find(_CRLF2)
+            if he >= 0:
+                http = _parse_headers(payload[:he])
+                status_line = payload[: payload.find(b"\r\n")].split(b" ")
+                try:
+                    rec["http_status"] = int(status_line[1])
+                except (IndexError, ValueError):
+                    pass
+                rec["content_type"] = http.get("content-type")
+                rec["body"] = payload[he + 4 :]
+        yield rec
+
+
+def _parse_warc_date(s: str | None) -> int | None:
+    if not s:
+        return None
+    try:
+        return timegm(strptime(s, "%Y-%m-%dT%H:%M:%SZ"))
+    except ValueError:
+        return None
+
+
+def read_warc_records(
+    blobs: DataFrame,
+    file_col: str = "warc_file",
+    blob_col: str = "data",
+    only_responses: bool = False,
+) -> DataFrame:
+    """Distributed WARC parse: ``(warc_file, data)`` → one row per
+    record (``WARC_RECORDS_SCHEMA``). ``only_responses`` pushes the
+    ``warc_type='response'`` filter inside the parser so non-response
+    payloads never cross the Arrow boundary."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = WARC_RECORDS_SCHEMA.fieldNames()
+        for pdf in batches:
+            for name, data in zip(pdf[file_col], pdf[blob_col]):
+                rows = []
+                for idx, rec in enumerate(parse_warc(data)):
+                    if only_responses and rec["warc_type"] != "response":
+                        continue
+                    epoch = rec["warc_epoch"]
+                    rows.append(
+                        (
+                            name,
+                            idx,
+                            rec["warc_type"],
+                            rec["url"],
+                            epoch,
+                            pd.Timestamp(epoch, unit="s")
+                            if epoch is not None
+                            else pd.NaT,
+                            rec["http_status"],
+                            rec["content_type"],
+                            rec["body"],
+                        )
+                    )
+                # one yield per FILE keeps peak memory at one decoded blob
+                yield pd.DataFrame(rows, columns=cols)
+
+    return blobs.mapInPandas(gen, schema=WARC_RECORDS_SCHEMA)
+
+
+def build_warc(records: list[tuple[str, int, bytes]], warcinfo: bool = True) -> bytes:
+    """Spec-shaped ``.warc.gz`` bytes from ``(url, epoch, html)`` rows:
+    one gzip member per record (the Common Crawl layout — records stay
+    independently seekable), an optional leading ``warcinfo`` member,
+    HTTP/1.1 response envelope per page. Deterministic: record ids
+    derive from the url, dates from the given epoch."""
+    out = io.BytesIO()
+
+    def member(warc_headers: list[tuple[str, str]], payload: bytes) -> None:
+        head = b"WARC/1.0\r\n" + b"".join(
+            f"{k}: {v}\r\n".encode("latin-1") for k, v in warc_headers
+        )
+        rec = head + f"Content-Length: {len(payload)}\r\n\r\n".encode() + payload + b"\r\n\r\n"
+        # mtime=0 + fixed filename keep the bytes reproducible run-to-run
+        out.write(gzip.compress(rec, mtime=0))
+
+    if warcinfo:
+        info = b"software: dedupe-algo-spark/fixture\r\n"
+        member(
+            [
+                ("WARC-Type", "warcinfo"),
+                ("WARC-Date", "2026-01-01T00:00:00Z"),
+                ("Content-Type", "application/warc-fields"),
+            ],
+            info,
+        )
+    for url, epoch, html in records:
+        date = strftime("%Y-%m-%dT%H:%M:%SZ", gmtime(int(epoch)))
+        http = (
+            b"HTTP/1.1 200 OK\r\n"
+            b"Content-Type: text/html; charset=utf-8\r\n"
+            + f"Content-Length: {len(html)}\r\n\r\n".encode()
+            + bytes(html)
+        )
+        member(
+            [
+                ("WARC-Type", "response"),
+                ("WARC-Target-URI", url),
+                ("WARC-Date", date),
+                ("Content-Type", "application/http; msgtype=response"),
+            ],
+            http,
+        )
+    return out.getvalue()
+
+
+def warc_blobs_from_pages(
+    pages: DataFrame, per_file: int = 50, ts_col: str = "ts_epoch"
+) -> DataFrame:
+    """Pack a pages DataFrame ``(url, ts_epoch, html)`` into
+    deterministic WARC blobs, ``per_file`` records each, urls sorted.
+
+    Fixture-scale writer: the global ``row_number`` window is a single
+    shuffle and fine for test corpora; at crawl scale WARC objects
+    already exist on storage and this function is never on the path
+    (``read_warc_records`` is). ``applyInPandas`` per file id keeps the
+    build streaming — one file's records per task."""
+    w = Window.orderBy("url")
+    tagged = (
+        pages.select("url", ts_col, "html")
+        .withColumn("_rn", F.row_number().over(w) - F.lit(1))
+        .withColumn("_fid", (F.col("_rn") / per_file).cast("long"))
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("_rn")
+        fid = int(pdf["_fid"].iloc[0])
+        blob = build_warc(
+            list(zip(pdf["url"], pdf[ts_col].astype(int), pdf["html"]))
+        )
+        return pd.DataFrame(
+            {"warc_file": [f"crawl-{fid:05d}.warc.gz"], "data": [blob]}
+        )
+
+    return tagged.groupBy("_fid").applyInPandas(pack, schema=WARC_BLOB_SCHEMA)

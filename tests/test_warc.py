@@ -1,0 +1,93 @@
+"""WARC container source (sources/warc.py): writer/parser round-trip,
+malformed-input tolerance, and the distributed mapInPandas read path."""
+
+from __future__ import annotations
+
+import gzip
+
+from pyspark.sql import functions as F
+
+from dedupe_algo_spark.sources.warc import (
+    _gunzip_members,
+    build_warc,
+    parse_warc,
+    read_warc_records,
+    warc_blobs_from_pages,
+)
+
+PAGES = [
+    ("http://ex.com/a", 1735689600, b"<html><body>alpha \xc3\xa9</body></html>"),
+    ("http://ex.com/b", 1735689661, b"<p>beta</p>"),
+    ("http://ex.com/c", 1735693200, b"x" * 5000),
+]
+
+
+def test_round_trip_gzip_members():
+    blob = build_warc(PAGES)
+    recs = list(parse_warc(blob))
+    assert [r["warc_type"] for r in recs] == ["warcinfo", "response", "response", "response"]
+    resp = recs[1:]
+    assert [(r["url"], r["warc_epoch"], r["body"]) for r in resp] == PAGES
+    assert all(r["http_status"] == 200 for r in resp)
+    assert all(r["content_type"] == "text/html; charset=utf-8" for r in resp)
+    # warcinfo carries no HTTP envelope
+    assert recs[0]["http_status"] is None and recs[0]["url"] is None
+
+
+def test_plain_uncompressed_warc():
+    plain = _gunzip_members(build_warc(PAGES, warcinfo=False))
+    assert not plain.startswith(b"\x1f\x8b")
+    recs = list(parse_warc(plain))
+    assert [(r["url"], r["body"]) for r in recs] == [(u, h) for u, _, h in PAGES]
+
+
+def test_truncated_blob_yields_complete_prefix():
+    blob = build_warc(PAGES, warcinfo=False)
+    # cut inside the last gzip member: the first two records must survive
+    cut = blob[: len(blob) - 100]
+    recs = list(parse_warc(cut))
+    assert 1 <= len(recs) < len(PAGES)
+    assert recs[0]["body"] == PAGES[0][2]
+    # cutting mid-record after decompression also degrades, never raises
+    plain = _gunzip_members(blob)
+    assert len(list(parse_warc(plain[: len(plain) - 10]))) == len(PAGES) - 1
+
+
+def test_single_member_gzip_stream_parses():
+    # a whole-file gzip (not per-record members) is also tolerated
+    plain = _gunzip_members(build_warc(PAGES, warcinfo=False))
+    whole = gzip.compress(plain, mtime=0)
+    assert len(list(parse_warc(whole))) == len(PAGES)
+
+
+def test_read_warc_records_distributed(spark):
+    blobs = spark.createDataFrame(
+        [("f0.warc.gz", bytearray(build_warc(PAGES)))], "warc_file string, data binary"
+    )
+    out = read_warc_records(blobs, only_responses=True).orderBy("rec_index")
+    rows = out.collect()
+    assert [r.url for r in rows] == [u for u, _, _ in PAGES]
+    assert [bytes(r.body) for r in rows] == [h for _, _, h in PAGES]
+    assert [r.warc_epoch for r in rows] == [t for _, t, _ in PAGES]
+    # timestamp column mirrors the epoch (session tz is UTC)
+    ts = out.select(F.unix_timestamp("warc_ts").alias("e")).collect()
+    assert [r.e for r in ts] == [t for _, t, _ in PAGES]
+    # non-response records are filtered inside the parser
+    all_rows = read_warc_records(blobs).collect()
+    assert len(all_rows) == len(PAGES) + 1
+
+
+def test_warc_blobs_from_pages_deterministic(spark):
+    pages = spark.createDataFrame(
+        [(u, h, t) for u, t, h in PAGES], "url string, html binary, ts_epoch long"
+    )
+    b1 = {r.warc_file: bytes(r.data) for r in warc_blobs_from_pages(pages, per_file=2).collect()}
+    b2 = {r.warc_file: bytes(r.data) for r in warc_blobs_from_pages(pages, per_file=2).collect()}
+    assert b1 == b2  # byte-reproducible (mtime=0, url-sorted packing)
+    assert sorted(b1) == ["crawl-00000.warc.gz", "crawl-00001.warc.gz"]
+    # records land url-sorted across files, 2 then 1
+    parsed = {f: [r["url"] for r in parse_warc(d) if r["warc_type"] == "response"] for f, d in b1.items()}
+    assert parsed == {
+        "crawl-00000.warc.gz": ["http://ex.com/a", "http://ex.com/b"],
+        "crawl-00001.warc.gz": ["http://ex.com/c"],
+    }
