@@ -180,6 +180,30 @@ def read_warc_records(
     return blobs.mapInPandas(gen, schema=WARC_RECORDS_SCHEMA)
 
 
+def pages_from_warc(blobs: DataFrame, **read_kw) -> DataFrame:
+    """WARC blobs → the flagship pages table, end to end: parse the
+    responses (``read_warc_records``), extract text with the
+    whole-stage-codegen HTML automaton (functions/html.py), classify
+    language with the stopword-vote heuristic (functions/text.py).
+    Output is exactly the BASELINE ``input_hint`` shape
+    ``(url, warc_ts, html, text, lang)`` — i.e. this is the missing
+    first mile: a Common Crawl segment bucket in, the dedup pipeline's
+    input table out, with Python touched only inside the one Arrow
+    parser; extraction and lang-id stay JVM-side codegen."""
+    from ..functions.html import extract_html_text
+    from ..functions.text import lang_id_heuristic
+
+    recs = read_warc_records(blobs, only_responses=True, **read_kw)
+    text = extract_html_text(F.col("body"))
+    return recs.select(
+        "url",
+        "warc_ts",
+        F.col("body").alias("html"),
+        text.alias("text"),
+        lang_id_heuristic(text).alias("lang"),
+    )
+
+
 def build_warc(records: list[tuple[str, int, bytes]], warcinfo: bool = True) -> bytes:
     """Spec-shaped ``.warc.gz`` bytes from ``(url, epoch, html)`` rows:
     one gzip member per record (the Common Crawl layout — records stay

@@ -91,3 +91,29 @@ def test_warc_blobs_from_pages_deterministic(spark):
         "crawl-00000.warc.gz": ["http://ex.com/a", "http://ex.com/b"],
         "crawl-00001.warc.gz": ["http://ex.com/c"],
     }
+
+
+def test_pages_from_warc_reproduces_fixture(spark):
+    """End-to-end first mile: fixture pages → WARC blobs → parsed pages.
+    url/html are byte-identical; text matches the fixture's ground-truth
+    extraction (the north-star byte-identity invariant, through the WARC
+    round-trip); lang equals the heuristic applied to that text."""
+    from dedupe_algo_spark.functions.text import lang_id_heuristic
+    from dedupe_algo_spark.queries import HTML_SNAPSHOT
+    from dedupe_algo_spark.sources.warc import pages_from_warc
+
+    fix = spark.read.parquet(HTML_SNAPSHOT).limit(60)
+    src = fix.select(
+        "url", "html", (F.length("html") * 7 + 1735689600).alias("ts_epoch")
+    )
+    pages = pages_from_warc(warc_blobs_from_pages(src, per_file=25))
+    assert pages.columns == ["url", "warc_ts", "html", "text", "lang"]
+    joined = pages.alias("p").join(fix.alias("f"), "url")
+    n = fix.count()
+    assert joined.count() == n
+    ok = joined.where(
+        (F.col("p.html") == F.col("f.html"))
+        & (F.col("p.text") == F.col("f.text"))
+        & (F.col("p.lang") == lang_id_heuristic(F.col("f.text")))
+    ).count()
+    assert ok == n
