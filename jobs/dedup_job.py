@@ -8,7 +8,14 @@ Run on any cluster as:
         --input /path/to/pages_parquet \
         --output /path/to/clusters_out \
         [--threshold 0.8] [--min-len 10] [--no-near] [--from-html] \
+        [--input-format parquet|warc] \
         [--checkpoint-dir /path/to/ckpt --run-id run1]
+
+With ``--input-format warc`` the input path is a directory of
+``.warc[.gz]`` segment files (Common Crawl layout): each file becomes
+one ``binaryFile`` row, the distributed parser (sources/warc.py) turns
+records into the pages shape — text extracted, language classified —
+and the cascade runs on that. One task per segment; no staging table.
 
 The script only uses the SparkSession given to it by spark-submit (no
 master hard-coded), reads the pages table (url, warc_ts, html, text,
@@ -28,7 +35,14 @@ import argparse
 
 def main() -> None:
     p = argparse.ArgumentParser(description="web-scale dedup over pages parquet")
-    p.add_argument("--input", required=True, help="pages parquet path")
+    p.add_argument("--input", required=True, help="pages parquet path (or WARC dir)")
+    p.add_argument(
+        "--input-format",
+        choices=["parquet", "warc"],
+        default="parquet",
+        help="'warc': read --input as a directory of .warc[.gz] segments "
+        "and build the pages table with sources/warc.pages_from_warc",
+    )
     p.add_argument("--output", required=True, help="clusters parquet output path")
     p.add_argument("--threshold", type=float, default=0.80)
     p.add_argument("--min-len", type=int, default=10)
@@ -57,7 +71,19 @@ def main() -> None:
 
     from dedupe_algo_spark.pipeline import dedup_pipeline
 
-    pages = spark.read.parquet(args.input)
+    if args.input_format == "warc":
+        from pyspark.sql import functions as F
+
+        from dedupe_algo_spark.sources.warc import pages_from_warc
+
+        blobs = (
+            spark.read.format("binaryFile")
+            .load(args.input)
+            .select(F.col("path").alias("warc_file"), F.col("content").alias("data"))
+        )
+        pages = pages_from_warc(blobs)
+    else:
+        pages = spark.read.parquet(args.input)
     if args.from_html:
         from dedupe_algo_spark.functions.html import ensure_text
 

@@ -117,3 +117,34 @@ def test_pages_from_warc_reproduces_fixture(spark):
         & (F.col("p.lang") == lang_id_heuristic(F.col("f.text")))
     ).count()
     assert ok == n
+
+
+def test_warc_dir_via_binaryfile(spark, tmp_path):
+    """The dedup_job --input-format warc glue: .warc.gz segment files on
+    disk → binaryFile rows → pages table → exact cascade. One task per
+    segment file, no staging table."""
+    from dedupe_algo_spark.operators.dedup import exact_dup_assignments
+    from dedupe_algo_spark.sources.warc import pages_from_warc
+
+    text = "dup dup dup words " * 20
+    html = f"<html><body>{text.strip()}</body></html>".encode()
+    seg = [
+        ("http://w/a", 1735689600, html),
+        ("http://w/b", 1735689601, html),  # exact dup of /a
+        ("http://w/c", 1735689602, b"<p>unique page body entirely else</p>"),
+    ]
+    d = tmp_path / "segments"
+    d.mkdir()
+    (d / "seg-00000.warc.gz").write_bytes(build_warc(seg[:2]))
+    (d / "seg-00001.warc.gz").write_bytes(build_warc(seg[2:]))
+
+    blobs = (
+        spark.read.format("binaryFile")
+        .load(str(d))
+        .select(F.col("path").alias("warc_file"), F.col("content").alias("data"))
+    )
+    pages = pages_from_warc(blobs)
+    assert pages.count() == 3
+    dup = exact_dup_assignments(pages.select("url", "text"))
+    urls = sorted(r.url for r in dup.collect())
+    assert urls == ["http://w/a", "http://w/b"]
