@@ -69,14 +69,21 @@ def _gunzip_members(data: bytes) -> bytes:
     return b"".join(out)
 
 
+def _hdr_decode(b: bytes) -> str:
+    # WARC 1.1 allows UTF-8 header values (target URIs especially);
+    # latin-1 is the total fallback for legacy/undeclared bytes.
+    try:
+        return b.decode("utf-8")
+    except UnicodeDecodeError:
+        return b.decode("latin-1")
+
+
 def _parse_headers(block: bytes) -> dict[str, str]:
     headers: dict[str, str] = {}
     for line in block.split(b"\r\n")[1:]:  # [0] is the version/status line
         k, sep, v = line.partition(b":")
         if sep:
-            headers[k.strip().lower().decode("latin-1")] = v.strip().decode(
-                "latin-1"
-            )
+            headers[_hdr_decode(k.strip()).lower()] = _hdr_decode(v.strip())
     return headers
 
 
@@ -214,7 +221,7 @@ def build_warc(records: list[tuple[str, int, bytes]], warcinfo: bool = True) -> 
 
     def member(warc_headers: list[tuple[str, str]], payload: bytes) -> None:
         head = b"WARC/1.0\r\n" + b"".join(
-            f"{k}: {v}\r\n".encode("latin-1") for k, v in warc_headers
+            f"{k}: {v}\r\n".encode("utf-8") for k, v in warc_headers
         )
         rec = head + f"Content-Length: {len(payload)}\r\n\r\n".encode() + payload + b"\r\n\r\n"
         # mtime=0 + fixed filename keep the bytes reproducible run-to-run
