@@ -211,6 +211,26 @@ def pages_from_warc(blobs: DataFrame, **read_kw) -> DataFrame:
     )
 
 
+def load_pages(spark, path: str, input_format: str = "parquet") -> DataFrame:
+    """Job-facing pages loader shared by the spark-submit entry points:
+    ``parquet`` reads the pages table as-is; ``warc`` reads ``path`` as
+    a directory of ``.warc[.gz]`` segment objects via ``binaryFile``
+    (one task per segment) and builds the pages shape with
+    :func:`pages_from_warc`."""
+    if input_format == "warc":
+        blobs = (
+            spark.read.format("binaryFile")
+            .load(path)
+            .select(
+                F.col("path").alias("warc_file"), F.col("content").alias("data")
+            )
+        )
+        return pages_from_warc(blobs)
+    if input_format == "parquet":
+        return spark.read.parquet(path)
+    raise ValueError(f"unknown input_format: {input_format!r}")
+
+
 def build_warc(records: list[tuple[str, int, bytes]], warcinfo: bool = True) -> bytes:
     """Spec-shaped ``.warc.gz`` bytes from ``(url, epoch, html)`` rows:
     one gzip member per record (the Common Crawl layout — records stay

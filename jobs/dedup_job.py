@@ -71,19 +71,9 @@ def main() -> None:
 
     from dedupe_algo_spark.pipeline import dedup_pipeline
 
-    if args.input_format == "warc":
-        from pyspark.sql import functions as F
+    from dedupe_algo_spark.sources.warc import load_pages
 
-        from dedupe_algo_spark.sources.warc import pages_from_warc
-
-        blobs = (
-            spark.read.format("binaryFile")
-            .load(args.input)
-            .select(F.col("path").alias("warc_file"), F.col("content").alias("data"))
-        )
-        pages = pages_from_warc(blobs)
-    else:
-        pages = spark.read.parquet(args.input)
+    pages = load_pages(spark, args.input, args.input_format)
     if args.from_html:
         from dedupe_algo_spark.functions.html import ensure_text
 

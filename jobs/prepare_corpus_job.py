@@ -37,6 +37,7 @@ Run on any cluster as:
     spark-submit --master <master> --py-files dedupe_algo_spark.zip \
         jobs/prepare_corpus_job.py \
         --input /path/to/pages_parquet --output /path/to/corpus_out \
+        [--input-format parquet|warc]  (warc: a dir of crawl segments) \
         [--eval /path/to/eval_parquet] [--contam-ngram 13] \
         [--rates en=1.0,de=0.5 | --alpha 0.3] [--default-rate 1.0] \
         [--train 0.98 --valid 0.01 --test 0.01] [--seed 42] \
@@ -324,6 +325,13 @@ def pack_map(mixed, seq_len: int, sep_tokens: int = 1):
 def main() -> None:
     p = argparse.ArgumentParser(description="end-to-end corpus preparation")
     p.add_argument("--input")
+    p.add_argument(
+        "--input-format",
+        choices=["parquet", "warc"],
+        default="parquet",
+        help="'warc': read --input as a directory of .warc[.gz] segments "
+        "(binaryFile → sources/warc.pages_from_warc)",
+    )
     p.add_argument("--synth", type=int, default=0)
     p.add_argument("--output", required=True)
     p.add_argument("--eval", dest="eval_path")
@@ -400,7 +408,9 @@ def main() -> None:
 
         pages = synth_pages(spark, args.synth)
     else:
-        pages = spark.read.parquet(args.input)
+        from dedupe_algo_spark.sources.warc import load_pages
+
+        pages = load_pages(spark, args.input, args.input_format)
     eval_docs = (
         spark.read.parquet(args.eval_path) if args.eval_path else None
     )

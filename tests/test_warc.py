@@ -124,7 +124,7 @@ def test_warc_dir_via_binaryfile(spark, tmp_path):
     disk → binaryFile rows → pages table → exact cascade. One task per
     segment file, no staging table."""
     from dedupe_algo_spark.operators.dedup import exact_dup_assignments
-    from dedupe_algo_spark.sources.warc import pages_from_warc
+    from dedupe_algo_spark.sources.warc import load_pages
 
     text = "dup dup dup words " * 20
     html = f"<html><body>{text.strip()}</body></html>".encode()
@@ -138,12 +138,7 @@ def test_warc_dir_via_binaryfile(spark, tmp_path):
     (d / "seg-00000.warc.gz").write_bytes(build_warc(seg[:2]))
     (d / "seg-00001.warc.gz").write_bytes(build_warc(seg[2:]))
 
-    blobs = (
-        spark.read.format("binaryFile")
-        .load(str(d))
-        .select(F.col("path").alias("warc_file"), F.col("content").alias("data"))
-    )
-    pages = pages_from_warc(blobs)
+    pages = load_pages(spark, str(d), "warc")
     assert pages.count() == 3
     dup = exact_dup_assignments(pages.select("url", "text"))
     urls = sorted(r.url for r in dup.collect())
