@@ -137,6 +137,92 @@ def parse_warc(data: bytes) -> Iterator[dict]:
         yield rec
 
 
+def iter_gzip_members(data: bytes):
+    """Yield ``(offset, comp_len, plain_bytes)`` per gzip member — the
+    random-access geometry CDX indexes record for record-gzipped WARCs
+    (each member independently decompressible from its byte offset).
+    Plain input yields one pseudo-member covering the whole buffer.
+    Zero-copy over a memoryview: no O(n²) buffer slicing across many
+    members. A truncated final member is dropped, like
+    :func:`_gunzip_members`."""
+    data = bytes(data)
+    if not data.startswith(_GZIP_MAGIC):
+        yield (0, len(data), data)
+        return
+    view = memoryview(data)
+    pos = 0
+    while data[pos : pos + 2] == _GZIP_MAGIC:
+        o = zlib.decompressobj(16 + zlib.MAX_WBITS)
+        try:
+            plain = o.decompress(view[pos:]) + o.flush()
+        except zlib.error:
+            return
+        consumed = len(data) - pos - len(o.unused_data)
+        yield (pos, consumed, plain)
+        pos += consumed
+
+
+def parse_warc_cdx(data: bytes) -> Iterator[dict]:
+    """CDX-style index rows for a record-gzip WARC object: one row per
+    response record with the ``(offset, length)`` of its gzip member in
+    the COMPRESSED file — exactly what Common Crawl's cdx index stores,
+    and what makes a 100 TB segment bucket point-addressable (fetch one
+    record = one ranged read of ``length`` bytes at ``offset``, then
+    :func:`fetch_warc_record`). Records inside a member inherit the
+    member's geometry (spec layout is one record per member; a
+    whole-file gzip yields one member spanning everything, which is
+    honest: such a file is not random-accessible)."""
+    for off, clen, plain in iter_gzip_members(data):
+        for rec in parse_warc(plain):
+            if rec["warc_type"] != "response":
+                continue
+            yield {
+                "url": rec["url"],
+                "warc_epoch": rec["warc_epoch"],
+                "offset": off,
+                "length": clen,
+            }
+
+
+def fetch_warc_record(data: bytes, offset: int, length: int) -> dict | None:
+    """Random access: decode the single record at a CDX ``(offset,
+    length)`` slice of the compressed object (the slice is a complete
+    gzip member, so only ``length`` bytes are ever touched)."""
+    for rec in parse_warc(bytes(data[offset : offset + length])):
+        return rec
+    return None
+
+
+def warc_cdx_index(
+    blobs: DataFrame, file_col: str = "warc_file", blob_col: str = "data"
+) -> DataFrame:
+    """Distributed CDX build: ``(warc_file, data)`` → one index row per
+    response record ``(url, warc_file, warc_epoch, offset, length)``.
+    At crawl scale this runs once per segment (one task per blob, same
+    parallelism as the parse) and the output is the join key for
+    point lookups — 'fetch these 10k urls out of 100 TB' becomes a
+    broadcast semi-join against this table plus ranged reads, never a
+    segment scan."""
+    schema = (
+        "warc_file string, url string, warc_epoch long, "
+        "offset long, length long"
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for name, data in zip(pdf[file_col], pdf[blob_col]):
+                rows = [
+                    (name, r["url"], r["warc_epoch"], r["offset"], r["length"])
+                    for r in parse_warc_cdx(data)
+                ]
+                yield pd.DataFrame(
+                    rows,
+                    columns=["warc_file", "url", "warc_epoch", "offset", "length"],
+                )
+
+    return blobs.mapInPandas(gen, schema=schema)
+
+
 def _parse_warc_date(s: str | None) -> int | None:
     if not s:
         return None

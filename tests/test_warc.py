@@ -143,3 +143,31 @@ def test_warc_dir_via_binaryfile(spark, tmp_path):
     dup = exact_dup_assignments(pages.select("url", "text"))
     urls = sorted(r.url for r in dup.collect())
     assert urls == ["http://w/a", "http://w/b"]
+
+
+def test_warc_cdx_index_point_lookup(spark):
+    """CDX build + point lookup: the index rows' (offset, length) slices
+    random-access their exact records through Spark, the way a 100 TB
+    bucket is fetched — broadcast semi-join on the index, ranged reads,
+    no segment scan."""
+    from dedupe_algo_spark.sources.warc import fetch_warc_record, warc_cdx_index
+
+    segs = {
+        "s0.warc.gz": [("http://c/x", 1735689600, b"<p>xx</p>"), ("http://c/y", 1735689601, b"<p>yy</p>")],
+        "s1.warc.gz": [("http://c/z", 1735689602, b"<p>zz</p>")],
+    }
+    blob_map = {f: build_warc(recs) for f, recs in segs.items()}
+    blobs = spark.createDataFrame(
+        [(f, bytearray(b)) for f, b in blob_map.items()],
+        "warc_file string, data binary",
+    )
+    cdx = warc_cdx_index(blobs)
+    rows = cdx.orderBy("url").collect()
+    assert [(r.url, r.warc_epoch) for r in rows] == [
+        ("http://c/x", 1735689600),
+        ("http://c/y", 1735689601),
+        ("http://c/z", 1735689602),
+    ]
+    for r in rows:
+        rec = fetch_warc_record(blob_map[r.warc_file], r.offset, r.length)
+        assert rec["url"] == r.url and rec["warc_epoch"] == r.warc_epoch

@@ -64,3 +64,31 @@ def test_trailing_garbage_keeps_prefix(recs, tail):
     blob = build_warc(recs, warcinfo=False) + tail
     got = [(r["url"], r["warc_epoch"], r["body"]) for r in parse_warc(blob)]
     assert got[: len(recs)] == recs
+
+
+@settings(max_examples=60, deadline=None)
+@given(_records)
+def test_cdx_members_partition_file_and_random_access(recs):
+    from dedupe_algo_spark.sources.warc import (
+        fetch_warc_record,
+        iter_gzip_members,
+        parse_warc_cdx,
+    )
+
+    blob = build_warc(recs, warcinfo=False)
+    members = list(iter_gzip_members(blob))
+    # members tile the compressed file exactly: contiguous, full cover
+    assert members[0][0] == 0 if members else True
+    for (o1, l1, _), (o2, _, _) in zip(members, members[1:]):
+        assert o1 + l1 == o2
+    if members:
+        o, l, _ = members[-1]
+        assert o + l == len(blob)
+    # every cdx row random-accesses back to its exact record
+    rows = list(parse_warc_cdx(blob))
+    assert [(r["url"], r["warc_epoch"]) for r in rows] == [
+        (u, e) for u, e, _ in recs
+    ]
+    for row, (u, e, h) in zip(rows, recs):
+        rec = fetch_warc_record(blob, row["offset"], row["length"])
+        assert (rec["url"], rec["warc_epoch"], rec["body"]) == (u, e, h)
