@@ -223,6 +223,50 @@ def warc_cdx_index(
     return blobs.mapInPandas(gen, schema=schema)
 
 
+def fetch_cdx_hits(blobs: DataFrame, hits: DataFrame) -> DataFrame:
+    """Distributed point fetch: ``hits`` (``warc_file, url, offset,
+    length`` — e.g. the CDX index semi-joined to a url list) against the
+    segment blobs, one ranged slice per hit, never a full parse.
+
+    Scale shape: the hit list per segment is grouped FIRST (one slim
+    aggregate of offsets — the only shuffle), then joined to the blob
+    table so each segment's bytes cross the join exactly once however
+    many records it serves; slicing runs inside one Arrow batch. On a
+    real bucket the blob read becomes a ranged GET per hit; here blobs
+    are rows, so the slice IS the ranged read."""
+    grouped = hits.groupBy("warc_file").agg(
+        F.collect_list(F.struct("url", "offset", "length")).alias("_hits")
+    )
+    joined = grouped.join(blobs, "warc_file")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["warc_file", "url", "warc_epoch", "http_status", "body"]
+        for pdf in batches:
+            for name, hlist, data in zip(
+                pdf["warc_file"], pdf["_hits"], pdf["data"]
+            ):
+                rows = []
+                for h in hlist:
+                    rec = fetch_warc_record(data, h["offset"], h["length"])
+                    if rec is not None:
+                        rows.append(
+                            (
+                                name,
+                                rec["url"],
+                                rec["warc_epoch"],
+                                rec["http_status"],
+                                rec["body"],
+                            )
+                        )
+                yield pd.DataFrame(rows, columns=cols)
+
+    return joined.mapInPandas(
+        gen,
+        schema="warc_file string, url string, warc_epoch long, "
+        "http_status int, body binary",
+    )
+
+
 def _parse_warc_date(s: str | None) -> int | None:
     if not s:
         return None

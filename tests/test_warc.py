@@ -171,3 +171,31 @@ def test_warc_cdx_index_point_lookup(spark):
     for r in rows:
         rec = fetch_warc_record(blob_map[r.warc_file], r.offset, r.length)
         assert rec["url"] == r.url and rec["warc_epoch"] == r.warc_epoch
+
+
+def test_fetch_cdx_hits(spark):
+    """'Fetch these urls out of the bucket': url list → CDX semi-join →
+    grouped ranged reads. Bodies come back exact; un-requested records
+    never materialize."""
+    from dedupe_algo_spark.sources.warc import fetch_cdx_hits, warc_cdx_index
+
+    segs = {
+        "s0.warc.gz": [(f"http://f/{i}", 1735689600 + i, b"<p>%d</p>" % i) for i in range(4)],
+        "s1.warc.gz": [(f"http://g/{i}", 1735689700 + i, b"<q>%d</q>" % i) for i in range(3)],
+    }
+    blobs = spark.createDataFrame(
+        [(f, bytearray(build_warc(recs))) for f, recs in segs.items()],
+        "warc_file string, data binary",
+    )
+    cdx = warc_cdx_index(blobs)
+    want = spark.createDataFrame(
+        [("http://f/1",), ("http://f/3",), ("http://g/0",)], "url string"
+    )
+    hits = cdx.join(F.broadcast(want), "url")
+    out = fetch_cdx_hits(blobs, hits).orderBy("url").collect()
+    assert [(r.url, bytes(r.body)) for r in out] == [
+        ("http://f/1", b"<p>1</p>"),
+        ("http://f/3", b"<p>3</p>"),
+        ("http://g/0", b"<q>0</q>"),
+    ]
+    assert all(r.http_status == 200 for r in out)
