@@ -139,6 +139,66 @@ def pair_levenshtein_sim_udf(text_a: pd.Series, text_b: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+def _damerau_levenshtein(a: str, b: str) -> int:
+    """Full Damerau–Levenshtein (Lowrance–Wagner: unrestricted edits
+    plus adjacent transposition), matching DuckDB's
+    ``damerau_levenshtein`` variant exactly (rapidfuzz-cpp; verified
+    'ca'→'abc' = 2, which the restricted OSA variant scores 3). This IS
+    a metric (triangle inequality holds) unlike OSA, so it is safe in
+    distance-based pruning. Code points, like the rest of this module
+    (DuckDB counts UTF-8 bytes — identical over ASCII)."""
+    if a == b:
+        return 0
+    la, lb = len(a), len(b)
+    if not la:
+        return lb
+    if not lb:
+        return la
+    maxdist = la + lb
+    d = np.empty((la + 2, lb + 2), dtype=np.int64)
+    d[0, :] = maxdist
+    d[:, 0] = maxdist
+    d[1, 1:] = np.arange(lb + 1)
+    d[1:, 1] = np.arange(la + 1)
+    last_row: dict[str, int] = {}
+    for i in range(1, la + 1):
+        ca = a[i - 1]
+        last_col = 0
+        for j in range(1, lb + 1):
+            cb = b[j - 1]
+            k = last_row.get(cb, 0)
+            m = last_col
+            if ca == cb:
+                cost = 0
+                last_col = j
+            else:
+                cost = 1
+            d[i + 1, j + 1] = min(
+                d[i, j] + cost,  # substitute / match
+                d[i + 1, j] + 1,  # insert
+                d[i, j + 1] + 1,  # delete
+                d[k, m] + (i - k - 1) + 1 + (j - m - 1),  # transpose
+            )
+        last_row[ca] = i
+    return int(d[la + 1, lb + 1])
+
+
+@pandas_udf(DoubleType())
+def pair_damerau_sim_udf(text_a: pd.Series, text_b: pd.Series) -> pd.Series:
+    """Batched 1 − damerau/maxlen on capped prefixes — the
+    transposition-aware edit similarity (swapped words/chars cost 1,
+    not 2), the classic fielded-record ER scorer."""
+    out = np.empty(len(text_a), dtype=np.float64)
+    for i, (a, b) in enumerate(zip(text_a.values, text_b.values)):
+        if a is None or b is None:
+            out[i] = np.nan
+            continue
+        a, b = a[:LEV_CAP], b[:LEV_CAP]
+        mx = max(len(a), len(b))
+        out[i] = 1.0 if mx == 0 else 1.0 - _damerau_levenshtein(a, b) / mx
+    return pd.Series(out)
+
+
 def _jaro(a: str, b: str) -> float:
     """Jaro similarity, bit-for-bit compatible with DuckDB's
     ``jaro_similarity`` (vendored rapidfuzz-cpp): classic matching

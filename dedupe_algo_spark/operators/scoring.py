@@ -200,6 +200,7 @@ def confirm_pairs(
             LEV_CAP,
             levenshtein_sim_col,
             ngram_jaccard_col,
+            pair_damerau_sim_udf,
             pair_jaro_winkler_udf,
         )
 
@@ -216,6 +217,8 @@ def confirm_pairs(
             score = pair_jaro_winkler_udf(F.col("_ta"), F.col("_tb"))
         elif scorer == "levenshtein":
             score = levenshtein_sim_col(F.col("_ta"), F.col("_tb"))
+        elif scorer == "damerau":
+            score = pair_damerau_sim_udf(F.col("_ta"), F.col("_tb"))
         elif scorer == "ngram_jaccard":
             score = ngram_jaccard_col(F.col("_ta"), F.col("_tb"))
         else:

@@ -1554,6 +1554,44 @@ FROM t a JOIN t b ON b.doc_id = a.doc_id + 1
 """
 
 
+def q_damerau_sim(spark, sf_dir):
+    """Damerau–Levenshtein similarity (1 − dist/maxlen, 80-char
+    prefixes) over the same consecutive-doc pairs as ``levenshtein_sim``
+    — the transposition-aware variant (full Lowrance–Wagner, matching
+    DuckDB's ``damerau_levenshtein`` exactly; integer distances make the
+    double division bit-identical across engines). Also emits plain
+    Levenshtein alongside, so every row pins ``damerau ≥ levenshtein``
+    against the oracle."""
+    from .functions.similarity import levenshtein_sim_col, pair_damerau_sim_udf
+
+    t = _docs(spark, sf_dir).select(
+        "doc_id", F.substring("text", 1, 80).alias("t")
+    )
+    a = t.select(F.col("doc_id").alias("doc_a"), F.col("t").alias("ta"))
+    b = t.select(
+        (F.col("doc_id") - F.lit(1)).alias("doc_a"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("t").alias("tb"),
+    )
+    return a.join(b, "doc_a").select(
+        "doc_a",
+        "doc_b",
+        pair_damerau_sim_udf(F.col("ta"), F.col("tb")).alias("dam_sim"),
+        levenshtein_sim_col(F.col("ta"), F.col("tb"), cap=80).alias("lev_sim"),
+    )
+
+
+SQL_DAMERAU_SIM = """
+WITH t AS (SELECT doc_id, substr(text, 1, 80) AS t FROM documents)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       1.0 - damerau_levenshtein(a.t, b.t)
+             / CAST(greatest(length(a.t), length(b.t)) AS DOUBLE) AS dam_sim,
+       1.0 - levenshtein(a.t, b.t)
+             / CAST(greatest(length(a.t), length(b.t)) AS DOUBLE) AS lev_sim
+FROM t a JOIN t b ON b.doc_id = a.doc_id + 1
+"""
+
+
 def q_ngram_jaccard(spark, sf_dir):
     """Character 5-gram Jaccard over consecutive-doc pairs (the task
     brief's n-gram-Jaccard dedup family), computed TWICE — the pure
@@ -4264,6 +4302,7 @@ QUERIES = {
     "embedding_allpairs_sim": q_embedding_allpairs_sim,
     "jaro_winkler": q_jaro_winkler,
     "levenshtein_sim": q_levenshtein_sim,
+    "damerau_sim": q_damerau_sim,
     "ngram_jaccard": q_ngram_jaccard,
     # flagship exact tier with a direct recomputed oracle
     "pages_dedup_exact": q_pages_dedup_exact,
@@ -4372,6 +4411,7 @@ ORACLES = {
     "embedding_allpairs_sim": SQL_EMBEDDING_ALLPAIRS_SIM,
     "jaro_winkler": SQL_JARO_WINKLER,
     "levenshtein_sim": SQL_LEVENSHTEIN_SIM,
+    "damerau_sim": SQL_DAMERAU_SIM,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "embedding_lsh_pairs": SQL_EMBEDDING_LSH_PAIRS,
     "embedding_ivf_pairs": SQL_EMBEDDING_IVF_PAIRS,

@@ -145,6 +145,15 @@ def test_confirm_pairs_scorer_options(spark):
     assert lev == ref(
         lambda a, b: 1.0 - _levenshtein(a, b) / max(len(a), len(b))
     )
+    from dedupe_algo_spark.functions.similarity import _damerau_levenshtein
+
+    dam = {
+        (r["url_a"], r["url_b"]): r["score"]
+        for r in confirm_pairs(pairs, pages, 0.0, scorer="damerau").collect()
+    }
+    assert dam == ref(
+        lambda a, b: 1.0 - _damerau_levenshtein(a, b) / max(len(a), len(b))
+    )
 
     def py_ngram_jac(a, b, n=5):
         ga = {a[i : i + n] for i in range(max(1, len(a) - n + 1))}

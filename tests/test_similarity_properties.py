@@ -70,3 +70,43 @@ def test_jaro_winkler_bounds_symmetry_identity(a, b):
     assert _jaro_winkler(a, a) == (1.0 if a else _jaro_winkler("", ""))
     if s == 1.0 and a and b:
         assert a == b
+
+
+def _dl(a, b):
+    from dedupe_algo_spark.functions.similarity import _damerau_levenshtein
+
+    return _damerau_levenshtein(a, b)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_ascii, _ascii)
+def test_damerau_matches_duckdb_on_ascii(a, b):
+    (ref,) = _con.execute("SELECT damerau_levenshtein(?, ?)", [a, b]).fetchone()
+    assert _dl(a, b) == ref
+
+
+@settings(max_examples=200, deadline=None)
+@given(_uni, _uni)
+def test_damerau_metric_laws(a, b):
+    d = _dl(a, b)
+    assert d == _dl(b, a)
+    assert abs(len(a) - len(b)) <= d <= max(len(a), len(b))
+    assert (d == 0) == (a == b)
+    assert d <= _levenshtein(a, b)  # a transposition can only help
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.text(alphabet="abc", max_size=8),
+    st.text(alphabet="abc", max_size=8),
+    st.text(alphabet="abc", max_size=8),
+)
+def test_damerau_triangle_inequality(a, b, c):
+    # full DL (unlike restricted OSA) is a metric; small alphabet makes
+    # transposition interactions dense enough to catch violations
+    assert _dl(a, c) <= _dl(a, b) + _dl(b, c)
+
+
+def test_damerau_is_full_variant_not_osa():
+    assert _dl("ca", "abc") == 2  # OSA would say 3
+    assert _dl("ab", "ba") == 1
