@@ -1185,6 +1185,51 @@ FROM read_parquet('{HTML_SNAPSHOT}')
 """
 
 
+def q_warc_revisit_resolve(spark, sf_dir):
+    """Cross-crawl revisit resolution (sources/warc.py): crawl 2
+    re-captures every fixture page UNCHANGED, so the archive convention
+    writes them all as revisit records — digest pointer, zero body.
+    The query packs that crawl-2 segment set, parses it, and resolves
+    the revisits against crawl 1's pages by payload digest; the oracle
+    recomputes the expected result straight from the fixture (body
+    inherited bit-for-bit, crawl-2 timestamps). Every checked field
+    crosses the writer → parser → digest-join path."""
+    import hashlib
+
+    from .sources.warc import build_warc, read_warc_records, resolve_revisits
+
+    prior = spark.read.parquet(HTML_SNAPSHOT).select("url", "html")
+    rows = prior.collect()  # 300 fixture pages — driver-side pack is fine
+
+    def dig(b):
+        return "sha256:" + hashlib.sha256(bytes(b)).hexdigest()
+
+    revisits = [
+        (r.url, 1800000000 + len(r.url), dig(r.html), r.url) for r in rows
+    ]
+    blob = build_warc([], warcinfo=True, revisits=revisits)
+    blobs = spark.createDataFrame(
+        [("crawl2-00000.warc.gz", bytearray(blob))],
+        "warc_file string, data binary",
+    )
+    out = resolve_revisits(read_warc_records(blobs), prior)
+    return out.select(
+        "url",
+        "warc_epoch",
+        F.sha2(F.col("html").cast("string"), 256).alias("html_sha256"),
+        F.length("html").alias("n_bytes"),
+    )
+
+
+SQL_WARC_REVISIT_RESOLVE = f"""
+SELECT url,
+       1800000000 + length(url) AS warc_epoch,
+       sha256(decode(html)) AS html_sha256,
+       octet_length(html) AS n_bytes
+FROM read_parquet('{HTML_SNAPSHOT}')
+"""
+
+
 SQL_PAGES_DEDUP_EXACT = f"""
 WITH m AS (
   SELECT url, length(text) AS text_len, sha256(text) AS content_sha256
@@ -4308,6 +4353,7 @@ QUERIES = {
     "pages_dedup_exact": q_pages_dedup_exact,
     "html_extract": q_html_extract,
     "warc_ingest": q_warc_ingest,
+    "warc_revisit_resolve": q_warc_revisit_resolve,
     # derived deterministic twins of the rows-only queries below
     "dedup_cluster_stats": q_dedup_cluster_stats,
     "minhash_pair_stats": q_minhash_pair_stats,
@@ -4419,6 +4465,7 @@ ORACLES = {
     "pages_dedup_exact": SQL_PAGES_DEDUP_EXACT,
     "html_extract": SQL_HTML_EXTRACT,
     "warc_ingest": SQL_WARC_INGEST,
+    "warc_revisit_resolve": SQL_WARC_REVISIT_RESOLVE,
     "pages_dedup_clusters_2k": SQL_PAGES_DEDUP_CLUSTERS_2K,
     "minhash_dup_pairs": SQL_MINHASH_DUP_PAIRS,
     "dedup_cluster_stats": SQL_DEDUP_CLUSTER_STATS,

@@ -147,6 +147,10 @@ WARC_RECORDS_SCHEMA = StructType(
         StructField("warc_ts", TimestampType(), nullable=True),
         StructField("http_status", IntegerType(), nullable=True),
         StructField("content_type", StringType(), nullable=True),
+        # revisit records (cross-crawl dedup): digest of the unchanged
+        # payload + the uri of the record it refers to; body is empty
+        StructField("payload_digest", StringType(), nullable=True),
+        StructField("refers_to", StringType(), nullable=True),
         StructField("body", BinaryType(), nullable=False),
     ]
 )

@@ -41,7 +41,7 @@ from typing import Iterator
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..schemas import WARC_BLOB_SCHEMA, WARC_RECORDS_SCHEMA
@@ -121,6 +121,10 @@ def parse_warc(data: bytes) -> Iterator[dict]:
             "warc_epoch": _parse_warc_date(headers.get("warc-date")),
             "http_status": None,
             "content_type": None,
+            # revisit machinery (Common Crawl's cross-crawl dedup: an
+            # unchanged page is stored as a digest pointer, no body)
+            "payload_digest": headers.get("warc-payload-digest"),
+            "refers_to": headers.get("warc-refers-to-target-uri"),
             "body": payload,
         }
         if payload.startswith(b"HTTP/"):
@@ -308,6 +312,8 @@ def read_warc_records(
                             else pd.NaT,
                             rec["http_status"],
                             rec["content_type"],
+                            rec["payload_digest"],
+                            rec["refers_to"],
                             rec["body"],
                         )
                     )
@@ -361,12 +367,22 @@ def load_pages(spark, path: str, input_format: str = "parquet") -> DataFrame:
     raise ValueError(f"unknown input_format: {input_format!r}")
 
 
-def build_warc(records: list[tuple[str, int, bytes]], warcinfo: bool = True) -> bytes:
+def build_warc(
+    records: list[tuple[str, int, bytes]],
+    warcinfo: bool = True,
+    revisits: list[tuple[str, int, str, str]] | None = None,
+) -> bytes:
     """Spec-shaped ``.warc.gz`` bytes from ``(url, epoch, html)`` rows:
     one gzip member per record (the Common Crawl layout — records stay
     independently seekable), an optional leading ``warcinfo`` member,
     HTTP/1.1 response envelope per page. Deterministic: record ids
-    derive from the url, dates from the given epoch."""
+    derive from the url, dates from the given epoch.
+
+    ``revisits``: ``(url, epoch, payload_digest, refers_to_uri)`` rows
+    appended as ``WARC-Type: revisit`` records — the crawl-side dedup
+    convention (identical-payload-digest profile): a re-fetched page
+    whose content is unchanged ships only its digest and a pointer to
+    the earlier capture, no body."""
     out = io.BytesIO()
 
     def member(warc_headers: list[tuple[str, str]], payload: bytes) -> None:
@@ -404,7 +420,60 @@ def build_warc(records: list[tuple[str, int, bytes]], warcinfo: bool = True) -> 
             ],
             http,
         )
+    for url, epoch, digest, refers_to in revisits or ():
+        date = strftime("%Y-%m-%dT%H:%M:%SZ", gmtime(int(epoch)))
+        member(
+            [
+                ("WARC-Type", "revisit"),
+                ("WARC-Target-URI", url),
+                ("WARC-Date", date),
+                ("WARC-Payload-Digest", digest),
+                ("WARC-Refers-To-Target-URI", refers_to),
+                ("WARC-Profile", "identical-payload-digest"),
+            ],
+            b"",
+        )
     return out.getvalue()
+
+
+def page_digest(html: Column = None) -> Column:
+    """The engine's payload digest for revisit resolution:
+    ``sha256:<hex>`` over the raw html bytes (Common Crawl uses
+    sha1:base32; the labeled-prefix form is the convention, the
+    algorithm is the writer's choice — ours is the same SHA-256 the
+    dedup cascade already standardizes on)."""
+    h = F.col("html") if html is None else html
+    return F.concat(F.lit("sha256:"), F.sha2(h, 256))
+
+
+def resolve_revisits(records: DataFrame, prior_pages: DataFrame) -> DataFrame:
+    """Materialize a crawl that contains revisit records against the
+    prior crawl's pages: responses keep their own body; revisits join
+    ``prior_pages`` on payload digest and inherit the stored html (and
+    text, if present). Output is one row per record url with the NEW
+    capture's timestamp — i.e. the current crawl's pages table, bodies
+    deduplicated across crawls exactly as the archive intended.
+
+    Scale shape: the join key is the slim digest string, never the
+    body; only revisit rows (the deduplicated minority's pointers)
+    shuffle, and prior bodies attach by digest on the prior table's
+    side. Unresolvable revisits (digest absent from ``prior_pages``)
+    are dropped — surface them via the lineage counts if needed."""
+    prior = prior_pages.select(
+        page_digest().alias("payload_digest"),
+        F.col("html").alias("_html"),
+        *(["text"] if "text" in prior_pages.columns else []),
+    ).dropDuplicates(["payload_digest"])
+    responses = records.where(F.col("warc_type") == "response").select(
+        "url", "warc_ts", "warc_epoch", F.col("body").alias("html")
+    )
+    revisits = (
+        records.where(F.col("warc_type") == "revisit")
+        .select("url", "warc_ts", "warc_epoch", "payload_digest")
+        .join(prior.drop(*(["text"] if "text" in prior.columns else [])), "payload_digest")
+        .select("url", "warc_ts", "warc_epoch", F.col("_html").alias("html"))
+    )
+    return responses.unionByName(revisits)
 
 
 def warc_blobs_from_pages(

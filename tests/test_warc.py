@@ -199,3 +199,56 @@ def test_fetch_cdx_hits(spark):
         ("http://g/0", b"<q>0</q>"),
     ]
     assert all(r.http_status == 200 for r in out)
+
+
+def test_revisit_records_resolve_against_prior_crawl(spark):
+    """Cross-crawl dedup the archive way: crawl 2 re-captures two
+    unchanged pages as revisit records (digest pointer, empty body) and
+    one changed page as a full response. resolve_revisits materializes
+    crawl 2's pages table with bodies inherited by digest from crawl 1;
+    an unresolvable digest drops out."""
+    import hashlib
+
+    from dedupe_algo_spark.sources.warc import (
+        read_warc_records,
+        resolve_revisits,
+    )
+
+    c1 = {
+        "http://r/a": b"<p>alpha</p>",
+        "http://r/b": b"<p>beta</p>",
+        "http://r/c": b"<p>gamma-old</p>",
+    }
+    prior = spark.createDataFrame(
+        [(u, bytearray(h)) for u, h in c1.items()], "url string, html binary"
+    )
+
+    def dig(b):
+        return "sha256:" + hashlib.sha256(b).hexdigest()
+
+    blob = build_warc(
+        [("http://r/c", 1800000000, b"<p>gamma-NEW</p>")],
+        revisits=[
+            ("http://r/a", 1800000001, dig(c1["http://r/a"]), "http://r/a"),
+            ("http://r/b", 1800000002, dig(c1["http://r/b"]), "http://r/b"),
+            ("http://r/gone", 1800000003, "sha256:" + "0" * 64, "http://r/gone"),
+        ],
+    )
+    recs = read_warc_records(
+        spark.createDataFrame(
+            [("c2.warc.gz", bytearray(blob))], "warc_file string, data binary"
+        )
+    )
+    # revisit headers surface on the record rows
+    rv = {r.url: r for r in recs.where("warc_type = 'revisit'").collect()}
+    assert rv["http://r/a"].payload_digest == dig(c1["http://r/a"])
+    assert rv["http://r/a"].refers_to == "http://r/a"
+    assert bytes(rv["http://r/a"].body) == b""
+
+    out = {r.url: r for r in resolve_revisits(recs, prior).collect()}
+    assert set(out) == {"http://r/a", "http://r/b", "http://r/c"}
+    assert bytes(out["http://r/a"].html) == c1["http://r/a"]  # inherited
+    assert bytes(out["http://r/b"].html) == c1["http://r/b"]
+    assert bytes(out["http://r/c"].html) == b"<p>gamma-NEW</p>"  # own body
+    # new capture's timestamps, not the prior crawl's
+    assert out["http://r/a"].warc_ts.timestamp() == 1800000001
