@@ -115,6 +115,66 @@ def _first_seen(key, pdfs, state):
         yield best[cols]
 
 
+def _stateful_first_seen(meta: DataFrame) -> DataFrame:
+    """The shared stateful stage: (url, ts, len, hash) metadata stream →
+    one emitted row per distinct content hash, first arrival wins."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return meta.groupBy("content_sha256").applyInPandasWithState(
+        _first_seen,
+        outputStructType=STREAM_DEDUP_OUT,
+        stateStructType=STREAM_DEDUP_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def warc_segment_stream(
+    spark: SparkSession,
+    source_dir: str,
+    options: dict | None = None,
+) -> DataFrame:
+    """Streaming WARC ingestion: watch a directory for arriving
+    ``.warc[.gz]`` segment objects (the shape of a live crawl dropping
+    segments into a bucket) and emit the pages table as a stream — the
+    ``binaryFile`` file source delivers each new segment once, the
+    Arrow parser + codegen text extraction run per micro-batch exactly
+    as in batch (``pages_from_warc`` is stream-agnostic). Use
+    ``options={"maxFilesPerTrigger": N}`` to bound micro-batch size on
+    a backlogged bucket."""
+    from ..sources.warc import pages_from_warc
+
+    reader = spark.readStream.format("binaryFile").schema(
+        "path string, modificationTime timestamp, length long, content binary"
+    )
+    if options:
+        reader = reader.options(**options)
+    blobs = reader.load(source_dir).select(
+        F.col("path").alias("warc_file"), F.col("content").alias("data")
+    )
+    return pages_from_warc(blobs)
+
+
+def dedup_warc_stream(
+    spark: SparkSession,
+    source_dir: str,
+    min_len: int = 10,
+    options: dict | None = None,
+) -> DataFrame:
+    """Streaming exact dedup straight off a crawl bucket: WARC segments
+    in, first-seen distinct pages out — ``warc_segment_stream`` feeds
+    the same slim-metadata stateful operator as the parquet variant
+    (text is hashed map-side and never enters the stateful exchange)."""
+    pages = warc_segment_stream(spark, source_dir, options=options)
+    meta = pages.where(F.length("text") >= min_len).select(
+        "url",
+        "warc_ts",
+        F.length("text").cast("long").alias("text_len"),
+        sha256_col(F.col("text")).alias("content_sha256"),
+    )
+    return _stateful_first_seen(meta)
+
+
 def dedup_pages_stream(
     spark: SparkSession,
     source_dir: str,
@@ -133,18 +193,10 @@ def dedup_pages_stream(
     micro-batches (state is checkpoint-backed). Keeper choice within a
     batch is deterministic: min (warc_ts, url).
     """
-    from pyspark.sql.streaming.state import GroupStateTimeout
-
     meta = ingest_pages_stream(
         spark, source_dir, min_len=min_len, options=options
     ).select("url", "warc_ts", "text_len", "content_sha256")
-    return meta.groupBy("content_sha256").applyInPandasWithState(
-        _first_seen,
-        outputStructType=STREAM_DEDUP_OUT,
-        stateStructType=STREAM_DEDUP_STATE,
-        outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
-    )
+    return _stateful_first_seen(meta)
 
 
 def near_dup_stream(

@@ -252,3 +252,45 @@ def test_revisit_records_resolve_against_prior_crawl(spark):
     assert bytes(out["http://r/c"].html) == b"<p>gamma-NEW</p>"  # own body
     # new capture's timestamps, not the prior crawl's
     assert out["http://r/a"].warc_ts.timestamp() == 1800000001
+
+
+def test_dedup_warc_stream_first_seen(spark, tmp_path):
+    """Streaming crawl-bucket dedup: segments arrive in two waves; each
+    distinct text is emitted exactly once, on first arrival, across
+    micro-batches (state store suppresses wave-2 re-captures)."""
+    from dedupe_algo_spark.streaming import dedup_warc_stream
+
+    text_a = "alpha " * 30
+    text_b = "beta " * 30
+    text_c = "gamma " * 30
+
+    def page(url, ts, text):
+        return (url, ts, f"<html><body>{text.strip()}</body></html>".encode())
+
+    d = tmp_path / "bucket"
+    d.mkdir()
+    (d / "seg-0.warc.gz").write_bytes(
+        build_warc([page("http://s/a", 1800000000, text_a), page("http://s/b", 1800000001, text_b)])
+    )
+    out = dedup_warc_stream(spark, str(d))
+    # a live (non-availableNow) query so later waves land in the same
+    # run and the state store must suppress re-captures
+    q = (
+        out.writeStream.format("memory")
+        .queryName("warc_stream_t")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        pdf = spark.sql("select * from warc_stream_t").toPandas()
+        assert sorted(pdf["url"]) == ["http://s/a", "http://s/b"]
+        # wave 2: one dup of a (different url), one new page
+        (d / "seg-1.warc.gz").write_bytes(
+            build_warc([page("http://s/a2", 1800000100, text_a), page("http://s/c", 1800000101, text_c)])
+        )
+        q.processAllAvailable()
+        pdf = spark.sql("select * from warc_stream_t").toPandas()
+        assert sorted(pdf["url"]) == ["http://s/a", "http://s/b", "http://s/c"]
+    finally:
+        q.stop()
