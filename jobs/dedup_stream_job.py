@@ -45,20 +45,24 @@ def run_stream(
     min_len: int = 10,
     max_files_per_trigger: int | None = None,
     follow_seconds: int | None = None,
+    input_format: str = "parquet",
 ):
     """Start (or resume) the first-seen dedup stream; returns the query.
 
     Separated from main() so tests can drive it with a local session:
     two invocations against the same checkpoint must never re-emit a
-    hash the first run committed."""
-    from dedupe_algo_spark.streaming import dedup_pages_stream
+    hash the first run committed. ``input_format='warc'`` watches the
+    directory for raw .warc[.gz] segment objects instead of pages
+    parquet (a live crawl bucket)."""
+    from dedupe_algo_spark.streaming import dedup_pages_stream, dedup_warc_stream
 
     options = (
         {"maxFilesPerTrigger": str(max_files_per_trigger)}
         if max_files_per_trigger
         else None
     )
-    out = dedup_pages_stream(spark, input_dir, min_len=min_len, options=options)
+    stream_fn = dedup_warc_stream if input_format == "warc" else dedup_pages_stream
+    out = stream_fn(spark, input_dir, min_len=min_len, options=options)
     writer = (
         out.writeStream.format("parquet")
         .option("path", output_dir)
@@ -78,6 +82,12 @@ def main() -> None:
     p.add_argument("--output", required=True, help="keepers parquet output path")
     p.add_argument("--checkpoint", required=True, help="stream checkpoint dir")
     p.add_argument("--min-len", type=int, default=10)
+    p.add_argument(
+        "--input-format",
+        choices=["parquet", "warc"],
+        default="parquet",
+        help="'warc': watch --input for raw .warc[.gz] segment objects",
+    )
     p.add_argument("--max-files-per-trigger", type=int, default=None)
     p.add_argument(
         "--follow",
@@ -99,6 +109,7 @@ def main() -> None:
         min_len=args.min_len,
         max_files_per_trigger=args.max_files_per_trigger,
         follow_seconds=args.follow,
+        input_format=args.input_format,
     )
     q.awaitTermination()
     try:
