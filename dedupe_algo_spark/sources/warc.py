@@ -446,32 +446,51 @@ def page_digest(html: Column = None) -> Column:
     return F.concat(F.lit("sha256:"), F.sha2(h, 256))
 
 
-def resolve_revisits(records: DataFrame, prior_pages: DataFrame) -> DataFrame:
+def resolve_revisits(
+    records: DataFrame,
+    prior_pages: DataFrame,
+    broadcast_pointers: bool = True,
+) -> DataFrame:
     """Materialize a crawl that contains revisit records against the
     prior crawl's pages: responses keep their own body; revisits join
-    ``prior_pages`` on payload digest and inherit the stored html (and
-    text, if present). Output is one row per record url with the NEW
-    capture's timestamp — i.e. the current crawl's pages table, bodies
-    deduplicated across crawls exactly as the archive intended.
+    ``prior_pages`` on payload digest and inherit the stored html.
+    Output is one row per record url with the NEW capture's timestamp —
+    i.e. the current crawl's pages table, bodies deduplicated across
+    crawls exactly as the archive intended.
 
-    Scale shape: the join key is the slim digest string, never the
-    body; only revisit rows (the deduplicated minority's pointers)
-    shuffle, and prior bodies attach by digest on the prior table's
-    side. Unresolvable revisits (digest absent from ``prior_pages``)
-    are dropped — surface them via the lineage counts if needed."""
+    Scale shape: the resolving join must NOT shuffle prior bodies by
+    digest (at crawl scale ``prior_pages`` IS the big table). With
+    ``broadcast_pointers=True`` (default) the slim ``(url, ts, digest)``
+    pointer set — bytes-per-row tiny and typically one batch of
+    segments — broadcasts, so the prior table is probed in place,
+    map-side, zero body movement. Set it False only when resolving a
+    pointer set too large for the driver (e.g. a whole crawl against a
+    whole crawl); then pre-bucket ``prior_pages`` by digest so the
+    sort-merge join reuses the storage layout instead of shuffling
+    bodies. Unresolvable revisits (digest absent from ``prior_pages``)
+    are dropped — surface them via lineage counts if needed."""
+    # NB: no digest-dedup on the prior side — that would shuffle prior
+    # bodies, the exact thing this plan exists to avoid. If several
+    # prior pages share a digest their bodies are identical (that is
+    # what the digest says), so the join may fan out and the output is
+    # deduped by url AFTER the join, where rows number revisits, not
+    # corpus.
     prior = prior_pages.select(
         page_digest().alias("payload_digest"),
         F.col("html").alias("_html"),
-        *(["text"] if "text" in prior_pages.columns else []),
-    ).dropDuplicates(["payload_digest"])
+    )
     responses = records.where(F.col("warc_type") == "response").select(
         "url", "warc_ts", "warc_epoch", F.col("body").alias("html")
     )
+    pointers = records.where(F.col("warc_type") == "revisit").select(
+        "url", "warc_ts", "warc_epoch", "payload_digest"
+    )
+    if broadcast_pointers:
+        pointers = F.broadcast(pointers)
     revisits = (
-        records.where(F.col("warc_type") == "revisit")
-        .select("url", "warc_ts", "warc_epoch", "payload_digest")
-        .join(prior.drop(*(["text"] if "text" in prior.columns else [])), "payload_digest")
+        prior.join(pointers, "payload_digest")
         .select("url", "warc_ts", "warc_epoch", F.col("_html").alias("html"))
+        .dropDuplicates(["url"])
     )
     return responses.unionByName(revisits)
 

@@ -294,3 +294,40 @@ def test_dedup_warc_stream_first_seen(spark, tmp_path):
         assert sorted(pdf["url"]) == ["http://s/a", "http://s/b", "http://s/c"]
     finally:
         q.stop()
+
+
+def test_resolve_revisits_plan_prior_bodies_never_shuffle(spark, tmp_path):
+    """Scale assertion: with broadcast_pointers=True (default), the
+    prior corpus is probed in place — no Exchange carries the prior
+    html, and the resolving join is a broadcast join. The only body
+    movement is the revisit-sized output dedup."""
+    from dedupe_algo_spark.plans import exchange_columns, has_broadcast_join
+    from dedupe_algo_spark.sources.warc import read_warc_records, resolve_revisits
+
+    # prior corpus from parquet so the plan has a real scan to prune
+    p = tmp_path / "prior"
+    spark.createDataFrame(
+        [(f"http://pl/{i}", bytearray(b"<p>%d</p>" % i)) for i in range(20)],
+        "url string, html binary",
+    ).write.parquet(str(p))
+    prior = spark.read.parquet(str(p))
+
+    import hashlib
+
+    dig = "sha256:" + hashlib.sha256(b"<p>7</p>").hexdigest()
+    blob = build_warc([], revisits=[("http://pl/7b", 1800000000, dig, "http://pl/7")])
+    recs = read_warc_records(
+        spark.createDataFrame(
+            [("c.warc.gz", bytearray(blob))], "warc_file string, data binary"
+        )
+    )
+    out = resolve_revisits(recs, prior)
+    assert has_broadcast_join(out)
+    # the prior-side body (aliased _html before the join) never enters
+    # a shuffle — the broadcast probes the corpus in place. The only
+    # body-carrying exchange is the post-join url dedup, whose rows
+    # number revisits, not corpus (it carries the renamed `html`).
+    assert "_html" not in exchange_columns(out)
+    rows = out.collect()
+    assert {r.url for r in rows} == {"http://pl/7b"}
+    assert bytes(rows[0].html) == b"<p>7</p>"
