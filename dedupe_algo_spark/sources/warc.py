@@ -343,36 +343,60 @@ def read_warc_records(
     return blobs.mapInPandas(gen, schema=WARC_RECORDS_SCHEMA)
 
 
-def pages_from_warc(blobs: DataFrame, **read_kw) -> DataFrame:
+def _finish_pages(df: DataFrame) -> DataFrame:
+    """(url, warc_ts, html) → the input_hint pages shape: codegen text
+    extraction + stopword lang-id, no Python."""
+    from ..functions.html import extract_html_text
+    from ..functions.text import lang_id_heuristic
+
+    text = extract_html_text(F.col("html"))
+    return df.select(
+        "url",
+        "warc_ts",
+        "html",
+        text.alias("text"),
+        lang_id_heuristic(text).alias("lang"),
+    )
+
+
+def pages_from_warc(blobs: DataFrame, prior_pages: DataFrame | None = None, **read_kw) -> DataFrame:
     """WARC blobs → the flagship pages table, end to end: parse the
-    responses (``read_warc_records``), extract text with the
+    records (``read_warc_records``), extract text with the
     whole-stage-codegen HTML automaton (functions/html.py), classify
     language with the stopword-vote heuristic (functions/text.py).
     Output is exactly the BASELINE ``input_hint`` shape
     ``(url, warc_ts, html, text, lang)`` — i.e. this is the missing
     first mile: a Common Crawl segment bucket in, the dedup pipeline's
     input table out, with Python touched only inside the one Arrow
-    parser; extraction and lang-id stay JVM-side codegen."""
-    from ..functions.html import extract_html_text
-    from ..functions.text import lang_id_heuristic
+    parser; extraction and lang-id stay JVM-side codegen.
 
+    ``prior_pages``: the previous crawl's pages table — when given,
+    ``revisit`` records in the blobs (unchanged pages stored as digest
+    pointers) are resolved against it (:func:`resolve_revisits`), so a
+    crawl-diff ingests complete; without it revisits are dropped and
+    only full responses ingest."""
+    if prior_pages is not None:
+        recs = read_warc_records(blobs, **read_kw)
+        return _finish_pages(resolve_revisits(recs, prior_pages))
     recs = read_warc_records(blobs, only_responses=True, **read_kw)
-    text = extract_html_text(F.col("body"))
-    return recs.select(
-        "url",
-        "warc_ts",
-        F.col("body").alias("html"),
-        text.alias("text"),
-        lang_id_heuristic(text).alias("lang"),
+    return _finish_pages(
+        recs.select("url", "warc_ts", F.col("body").alias("html"))
     )
 
 
-def load_pages(spark, path: str, input_format: str = "parquet") -> DataFrame:
+def load_pages(
+    spark,
+    path: str,
+    input_format: str = "parquet",
+    prior_path: str | None = None,
+) -> DataFrame:
     """Job-facing pages loader shared by the spark-submit entry points:
     ``parquet`` reads the pages table as-is; ``warc`` reads ``path`` as
     a directory of ``.warc[.gz]`` segment objects via ``binaryFile``
     (one task per segment) and builds the pages shape with
-    :func:`pages_from_warc`."""
+    :func:`pages_from_warc`. ``prior_path`` (warc only): the previous
+    crawl's pages parquet — revisit records resolve against it, so a
+    crawl-diff bucket ingests complete."""
     if input_format == "warc":
         blobs = (
             spark.read.format("binaryFile")
@@ -381,7 +405,8 @@ def load_pages(spark, path: str, input_format: str = "parquet") -> DataFrame:
                 F.col("path").alias("warc_file"), F.col("content").alias("data")
             )
         )
-        return pages_from_warc(blobs)
+        prior = spark.read.parquet(prior_path) if prior_path else None
+        return pages_from_warc(blobs, prior_pages=prior)
     if input_format == "parquet":
         return spark.read.parquet(path)
     raise ValueError(f"unknown input_format: {input_format!r}")

@@ -8,7 +8,7 @@ Run on any cluster as:
         --input /path/to/pages_parquet \
         --output /path/to/clusters_out \
         [--threshold 0.8] [--min-len 10] [--no-near] [--from-html] \
-        [--input-format parquet|warc] \
+        [--input-format parquet|warc] [--prior /path/to/prev_pages] \
         [--checkpoint-dir /path/to/ckpt --run-id run1]
 
 With ``--input-format warc`` the input path is a directory of
@@ -43,6 +43,12 @@ def main() -> None:
         help="'warc': read --input as a directory of .warc[.gz] segments "
         "and build the pages table with sources/warc.pages_from_warc",
     )
+    p.add_argument(
+        "--prior",
+        default=None,
+        help="previous crawl's pages parquet (warc input only): revisit "
+        "records resolve against it by payload digest",
+    )
     p.add_argument("--output", required=True, help="clusters parquet output path")
     p.add_argument("--threshold", type=float, default=0.80)
     p.add_argument("--min-len", type=int, default=10)
@@ -73,7 +79,7 @@ def main() -> None:
 
     from dedupe_algo_spark.sources.warc import load_pages
 
-    pages = load_pages(spark, args.input, args.input_format)
+    pages = load_pages(spark, args.input, args.input_format, prior_path=args.prior)
     if args.from_html:
         from dedupe_algo_spark.functions.html import ensure_text
 

@@ -331,3 +331,36 @@ def test_resolve_revisits_plan_prior_bodies_never_shuffle(spark, tmp_path):
     rows = out.collect()
     assert {r.url for r in rows} == {"http://pl/7b"}
     assert bytes(rows[0].html) == b"<p>7</p>"
+
+
+def test_load_pages_warc_with_prior_resolves_revisits(spark, tmp_path):
+    """dedup_job --input-format warc --prior: a crawl-diff bucket whose
+    revisits point at the prior crawl ingests complete — resolved pages
+    get extracted text like any response."""
+    import hashlib
+
+    from dedupe_algo_spark.sources.warc import load_pages
+
+    old_html = b"<html><body>stable alpha content</body></html>"
+    prior_dir = tmp_path / "prior"
+    spark.createDataFrame(
+        [("http://p/a", bytearray(old_html))], "url string, html binary"
+    ).write.parquet(str(prior_dir))
+
+    d = tmp_path / "bucket"
+    d.mkdir()
+    dig = "sha256:" + hashlib.sha256(old_html).hexdigest()
+    (d / "seg.warc.gz").write_bytes(
+        build_warc(
+            [("http://p/b", 1800000000, b"<html><body>fresh beta</body></html>")],
+            revisits=[("http://p/a", 1800000001, dig, "http://p/a")],
+        )
+    )
+    pages = load_pages(spark, str(d), "warc", prior_path=str(prior_dir))
+    out = {r.url: r for r in pages.collect()}
+    assert set(out) == {"http://p/a", "http://p/b"}
+    assert out["http://p/a"].text == "stable alpha content"  # inherited + extracted
+    assert out["http://p/b"].text == "fresh beta"
+    # without --prior the revisit drops, responses still ingest
+    solo = load_pages(spark, str(d), "warc")
+    assert [r.url for r in solo.collect()] == ["http://p/b"]
