@@ -1230,6 +1230,87 @@ FROM read_parquet('{HTML_SNAPSHOT}')
 """
 
 
+def q_robots_verdicts(spark, sf_dir):
+    """robots.txt crawl-policy gate (operators/robots.py, RFC 9309):
+    synthesize one robots body per source host — prefix disallow,
+    longer allow carve-out, anchored ``/*.pdf$`` wildcard, plus a
+    total-Disallow host (src0) — run the REAL parser + longest-match
+    verdict engine over urls derived from doc arithmetic, and let the
+    DuckDB twin recompute every verdict with independent CASE logic.
+    A parser group bug, wildcard translation bug, or precedence bug
+    flips verdicts and breaks the hash."""
+    from .operators.robots import parse_robots, robots_verdicts
+
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    hosts = docs.select("source").distinct()
+    body = F.when(
+        F.col("source") == "src0",
+        F.lit("User-agent: *\nDisallow: /\n"),
+    ).otherwise(
+        F.lit(
+            "User-agent: *\n"
+            "Disallow: /private/\n"
+            "Allow: /private/public/\n"
+            "Disallow: /*.pdf$\n"
+        )
+    )
+    rules = parse_robots(
+        hosts.select(
+            F.concat(F.col("source"), F.lit(".com")).alias("host"),
+            body.alias("body"),
+        )
+    )
+    pages = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"),
+            "source",
+            F.lit(".com"),
+            F.when(F.col("doc_id") % 4 == 0, F.concat(F.lit("/private/"), "doc_id"))
+            .when(
+                F.col("doc_id") % 4 == 1,
+                F.concat(F.lit("/private/public/"), "doc_id"),
+            )
+            .when(F.col("doc_id") % 4 == 2, F.concat(F.lit("/doc"), "doc_id", F.lit(".pdf")))
+            .otherwise(F.concat(F.lit("/page/"), "doc_id")),
+        ).alias("url"),
+    )
+    return robots_verdicts(pages, rules).select(
+        "doc_id", "url", "allowed", "matched_rule"
+    )
+
+
+SQL_ROBOTS_VERDICTS = """
+WITH p AS (
+  SELECT doc_id, source,
+         'https://' || source || '.com' ||
+         CASE doc_id % 4
+           WHEN 0 THEN '/private/' || doc_id
+           WHEN 1 THEN '/private/public/' || doc_id
+           WHEN 2 THEN '/doc' || doc_id || '.pdf'
+           ELSE '/page/' || doc_id
+         END AS url
+  FROM documents
+)
+SELECT doc_id, url,
+  CASE
+    WHEN source = 'src0' THEN false
+    WHEN doc_id % 4 = 0 THEN false            -- /private/ disallow
+    WHEN doc_id % 4 = 1 THEN true             -- longer allow carve-out
+    WHEN doc_id % 4 = 2 THEN false            -- anchored /*.pdf$
+    ELSE true                                 -- no rule matches
+  END AS allowed,
+  CASE
+    WHEN source = 'src0' THEN 'disallow /'
+    WHEN doc_id % 4 = 0 THEN 'disallow /private/'
+    WHEN doc_id % 4 = 1 THEN 'allow /private/public/'
+    WHEN doc_id % 4 = 2 THEN 'disallow /*.pdf$'
+    ELSE NULL
+  END AS matched_rule
+FROM p
+"""
+
+
 SQL_PAGES_DEDUP_EXACT = f"""
 WITH m AS (
   SELECT url, length(text) AS text_len, sha256(text) AS content_sha256
@@ -4354,6 +4435,7 @@ QUERIES = {
     "html_extract": q_html_extract,
     "warc_ingest": q_warc_ingest,
     "warc_revisit_resolve": q_warc_revisit_resolve,
+    "robots_verdicts": q_robots_verdicts,
     # derived deterministic twins of the rows-only queries below
     "dedup_cluster_stats": q_dedup_cluster_stats,
     "minhash_pair_stats": q_minhash_pair_stats,
@@ -4466,6 +4548,7 @@ ORACLES = {
     "html_extract": SQL_HTML_EXTRACT,
     "warc_ingest": SQL_WARC_INGEST,
     "warc_revisit_resolve": SQL_WARC_REVISIT_RESOLVE,
+    "robots_verdicts": SQL_ROBOTS_VERDICTS,
     "pages_dedup_clusters_2k": SQL_PAGES_DEDUP_CLUSTERS_2K,
     "minhash_dup_pairs": SQL_MINHASH_DUP_PAIRS,
     "dedup_cluster_stats": SQL_DEDUP_CLUSTER_STATS,

@@ -1,0 +1,136 @@
+"""robots.txt parsing + RFC 9309 longest-match filtering
+(operators/robots.py): group semantics, wildcard/anchor translation,
+precedence, and the pages-never-shuffle plan."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dedupe_algo_spark.operators.robots import (
+    parse_robots,
+    robots_filter,
+    robots_verdicts,
+)
+
+ROBOTS = """\
+# comment line
+User-agent: *
+Disallow: /private/
+Allow: /private/public/
+Disallow: /*.pdf$
+Disallow: /tmp
+
+User-agent: evilbot
+Disallow: /
+
+User-agent: a
+User-agent: b
+Disallow: /shared/
+"""
+
+
+def _rules(spark):
+    bodies = spark.createDataFrame(
+        [("ex.com", ROBOTS), ("open.org", "User-agent: *\nDisallow:\n")],
+        "host string, body string",
+    )
+    return parse_robots(bodies)
+
+
+def test_parse_groups_and_directives(spark):
+    rows = {
+        (r.host, r.agent, r.directive, r.path)
+        for r in _rules(spark).collect()
+    }
+    assert ("ex.com", "*", "disallow", "/private/") in rows
+    assert ("ex.com", "*", "allow", "/private/public/") in rows
+    assert ("ex.com", "evilbot", "disallow", "/") in rows
+    # consecutive User-agent lines share one group
+    assert ("ex.com", "a", "disallow", "/shared/") in rows
+    assert ("ex.com", "b", "disallow", "/shared/") in rows
+    # empty Disallow emits no rule
+    assert not any(h == "open.org" for h, *_ in rows)
+
+
+def test_verdicts_longest_match_and_wildcards(spark):
+    cases = {
+        "https://ex.com/": True,  # no match → allow
+        "https://ex.com/private/x": False,  # Disallow /private/
+        "https://ex.com/private/public/x": True,  # longer Allow wins
+        "https://ex.com/doc.pdf": False,  # /*.pdf$ anchored wildcard
+        "https://ex.com/doc.pdf.html": True,  # $ anchor: not an end-match
+        "https://ex.com/tmpfile": False,  # prefix rule /tmp
+        "https://open.org/anything": True,  # empty Disallow host
+        "https://unknown.net/x": True,  # host with no robots
+    }
+    pages = spark.createDataFrame([(u,) for u in cases], "url string")
+    got = {
+        r.url: r.allowed
+        for r in robots_verdicts(pages, _rules(spark)).collect()
+    }
+    assert got == cases
+    # evilbot is fully excluded on ex.com
+    kept = robots_filter(pages, _rules(spark), agent="evilbot")
+    assert sorted(r.url for r in kept.collect()) == [
+        "https://open.org/anything",
+        "https://unknown.net/x",
+    ]
+
+
+def test_matched_rule_surface_and_tie_break(spark):
+    # equal-length allow/disallow: allow wins (RFC tie-break)
+    bodies = spark.createDataFrame(
+        [("t.io", "User-agent: *\nDisallow: /a/\nAllow: /b/\n")],
+        "host string, body string",
+    )
+    rules = parse_robots(bodies)
+    tie = spark.createDataFrame(
+        [("t.io", "*", "disallow", "/x/", 0), ("t.io", "*", "allow", "/x/", 1)],
+        "host string, agent string, directive string, path string, ord int",
+    )
+    pages = spark.createDataFrame([("https://t.io/x/1",)], "url string")
+    v = robots_verdicts(pages, tie).collect()[0]
+    assert v.allowed and v.matched_rule == "allow /x/"
+    v2 = robots_verdicts(
+        spark.createDataFrame([("https://t.io/a/z",)], "url string"), rules
+    ).collect()[0]
+    assert not v2.allowed and v2.matched_rule == "disallow /a/"
+    v3 = robots_verdicts(
+        spark.createDataFrame([("https://t.io/c",)], "url string"), rules
+    ).collect()[0]
+    assert v3.allowed and v3.matched_rule is None
+
+
+def test_plan_pages_never_shuffle(spark, tmp_path):
+    from dedupe_algo_spark.plans import exchange_columns, has_broadcast_join
+
+    p = tmp_path / "pages"
+    spark.createDataFrame(
+        [(f"https://ex.com/p/{i}", f"text {i}") for i in range(50)],
+        "url string, text string",
+    ).write.parquet(str(p))
+    pages = spark.read.parquet(str(p))
+    out = robots_verdicts(pages, _rules(spark))
+    assert has_broadcast_join(out)
+    # the only exchange is the rules-side collect_list: page columns
+    # (url, text) never move
+    moved = exchange_columns(out)
+    assert "url" not in moved and "text" not in moved
+
+
+def test_like_escape_literals(spark):
+    # literal % and _ in robots paths must not act as SQL wildcards
+    bodies = spark.createDataFrame(
+        [("e.io", "User-agent: *\nDisallow: /100%/\nDisallow: /a_b\n")],
+        "host string, body string",
+    )
+    rules = parse_robots(bodies)
+    cases = {
+        "https://e.io/100%/x": False,
+        "https://e.io/100x/x": True,  # % is literal, not any-string
+        "https://e.io/a_b": False,
+        "https://e.io/aXb": True,  # _ is literal, not any-char
+    }
+    pages = spark.createDataFrame([(u,) for u in cases], "url string")
+    got = {r.url: r.allowed for r in robots_verdicts(pages, rules).collect()}
+    assert got == cases
