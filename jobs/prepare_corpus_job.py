@@ -89,6 +89,8 @@ def prepare(
     domain_cap_k: int | None = None,
     shuffle_shards: int | None = None,
     token_budgets: dict[str, int] | None = None,
+    robots_rules=None,
+    robots_agent: str = "*",
 ):
     """Run the six-stage preparation over a pages DataFrame. Returns
     (mixed DataFrame ready to write, lineage dict of per-stage counts,
@@ -113,6 +115,15 @@ def prepare(
     from dedupe_algo_spark.pipeline import dedup_pipeline
 
     lineage: dict[str, int] = {"input": pages.count()}
+
+    # 0. optional robots.txt gate (RFC 9309): drop urls the crawl
+    # policy disallows — the cheapest cut (broadcast rules, zero page
+    # exchange), applied before anything touches text
+    if robots_rules is not None:
+        from dedupe_algo_spark.operators.robots import robots_filter
+
+        pages = robots_filter(pages, robots_rules, agent=robots_agent)
+        lineage["robots"] = pages.select("url").count()
 
     # 1. URL dedup: newest snapshot per canonical url; warc_ts ties
     # break on raw url for determinism. One shuffle on the slim key.
@@ -335,6 +346,13 @@ def main() -> None:
     p.add_argument("--synth", type=int, default=0)
     p.add_argument("--output", required=True)
     p.add_argument("--eval", dest="eval_path")
+    p.add_argument(
+        "--robots",
+        default=None,
+        help="parquet of (host, body) robots.txt captures: drop urls the "
+        "crawl policy disallows before any other stage (RFC 9309)",
+    )
+    p.add_argument("--robots-agent", default="*")
     p.add_argument("--contam-ngram", type=int, default=13)
     p.add_argument("--rates", default="")
     p.add_argument(
@@ -414,6 +432,11 @@ def main() -> None:
     eval_docs = (
         spark.read.parquet(args.eval_path) if args.eval_path else None
     )
+    robots_rules = None
+    if args.robots:
+        from dedupe_algo_spark.operators.robots import parse_robots
+
+        robots_rules = parse_robots(spark.read.parquet(args.robots))
     mixed, lineage, release = prepare(
         spark,
         pages,
@@ -437,6 +460,8 @@ def main() -> None:
             k: int(float(v)) for k, v in _parse_rates(args.token_budgets).items()
         }
         or None,
+        robots_rules=robots_rules,
+        robots_agent=args.robots_agent,
     )
     writer = mixed
     if args.shuffle_shards:

@@ -285,3 +285,37 @@ def test_prepare_with_token_budgets(spark):
         assert set(out[out["lang"] == lang]["url"]) == set(
             base_pdf[base_pdf["lang"] == lang]["url"]
         )
+
+
+def test_prepare_with_robots_gate(spark):
+    """Stage 0 (--robots): urls a host's robots policy disallows drop
+    before any other stage, and the lineage records the cut."""
+    from dedupe_algo_spark.operators.robots import parse_robots
+    from dedupe_algo_spark.synth import synth_pages
+
+    pages = synth_pages(spark, 200).cache()
+    hosts = (
+        pages.select(
+            F.regexp_extract("url", r"^https://([^/]+)/", 1).alias("host")
+        )
+        .distinct()
+        .collect()
+    )
+    # forbid every /p/ path on ONE host; all other hosts unrestricted
+    banned = sorted(h.host for h in hosts)[0]
+    rules = parse_robots(
+        spark.createDataFrame(
+            [(banned, "User-agent: *\nDisallow: /p/\n")],
+            "host string, body string",
+        )
+    )
+    n_banned = pages.where(F.col("url").startswith(f"https://{banned}/p/")).count()
+    assert n_banned > 0
+    mixed, lineage, release = prepare(spark, pages, robots_rules=rules)
+    try:
+        assert lineage["robots"] == lineage["input"] - n_banned
+        assert mixed.where(
+            F.col("url").startswith(f"https://{banned}/")
+        ).count() == 0
+    finally:
+        release()
