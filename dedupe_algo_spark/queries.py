@@ -1230,6 +1230,47 @@ FROM read_parquet('{HTML_SNAPSHOT}')
 """
 
 
+def q_wet_ingest(spark, sf_dir):
+    """WET (extracted-text) round-trip: pack the fixture's ground-truth
+    text as conversion records, parse with the distributed reader, and
+    check url / epoch / text hash / char count against the source
+    parquet — the *.wet.gz ingestion path most text pipelines use,
+    value-checked end to end."""
+    from .sources.warc import build_wet
+
+    rows = (
+        spark.read.parquet(HTML_SNAPSHOT).select("url", "text").collect()
+    )  # 300 fixture pages — driver-side pack is fine
+    recs = [(r.url, 1800000000 + len(r.url), r.text) for r in rows]
+    # 3 segments so the read path exercises multi-blob parallelism
+    blobs = spark.createDataFrame(
+        [
+            (f"wet-{i:02d}.warc.wet.gz", bytearray(build_wet(recs[i::3])))
+            for i in range(3)
+        ],
+        "warc_file string, data binary",
+    )
+    from .sources.warc import read_warc_records
+
+    recs_df = read_warc_records(blobs).where("warc_type = 'conversion'")
+    text = F.col("body").cast("string")
+    return recs_df.select(
+        "url",
+        "warc_epoch",  # parser-native int — no session-tz dependence
+        F.sha2(text, 256).alias("text_sha256"),
+        F.length(text).alias("n_chars"),
+    )
+
+
+SQL_WET_INGEST = f"""
+SELECT url,
+       1800000000 + length(url) AS warc_epoch,
+       sha256(text) AS text_sha256,
+       length(text) AS n_chars
+FROM read_parquet('{HTML_SNAPSHOT}')
+"""
+
+
 def q_robots_verdicts(spark, sf_dir):
     """robots.txt crawl-policy gate (operators/robots.py, RFC 9309):
     synthesize one robots body per source host — prefix disallow,
@@ -4436,6 +4477,7 @@ QUERIES = {
     "warc_ingest": q_warc_ingest,
     "warc_revisit_resolve": q_warc_revisit_resolve,
     "robots_verdicts": q_robots_verdicts,
+    "wet_ingest": q_wet_ingest,
     # derived deterministic twins of the rows-only queries below
     "dedup_cluster_stats": q_dedup_cluster_stats,
     "minhash_pair_stats": q_minhash_pair_stats,
@@ -4549,6 +4591,7 @@ ORACLES = {
     "warc_ingest": SQL_WARC_INGEST,
     "warc_revisit_resolve": SQL_WARC_REVISIT_RESOLVE,
     "robots_verdicts": SQL_ROBOTS_VERDICTS,
+    "wet_ingest": SQL_WET_INGEST,
     "pages_dedup_clusters_2k": SQL_PAGES_DEDUP_CLUSTERS_2K,
     "minhash_dup_pairs": SQL_MINHASH_DUP_PAIRS,
     "dedup_cluster_stats": SQL_DEDUP_CLUSTER_STATS,

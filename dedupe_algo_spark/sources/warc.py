@@ -384,6 +384,59 @@ def pages_from_warc(blobs: DataFrame, prior_pages: DataFrame | None = None, **re
     )
 
 
+def build_wet(records: list[tuple[str, int, str]], warcinfo: bool = True) -> bytes:
+    """WET-shaped ``.warc.gz`` bytes: ``WARC-Type: conversion`` records
+    carrying extracted plain text (UTF-8), one gzip member each — the
+    Common Crawl *.wet.gz layout most text pipelines consume."""
+    out = io.BytesIO()
+    if warcinfo:
+        info = b"software: dedupe-algo-spark/fixture\r\nformat: WARC/1.0 WET\r\n"
+        rec = (
+            b"WARC/1.0\r\nWARC-Type: warcinfo\r\n"
+            b"WARC-Date: 2026-01-01T00:00:00Z\r\n"
+            b"Content-Type: application/warc-fields\r\n"
+            + f"Content-Length: {len(info)}\r\n\r\n".encode()
+            + info
+            + b"\r\n\r\n"
+        )
+        out.write(gzip.compress(rec, mtime=0))
+    for url, epoch, text in records:
+        date = strftime("%Y-%m-%dT%H:%M:%SZ", gmtime(int(epoch)))
+        payload = text.encode("utf-8")
+        rec = (
+            b"WARC/1.0\r\nWARC-Type: conversion\r\n"
+            + f"WARC-Target-URI: {url}\r\n".encode("utf-8")
+            + f"WARC-Date: {date}\r\n".encode()
+            + b"Content-Type: text/plain\r\n"
+            + f"Content-Length: {len(payload)}\r\n\r\n".encode()
+            + payload
+            + b"\r\n\r\n"
+        )
+        out.write(gzip.compress(rec, mtime=0))
+    return out.getvalue()
+
+
+def pages_from_wet(blobs: DataFrame, **read_kw) -> DataFrame:
+    """WET blobs → pages: ``conversion`` records carry extracted plain
+    text, so no HTML pass — text decodes straight from the body,
+    lang-id runs in codegen, ``html`` is null (the WET format does not
+    ship markup). Same parallelism as the WARC reader: one task per
+    segment object."""
+    from ..functions.text import lang_id_heuristic
+
+    recs = read_warc_records(blobs, **read_kw).where(
+        F.col("warc_type") == "conversion"
+    )
+    text = F.col("body").cast("string")
+    return recs.select(
+        "url",
+        "warc_ts",
+        F.lit(None).cast("binary").alias("html"),
+        text.alias("text"),
+        lang_id_heuristic(text).alias("lang"),
+    )
+
+
 def load_pages(
     spark,
     path: str,
@@ -407,6 +460,15 @@ def load_pages(
         )
         prior = spark.read.parquet(prior_path) if prior_path else None
         return pages_from_warc(blobs, prior_pages=prior)
+    if input_format == "wet":
+        blobs = (
+            spark.read.format("binaryFile")
+            .load(path)
+            .select(
+                F.col("path").alias("warc_file"), F.col("content").alias("data")
+            )
+        )
+        return pages_from_wet(blobs)
     if input_format == "parquet":
         return spark.read.parquet(path)
     raise ValueError(f"unknown input_format: {input_format!r}")

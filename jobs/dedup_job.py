@@ -38,7 +38,7 @@ def main() -> None:
     p.add_argument("--input", required=True, help="pages parquet path (or WARC dir)")
     p.add_argument(
         "--input-format",
-        choices=["parquet", "warc"],
+        choices=["parquet", "warc", "wet"],
         default="parquet",
         help="'warc': read --input as a directory of .warc[.gz] segments "
         "and build the pages table with sources/warc.pages_from_warc",

@@ -338,7 +338,7 @@ def main() -> None:
     p.add_argument("--input")
     p.add_argument(
         "--input-format",
-        choices=["parquet", "warc"],
+        choices=["parquet", "warc", "wet"],
         default="parquet",
         help="'warc': read --input as a directory of .warc[.gz] segments "
         "(binaryFile → sources/warc.pages_from_warc)",

@@ -364,3 +364,26 @@ def test_load_pages_warc_with_prior_resolves_revisits(spark, tmp_path):
     # without --prior the revisit drops, responses still ingest
     solo = load_pages(spark, str(d), "warc")
     assert [r.url for r in solo.collect()] == ["http://p/b"]
+
+
+def test_wet_round_trip_and_load(spark, tmp_path):
+    """WET (extracted-text) segments: conversion records parse to pages
+    with text straight from the body, html null — the format most text
+    pipelines consume."""
+    from dedupe_algo_spark.sources.warc import build_wet, load_pages
+
+    recs = [
+        ("http://wet/a", 1800000000, "alpha text é one " * 5),
+        ("http://wet/b", 1800000001, "beta text two " * 5),
+    ]
+    d = tmp_path / "wet"
+    d.mkdir()
+    (d / "seg.warc.wet.gz").write_bytes(build_wet(recs))
+    pages = load_pages(spark, str(d), "wet")
+    assert pages.columns == ["url", "warc_ts", "html", "text", "lang"]
+    out = {r.url: r for r in pages.collect()}
+    assert set(out) == {"http://wet/a", "http://wet/b"}
+    for url, _, text in recs:
+        assert out[url].text == text
+        assert out[url].html is None
+    assert out["http://wet/a"].warc_ts.timestamp() == 1800000000
