@@ -89,3 +89,18 @@ def ensure_text(pages: DataFrame) -> DataFrame:
     return pages.withColumn(
         "text", F.coalesce(F.col("text"), extract_html_text(F.col("html")))
     )
+
+
+def extract_outlinks(html: Column) -> Column:
+    """All ``href`` targets of a raw html column, as an array — pure
+    codegen ``regexp_extract_all``, the WAT-style link extraction a
+    link-graph pass (outdegree, PageRank) starts from."""
+    return F.regexp_extract_all(
+        F.decode(html, "UTF-8"), F.lit(r'href="([^"]+)"'), 1
+    )
+
+
+def link_host(url: Column) -> Column:
+    """Host of an extracted link target (absolute http/https only;
+    relative links yield empty string — filter as needed)."""
+    return F.regexp_extract(url, r"^https?://([^/]+)", 1)

@@ -1271,6 +1271,129 @@ FROM read_parquet('{HTML_SNAPSHOT}')
 """
 
 
+def q_host_outlinks(spark, sf_dir):
+    """WAT-style link-graph extraction: per-doc html is synthesized
+    with two anchor tags whose targets derive from doc arithmetic
+    (host k → hosts (5k+1)%16 and (7k+3)%16), the REAL codegen
+    extractor (``regexp_extract_all`` over the decoded bytes) pulls the
+    hrefs back out, and the (src_host, dst_host) edge counts roll up.
+    The DuckDB twin replays the same regexp over the same markup, so a
+    wrong capture group, entity slip, or explode bug breaks the hash."""
+    from .functions.html import extract_outlinks, link_host
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", (F.col("doc_id") % 16).alias("k"), "text"
+    )
+    html = F.encode(
+        F.concat(
+            F.lit("<html><body><p>"),
+            F.substring("text", 1, 40),
+            F.lit('</p><a href="https://h'),
+            (F.col("k") * 5 + 1) % 16,
+            F.lit(".example/p/"),
+            "doc_id",
+            F.lit('">x</a><a class="m" href="https://h'),
+            (F.col("k") * 7 + 3) % 16,
+            F.lit(".example/q/"),
+            "doc_id",
+            F.lit('">y</a></body></html>'),
+        ),
+        "UTF-8",
+    )
+    links = d.select(
+        F.concat(F.lit("h"), "k", F.lit(".example")).alias("src_host"),
+        F.explode(extract_outlinks(html)).alias("target"),
+    )
+    return (
+        links.select("src_host", link_host(F.col("target")).alias("dst_host"))
+        .groupBy("src_host", "dst_host")
+        .agg(F.count("*").alias("n_links"))
+    )
+
+
+SQL_HOST_OUTLINKS = """
+WITH d AS (
+  SELECT doc_id, doc_id % 16 AS k, text FROM documents
+), h AS (
+  SELECT k,
+    '<html><body><p>' || substr(text, 1, 40) ||
+    '</p><a href="https://h' || (k * 5 + 1) % 16 || '.example/p/' || doc_id ||
+    '">x</a><a class="m" href="https://h' || (k * 7 + 3) % 16 ||
+    '.example/q/' || doc_id || '">y</a></body></html>' AS html
+  FROM d
+), l AS (
+  SELECT k, unnest(regexp_extract_all(html, 'href="([^"]+)"', 1)) AS target
+  FROM h
+)
+SELECT 'h' || k || '.example' AS src_host,
+       regexp_extract(target, '^https?://([^/]+)', 1) AS dst_host,
+       COUNT(*) AS n_links
+FROM l GROUP BY 1, 2
+"""
+
+
+def q_host_pagerank3(spark, sf_dir):
+    """Three exact power iterations of PageRank over the 16-host
+    synthetic link graph (host k → (5k+1)%16, (7k+3)%16 as parallel
+    edges where they coincide). Every quantity is a dyadic rational —
+    N=16, outdeg=2, damping 3/4, teleport (1-d)/N = 1/64 — so IEEE
+    doubles are EXACT and the distributed sum order cannot perturb a
+    bit: the hash compare against DuckDB's chained-CTE replay is
+    byte-stable by construction, not by rounding luck."""
+    hosts = spark.range(16).select(F.col("id").cast("int").alias("h"))
+    edges = hosts.select(
+        F.col("h").alias("src"),
+        F.explode(
+            F.array((F.col("h") * 5 + 1) % 16, (F.col("h") * 7 + 3) % 16)
+        ).alias("dst"),
+    )
+    pr = hosts.select("h", F.lit(1.0 / 16).alias("pr"))
+    for _ in range(3):
+        contrib = (
+            edges.join(pr, edges.src == pr.h)
+            .select("dst", (F.col("pr") / 2).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        pr = hosts.join(contrib, hosts.h == contrib.dst, "left").select(
+            "h",
+            (
+                F.lit(1.0 / 64) + F.lit(0.75) * F.coalesce("inflow", F.lit(0.0))
+            ).alias("pr"),
+        )
+    return pr.select(F.col("h").alias("host_id"), F.col("pr").alias("pagerank"))
+
+
+SQL_HOST_PAGERANK3 = """
+WITH hosts AS (SELECT unnest(range(0, 16)) AS h),
+edges AS (
+  SELECT h AS src, (h * 5 + 1) % 16 AS dst FROM hosts
+  UNION ALL
+  SELECT h, (h * 7 + 3) % 16 FROM hosts
+),
+p0 AS (SELECT h, 1.0 / 16 AS pr FROM hosts),
+p1 AS (
+  SELECT hosts.h, 1.0/64 + 0.75 * COALESCE(SUM(p0.pr / 2), 0) AS pr
+  FROM hosts LEFT JOIN edges ON edges.dst = hosts.h
+             LEFT JOIN p0 ON p0.h = edges.src
+  GROUP BY hosts.h
+),
+p2 AS (
+  SELECT hosts.h, 1.0/64 + 0.75 * COALESCE(SUM(p1.pr / 2), 0) AS pr
+  FROM hosts LEFT JOIN edges ON edges.dst = hosts.h
+             LEFT JOIN p1 ON p1.h = edges.src
+  GROUP BY hosts.h
+),
+p3 AS (
+  SELECT hosts.h, 1.0/64 + 0.75 * COALESCE(SUM(p2.pr / 2), 0) AS pr
+  FROM hosts LEFT JOIN edges ON edges.dst = hosts.h
+             LEFT JOIN p2 ON p2.h = edges.src
+  GROUP BY hosts.h
+)
+SELECT h AS host_id, pr AS pagerank FROM p3
+"""
+
+
 def q_robots_verdicts(spark, sf_dir):
     """robots.txt crawl-policy gate (operators/robots.py, RFC 9309):
     synthesize one robots body per source host — prefix disallow,
@@ -4478,6 +4601,8 @@ QUERIES = {
     "warc_revisit_resolve": q_warc_revisit_resolve,
     "robots_verdicts": q_robots_verdicts,
     "wet_ingest": q_wet_ingest,
+    "host_outlinks": q_host_outlinks,
+    "host_pagerank3": q_host_pagerank3,
     # derived deterministic twins of the rows-only queries below
     "dedup_cluster_stats": q_dedup_cluster_stats,
     "minhash_pair_stats": q_minhash_pair_stats,
@@ -4592,6 +4717,8 @@ ORACLES = {
     "warc_revisit_resolve": SQL_WARC_REVISIT_RESOLVE,
     "robots_verdicts": SQL_ROBOTS_VERDICTS,
     "wet_ingest": SQL_WET_INGEST,
+    "host_outlinks": SQL_HOST_OUTLINKS,
+    "host_pagerank3": SQL_HOST_PAGERANK3,
     "pages_dedup_clusters_2k": SQL_PAGES_DEDUP_CLUSTERS_2K,
     "minhash_dup_pairs": SQL_MINHASH_DUP_PAIRS,
     "dedup_cluster_stats": SQL_DEDUP_CLUSTER_STATS,
