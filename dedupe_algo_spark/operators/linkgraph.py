@@ -1,0 +1,103 @@
+"""Host-level link graph: extraction and PageRank — the web-graph
+quality signal pipelines mix into corpus weighting (a page from a
+well-linked host is worth more than a spam farm's).
+
+- ``host_edges``: pages → distinct (src_host, dst_host, n_links)
+  edges via the codegen outlink extractor. One shuffle on the slim
+  host pair.
+- ``pagerank``: standard damped PageRank with uniform teleport and
+  dangling-mass redistribution, iterated a fixed number of steps.
+  Each step is one join + one aggregate on (node, double) rows —
+  O(edges) shuffle of an 8-byte payload, never page bodies. The rank
+  frame is ``localCheckpoint``-ed per step so the plan does not grow
+  with iterations (same discipline as the CC operator,
+  operators/cluster.py); the dangling mass is one scalar ``first()``
+  per step — a driver barrier that moves 8 bytes.
+
+Public references: Page et al. 1999; the dangling-node uniform
+redistribution is the standard formulation (Berkhin 2005 survey).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def host_edges(pages: DataFrame, html_col: str = "html") -> DataFrame:
+    """(src_host, dst_host, n_links) edges from raw html. Self-links
+    are kept (PageRank handles them); relative links (no host) drop."""
+    from ..functions.html import extract_outlinks, link_host
+    from ..functions.urls import host_of
+
+    links = pages.select(
+        host_of(F.col("url")).alias("src_host"),
+        F.explode(extract_outlinks(F.col(html_col))).alias("_t"),
+    )
+    return (
+        links.select("src_host", link_host(F.col("_t")).alias("dst_host"))
+        .where(F.length("dst_host") > 0)
+        .groupBy("src_host", "dst_host")
+        .agg(F.count("*").alias("n_links"))
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 10,
+    damping: float = 0.85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str | None = None,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Damped PageRank over ``edges``; returns (node, pagerank).
+
+    Nodes are the union of sources and targets. Parallel edges either
+    pre-aggregated via ``weight_col`` or counted implicitly. Dangling
+    nodes (no outlinks) redistribute their mass uniformly, so the rank
+    vector keeps total mass 1 every step (asserted cheaply by the
+    tests, not at runtime)."""
+    w = F.col(weight_col) if weight_col else F.lit(1)
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst"), w.alias("w")
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    if checkpoint:
+        nodes = nodes.localCheckpoint(eager=True)
+    n = nodes.count()
+    outdeg = e.groupBy("src").agg(F.sum("w").alias("outw"))
+    e = e.join(outdeg, "src").select(
+        "src", "dst", (F.col("w") / F.col("outw")).alias("share")
+    )
+    if checkpoint:
+        e = e.localCheckpoint(eager=True)
+    pr = nodes.select("node", F.lit(1.0 / n).alias("pr"))
+    has_out = outdeg.select(F.col("src").alias("node"))
+    for _ in range(iterations):
+        dangling = (
+            pr.join(has_out, "node", "left_anti")
+            .agg(F.coalesce(F.sum("pr"), F.lit(0.0)))
+            .first()[0]
+        )
+        inflow = (
+            e.join(pr, e.src == pr.node)
+            .select("dst", (F.col("pr") * F.col("share")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        pr = nodes.join(inflow, nodes.node == inflow.dst, "left").select(
+            "node",
+            (
+                F.lit((1.0 - damping) / n)
+                + F.lit(damping)
+                * (F.coalesce("inflow", F.lit(0.0)) + F.lit(dangling / n))
+            ).alias("pr"),
+        )
+        if checkpoint:
+            pr = pr.localCheckpoint(eager=True)
+    return pr.select("node", F.col("pr").alias("pagerank"))
