@@ -1339,7 +1339,13 @@ def q_host_pagerank3(spark, sf_dir):
     N=16, outdeg=2, damping 3/4, teleport (1-d)/N = 1/64 — so IEEE
     doubles are EXACT and the distributed sum order cannot perturb a
     bit: the hash compare against DuckDB's chained-CTE replay is
-    byte-stable by construction, not by rounding luck."""
+    byte-stable by construction, not by rounding luck. Runs the REAL
+    operator (operators/linkgraph.pagerank — checkpointed iterations,
+    dangling redistribution), so the oracle pins the operator, not a
+    query-local reimplementation; every host here has outdegree 2, so
+    the dangling term is exactly zero."""
+    from .operators.linkgraph import pagerank
+
     hosts = spark.range(16).select(F.col("id").cast("int").alias("h"))
     edges = hosts.select(
         F.col("h").alias("src"),
@@ -1347,21 +1353,10 @@ def q_host_pagerank3(spark, sf_dir):
             F.array((F.col("h") * 5 + 1) % 16, (F.col("h") * 7 + 3) % 16)
         ).alias("dst"),
     )
-    pr = hosts.select("h", F.lit(1.0 / 16).alias("pr"))
-    for _ in range(3):
-        contrib = (
-            edges.join(pr, edges.src == pr.h)
-            .select("dst", (F.col("pr") / 2).alias("c"))
-            .groupBy("dst")
-            .agg(F.sum("c").alias("inflow"))
-        )
-        pr = hosts.join(contrib, hosts.h == contrib.dst, "left").select(
-            "h",
-            (
-                F.lit(1.0 / 64) + F.lit(0.75) * F.coalesce("inflow", F.lit(0.0))
-            ).alias("pr"),
-        )
-    return pr.select(F.col("h").alias("host_id"), F.col("pr").alias("pagerank"))
+    pr = pagerank(edges, iterations=3, damping=0.75)
+    return pr.select(
+        F.col("node").cast("int").alias("host_id"), "pagerank"
+    )
 
 
 SQL_HOST_PAGERANK3 = """
