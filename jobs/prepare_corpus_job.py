@@ -91,6 +91,7 @@ def prepare(
     token_budgets: dict[str, int] | None = None,
     robots_rules=None,
     robots_agent: str = "*",
+    link_rank: bool = False,
 ):
     """Run the six-stage preparation over a pages DataFrame. Returns
     (mixed DataFrame ready to write, lineage dict of per-stage counts,
@@ -283,6 +284,32 @@ def prepare(
         key_col="url",
         seed=seed + 1,
     )
+    # 6b. optional link-graph quality column: damped PageRank over the
+    # SURVIVING pages' host graph (codegen href extraction), attached
+    # as `host_rank` for the trainer to weight with — deliberately a
+    # new column, not a sample_weight rewrite: rank is a quality
+    # signal, not a sampling decision, and conflating them would bake
+    # one policy into the corpus. Hosts with no link presence get the
+    # teleport floor via a left join + min-rank fill.
+    if link_rank:
+        from dedupe_algo_spark.functions.urls import host_of
+        from dedupe_algo_spark.operators.linkgraph import host_edges, pagerank
+
+        edges = host_edges(mixed.where(F.col("html").isNotNull()))
+        ranks = pagerank(
+            edges.withColumnRenamed("src_host", "src").withColumnRenamed(
+                "dst_host", "dst"
+            ),
+            iterations=10,
+            weight_col="n_links",
+        ).withColumnRenamed("node", "_rhost")
+        floor = ranks.agg(F.min("pagerank")).first()[0] or 0.0
+        mixed = (
+            mixed.withColumn("_host", host_of(F.col("url")))
+            .join(F.broadcast(ranks), F.col("_host") == F.col("_rhost"), "left")
+            .withColumn("host_rank", F.coalesce("pagerank", F.lit(floor)))
+            .drop("_host", "_rhost", "pagerank")
+        )
 
     # 7. optional training-order export shuffle: rerun-stable
     # pseudo-random (shard, pos) total order. One exchange on shard;
@@ -353,6 +380,12 @@ def main() -> None:
         "crawl policy disallows before any other stage (RFC 9309)",
     )
     p.add_argument("--robots-agent", default="*")
+    p.add_argument(
+        "--link-rank",
+        action="store_true",
+        help="attach a host_rank column: damped PageRank over the "
+        "surviving pages' host link graph (href extraction from html)",
+    )
     p.add_argument("--contam-ngram", type=int, default=13)
     p.add_argument("--rates", default="")
     p.add_argument(
@@ -462,6 +495,7 @@ def main() -> None:
         or None,
         robots_rules=robots_rules,
         robots_agent=args.robots_agent,
+        link_rank=args.link_rank,
     )
     writer = mixed
     if args.shuffle_shards:

@@ -319,3 +319,53 @@ def test_prepare_with_robots_gate(spark):
         ).count() == 0
     finally:
         release()
+
+
+def test_prepare_with_link_rank(spark):
+    """6b (--link-rank): host_rank attaches from PageRank over the
+    surviving pages' own link graph — constant per host, higher for the
+    host every page links to, teleport floor for link-absent hosts."""
+    rows = []
+    for i in range(40):
+        host = f"h{i % 4}.com"
+        # every page links to hub.com; hub pages link to h0.com
+        tgt = "h0.com" if host == "hub.com" else "hub.com"
+        html = (
+            f'<html><body><p>some unique page body {i} with words</p>'
+            f'<a href="https://{tgt}/x">l</a></body></html>'
+        ).encode()
+        text = f"unique page body number {i} " + " ".join(
+            f"w{i}x{j}" for j in range(30)
+        )
+        rows.append((f"https://{host}/p/{i}", bytearray(html), text, "en"))
+    rows.append(
+        (
+            "https://hub.com/h",
+            bytearray(b'<html><body><a href="https://h0.com/y">z</a>hub page body</body></html>'),
+            "hub page body " + " ".join(f"hb{j}" for j in range(30)),
+            "en",
+        )
+    )
+    pages = spark.createDataFrame(
+        [(u, h, t, l) for u, h, t, l in rows],
+        "url string, html binary, text string, lang string",
+    ).withColumn("warc_ts", F.lit("2026-01-01 00:00:00").cast("timestamp"))
+    mixed, lineage, release = prepare(spark, pages, link_rank=True)
+    try:
+        pdf = mixed.select("url", "host_rank").toPandas()
+        assert pdf["host_rank"].notna().all()
+        by_host = {}
+        for _, r in pdf.iterrows():
+            h = r["url"].split("/")[2]
+            by_host.setdefault(h, set()).add(round(r["host_rank"], 12))
+        # rank is a per-host constant
+        assert all(len(v) == 1 for v in by_host.values())
+        # the hub every page links to outranks the leaf hosts
+        hub = next(iter(by_host["hub.com"]))
+        assert all(
+            hub > next(iter(v))
+            for h, v in by_host.items()
+            if h not in ("hub.com", "h0.com")
+        )
+    finally:
+        release()
