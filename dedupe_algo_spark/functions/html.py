@@ -60,8 +60,16 @@ ENTITY_DECODE: tuple[tuple[str, str], ...] = (
 
 
 def extract_html_text(html: Column) -> Column:
-    """Extracted text of a raw ``binary`` HTML column — pure codegen."""
-    s = F.decode(html, "UTF-8")
+    """Extracted text of a raw ``binary`` HTML column — pure codegen.
+
+    Bytes become a string via CAST, not ``decode``: under ANSI mode
+    (Spark 4 default) ``decode`` THROWS on invalid UTF-8, and real
+    crawls are full of mislabeled charsets — one bad page must not
+    kill an ingest job. The cast wraps bytes as-is (byte-identical to
+    decode for valid UTF-8, which is what the byte-identity oracle
+    checks); genuinely non-text bytes yield garbage text that the
+    lang-id/quality gates downstream discard."""
+    s = html.cast("string")
     for pat in BLOCK_STRIP_PATTERNS:
         s = F.regexp_replace(s, pat, "")
     for ent, ch in ENTITY_DECODE:
@@ -96,11 +104,18 @@ def extract_outlinks(html: Column) -> Column:
     codegen ``regexp_extract_all``, the WAT-style link extraction a
     link-graph pass (outdegree, PageRank) starts from."""
     return F.regexp_extract_all(
-        F.decode(html, "UTF-8"), F.lit(r'href="([^"]+)"'), 1
+        # cast, not decode: ANSI decode throws on invalid UTF-8 bytes
+        html.cast("string"), F.lit(r'href="([^"]+)"'), 1
     )
 
 
 def link_host(url: Column) -> Column:
-    """Host of an extracted link target (absolute http/https only;
-    relative links yield empty string — filter as needed)."""
-    return F.regexp_extract(url, r"^https?://([^/]+)", 1)
+    """Host of an extracted link target (absolute links only; relative
+    links yield empty string — filter as needed). Delegates to
+    ``urls.host_of`` so link-graph nodes normalize exactly like page
+    hosts (lowercased, port/query stripped) — a case or `:443` mismatch
+    would otherwise split rank onto phantom nodes that never join back
+    to the pages' own hosts."""
+    from .urls import host_of
+
+    return host_of(url)

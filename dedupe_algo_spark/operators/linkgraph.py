@@ -70,6 +70,12 @@ def pagerank(
     if checkpoint:
         nodes = nodes.localCheckpoint(eager=True)
     n = nodes.count()
+    if n == 0:
+        # empty graph (e.g. a corpus with no absolute links): an empty
+        # result, not a ZeroDivisionError crash in the caller's job
+        return nodes.select(
+            F.col("node"), F.lit(0.0).alias("pagerank")
+        ).limit(0)
     outdeg = e.groupBy("src").agg(F.sum("w").alias("outw"))
     e = e.join(outdeg, "src").select(
         "src", "dst", (F.col("w") / F.col("outw")).alias("share")

@@ -101,8 +101,10 @@ def _like_pattern(path: Column) -> Column:
 
 def url_path(url: Column) -> Column:
     """Path+query of a url (the part robots rules match against),
-    ``/`` when absent — pure regexp."""
-    p = F.regexp_extract(url, r"^[a-z][a-z0-9+.-]*://[^/]+(/.*)?$", 1)
+    ``/`` when absent — pure regexp. Scheme match is case-insensitive
+    like ``host_of``'s: an uppercase-scheme url must not collapse to
+    path ``/`` and slip past Disallow rules."""
+    p = F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]+(/.*)?$", 1)
     return F.when(F.length(p) == 0, F.lit("/")).otherwise(p)
 
 

@@ -50,23 +50,57 @@ _GZIP_MAGIC = b"\x1f\x8b"
 _CRLF2 = b"\r\n\r\n"
 
 
+# Feed size for the chunked member walk. zlib copies ~(chunk - consumed)
+# bytes into `unused_data` at each member boundary, so total copy cost is
+# ~members x chunk: the chunk must be SMALL. 8 KiB makes 40k members cost
+# ~320 MB of copies (~0.05s) while a large member pays only ~125k cheap
+# decompress calls per GB. (1 MiB here re-created the quadratic blowup
+# this walk exists to avoid: 40k members fed 1 MiB chunks copied ~40 GB.)
+_GZ_CHUNK = 8 << 10
+
+
+def _iter_members_chunked(data: bytes):
+    """Core member walk shared by :func:`_gunzip_members` and
+    :func:`iter_gzip_members`: yields ``(offset, comp_len, plain)`` per
+    complete gzip member. The decompressor is fed bounded chunks and
+    advanced by ``len(chunk) - len(unused_data)`` per call, so the
+    whole walk is O(filesize) — feeding the full remaining tail per
+    member makes ``unused_data`` copy the tail once per member, which
+    is quadratic (measured: 5k members 0.03s, 40k members 1.6s; a real
+    ~1 GiB record-gzip segment has tens of thousands of members). A
+    trailing truncated member is dropped whole."""
+    view = memoryview(data)
+    n = len(data)
+    pos = 0
+    while pos < n and data[pos : pos + 2] == _GZIP_MAGIC:
+        start = pos
+        o = zlib.decompressobj(16 + zlib.MAX_WBITS)
+        parts = []
+        complete = False
+        try:
+            while pos < n:
+                chunk = view[pos : pos + _GZ_CHUNK]
+                parts.append(o.decompress(chunk))
+                pos += len(chunk) - len(o.unused_data)
+                if o.eof:
+                    parts.append(o.flush())
+                    complete = True
+                    break
+        except zlib.error:
+            return  # corrupt member: keep only prior members
+        if not complete:
+            return  # data exhausted mid-member (truncated tail)
+        yield (start, pos - start, b"".join(parts))
+
+
 def _gunzip_members(data: bytes) -> bytes:
     """Decompress a (possibly multi-member) gzip stream; pass through
-    plain bytes. Member-by-member via ``unused_data`` so a trailing
-    truncated member degrades to 'records so far', matching how CC
-    readers tolerate a cut-off segment."""
+    plain bytes. Member-by-member so a trailing truncated member
+    degrades to 'records so far', matching how CC readers tolerate a
+    cut-off segment. O(filesize) — see :func:`_iter_members_chunked`."""
     if not data.startswith(_GZIP_MAGIC):
         return data
-    out = []
-    while data.startswith(_GZIP_MAGIC):
-        o = zlib.decompressobj(16 + zlib.MAX_WBITS)
-        try:
-            out.append(o.decompress(data))
-            out.append(o.flush())
-        except zlib.error:
-            break  # truncated member: keep what decoded so far
-        data = o.unused_data
-    return b"".join(out)
+    return b"".join(plain for _, _, plain in _iter_members_chunked(bytes(data)))
 
 
 def _hdr_decode(b: bytes) -> str:
@@ -146,24 +180,13 @@ def iter_gzip_members(data: bytes):
     random-access geometry CDX indexes record for record-gzipped WARCs
     (each member independently decompressible from its byte offset).
     Plain input yields one pseudo-member covering the whole buffer.
-    Zero-copy over a memoryview: no O(n²) buffer slicing across many
-    members. A truncated final member is dropped, like
-    :func:`_gunzip_members`."""
+    O(filesize) chunked decompression (:func:`_iter_members_chunked`);
+    a truncated final member is dropped, like :func:`_gunzip_members`."""
     data = bytes(data)
     if not data.startswith(_GZIP_MAGIC):
         yield (0, len(data), data)
         return
-    view = memoryview(data)
-    pos = 0
-    while data[pos : pos + 2] == _GZIP_MAGIC:
-        o = zlib.decompressobj(16 + zlib.MAX_WBITS)
-        try:
-            plain = o.decompress(view[pos:]) + o.flush()
-        except zlib.error:
-            return
-        consumed = len(data) - pos - len(o.unused_data)
-        yield (pos, consumed, plain)
-        pos += consumed
+    yield from _iter_members_chunked(data)
 
 
 def parse_warc_cdx(data: bytes) -> Iterator[dict]:
@@ -188,12 +211,22 @@ def parse_warc_cdx(data: bytes) -> Iterator[dict]:
             }
 
 
-def fetch_warc_record(data: bytes, offset: int, length: int) -> dict | None:
-    """Random access: decode the single record at a CDX ``(offset,
-    length)`` slice of the compressed object (the slice is a complete
-    gzip member, so only ``length`` bytes are ever touched)."""
+def fetch_warc_record(
+    data: bytes, offset: int, length: int, url: str | None = None
+) -> dict | None:
+    """Random access: decode the record at a CDX ``(offset, length)``
+    slice of the compressed object (the slice is a complete gzip
+    member, so only ``length`` bytes are ever touched). With ``url``
+    given, returns the RESPONSE record for that target uri — the
+    member-per-record layout has exactly one, but a whole-file-gzip
+    object indexes every record at (0, total), where returning the
+    blind first record would silently hand back warcinfo for every
+    requested url."""
     for rec in parse_warc(bytes(data[offset : offset + length])):
-        return rec
+        if url is None:
+            return rec
+        if rec["warc_type"] == "response" and rec["url"] == url:
+            return rec
     return None
 
 
@@ -251,7 +284,9 @@ def fetch_cdx_hits(blobs: DataFrame, hits: DataFrame) -> DataFrame:
             ):
                 rows = []
                 for h in hlist:
-                    rec = fetch_warc_record(data, h["offset"], h["length"])
+                    rec = fetch_warc_record(
+                        data, h["offset"], h["length"], url=h["url"]
+                    )
                     if rec is not None:
                         rows.append(
                             (
@@ -327,7 +362,10 @@ def read_warc_records(
                             rec["warc_type"],
                             rec["url"],
                             epoch,
-                            pd.Timestamp(epoch, unit="s")
+                            # tz-AWARE: a naive timestamp would be
+                            # reinterpreted in the session timezone and
+                            # disagree with warc_epoch off-UTC
+                            pd.Timestamp(epoch, unit="s", tz="UTC")
                             if epoch is not None
                             else pd.NaT,
                             rec["http_status"],
@@ -359,7 +397,13 @@ def _finish_pages(df: DataFrame) -> DataFrame:
     )
 
 
-def pages_from_warc(blobs: DataFrame, prior_pages: DataFrame | None = None, **read_kw) -> DataFrame:
+def pages_from_warc(
+    blobs: DataFrame,
+    prior_pages: DataFrame | None = None,
+    ok_status_only: bool = True,
+    html_only: bool = True,
+    **read_kw,
+) -> DataFrame:
     """WARC blobs → the flagship pages table, end to end: parse the
     records (``read_warc_records``), extract text with the
     whole-stage-codegen HTML automaton (functions/html.py), classify
@@ -374,11 +418,34 @@ def pages_from_warc(blobs: DataFrame, prior_pages: DataFrame | None = None, **re
     ``revisit`` records in the blobs (unchanged pages stored as digest
     pointers) are resolved against it (:func:`resolve_revisits`), so a
     crawl-diff ingests complete; without it revisits are dropped and
-    only full responses ingest."""
+    only full responses ingest.
+
+    Real segments carry redirects, error pages, and non-HTML payloads;
+    by default only ``2xx`` responses (``ok_status_only`` — a record
+    with no HTTP envelope keeps a null status and passes) whose
+    Content-Type is ``text/html``/``application/xhtml`` (``html_only``;
+    a missing header also passes) become pages — image bytes cast to
+    'html' would otherwise pollute the dedup corpus and lang stats."""
+
+    def _page_gate(recs: DataFrame) -> DataFrame:
+        if ok_status_only:
+            recs = recs.where(
+                F.col("http_status").isNull()
+                | F.col("http_status").between(200, 299)
+            )
+        if html_only:
+            ct = F.lower(F.coalesce(F.col("content_type"), F.lit("")))
+            recs = recs.where(
+                (ct == "")
+                | ct.startswith("text/html")
+                | ct.startswith("application/xhtml")
+            )
+        return recs
+
     if prior_pages is not None:
-        recs = read_warc_records(blobs, **read_kw)
+        recs = _page_gate(read_warc_records(blobs, **read_kw))
         return _finish_pages(resolve_revisits(recs, prior_pages))
-    recs = read_warc_records(blobs, only_responses=True, **read_kw)
+    recs = _page_gate(read_warc_records(blobs, only_responses=True, **read_kw))
     return _finish_pages(
         recs.select("url", "warc_ts", F.col("body").alias("html"))
     )
@@ -437,6 +504,18 @@ def pages_from_wet(blobs: DataFrame, **read_kw) -> DataFrame:
     )
 
 
+def read_blobs(spark, path: str) -> DataFrame:
+    """Segment objects as ``(warc_file, data)`` rows via ``binaryFile``
+    — one task per file. The single blob reader behind every WARC/WET
+    entry point (batch jobs here; the streaming twin re-declares the
+    same projection on ``readStream``)."""
+    return (
+        spark.read.format("binaryFile")
+        .load(path)
+        .select(F.col("path").alias("warc_file"), F.col("content").alias("data"))
+    )
+
+
 def load_pages(
     spark,
     path: str,
@@ -444,31 +523,16 @@ def load_pages(
     prior_path: str | None = None,
 ) -> DataFrame:
     """Job-facing pages loader shared by the spark-submit entry points:
-    ``parquet`` reads the pages table as-is; ``warc`` reads ``path`` as
-    a directory of ``.warc[.gz]`` segment objects via ``binaryFile``
-    (one task per segment) and builds the pages shape with
-    :func:`pages_from_warc`. ``prior_path`` (warc only): the previous
+    ``parquet`` reads the pages table as-is; ``warc``/``wet`` read
+    ``path`` as a directory of segment objects (:func:`read_blobs`) and
+    build the pages shape. ``prior_path`` (warc only): the previous
     crawl's pages parquet — revisit records resolve against it, so a
     crawl-diff bucket ingests complete."""
     if input_format == "warc":
-        blobs = (
-            spark.read.format("binaryFile")
-            .load(path)
-            .select(
-                F.col("path").alias("warc_file"), F.col("content").alias("data")
-            )
-        )
         prior = spark.read.parquet(prior_path) if prior_path else None
-        return pages_from_warc(blobs, prior_pages=prior)
+        return pages_from_warc(read_blobs(spark, path), prior_pages=prior)
     if input_format == "wet":
-        blobs = (
-            spark.read.format("binaryFile")
-            .load(path)
-            .select(
-                F.col("path").alias("warc_file"), F.col("content").alias("data")
-            )
-        )
-        return pages_from_wet(blobs)
+        return pages_from_wet(read_blobs(spark, path))
     if input_format == "parquet":
         return spark.read.parquet(path)
     raise ValueError(f"unknown input_format: {input_format!r}")

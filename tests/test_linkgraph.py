@@ -85,3 +85,10 @@ def test_host_edges_extraction(spark):
         for r in host_edges(pages).collect()
     }
     assert got == {("a.com", "b.com"): 2, ("a.com", "c.org"): 1}
+
+
+def test_pagerank_empty_graph_returns_empty(spark):
+    e = spark.createDataFrame([], "src string, dst string")
+    out = pagerank(e, iterations=3)
+    assert out.columns == ["node", "pagerank"]
+    assert out.count() == 0

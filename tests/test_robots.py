@@ -134,3 +134,16 @@ def test_like_escape_literals(spark):
     pages = spark.createDataFrame([(u,) for u in cases], "url string")
     got = {r.url: r.allowed for r in robots_verdicts(pages, rules).collect()}
     assert got == cases
+
+
+def test_uppercase_scheme_still_matches_rules(spark):
+    bodies = spark.createDataFrame(
+        [("ex.com", "User-agent: *\nDisallow: /private/\n")],
+        "host string, body string",
+    )
+    rules = parse_robots(bodies)
+    pages = spark.createDataFrame(
+        [("HTTPS://ex.com/private/x",)], "url string"
+    )
+    v = robots_verdicts(pages, rules).collect()[0]
+    assert not v.allowed  # an uppercase scheme must not bypass Disallow
