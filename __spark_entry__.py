@@ -44,6 +44,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from dedupe_algo_spark.queries import ORACLES
+    from dedupe_algo_spark.queries import oracles
 
-    return dict(ORACLES)
+    return oracles()

@@ -79,17 +79,28 @@ def pair_containment_udf(text_a: pd.Series, text_b: pd.Series) -> pd.Series:
         return arr
 
     out = np.empty(len(text_a), dtype=np.float64)
+    nulls = np.zeros(len(text_a), dtype=bool)
     for i, (a, b) in enumerate(zip(text_a.values, text_b.values)):
         if a is None or b is None:
-            out[i] = np.nan
+            # NULL, not NaN: Spark orders NaN ABOVE every number, so a
+            # NaN score would PASS `score >= threshold` while the
+            # jvm_tokens path yields NULL and drops the pair — the two
+            # switchable paths must agree on NULL text
+            nulls[i] = True
+            out[i] = 0.0
             continue
         ha, hb = tok_hashes(a), tok_hashes(b)
         mn = min(ha.size, hb.size)
         if mn == 0:
-            out[i] = 1.0
+            # both-empty → 1.0; one-empty → 0.0 (repo degenerate rule,
+            # matching token_containment_score)
+            out[i] = 1.0 if ha.size == hb.size else 0.0
             continue
         out[i] = np.intersect1d(ha, hb, assume_unique=True).size / mn
-    return pd.Series(out)
+    # nullable dtype: plain float64 would silently coerce None to NaN
+    s = pd.Series(out, dtype="Float64")
+    s[nulls] = pd.NA
+    return s
 
 
 def levenshtein_sim_col(a: Column, b: Column, cap: int = LEV_CAP) -> Column:

@@ -153,6 +153,21 @@ ZLIB_LEVEL = 6  # pinned: compressed bytes are part of the oracle contract
 RATIO_LOW_PPM = 350_000
 RATIO_HIGH_PPM = 1_000_000
 
+# zlib's fixed stream cost (2-byte header + 4-byte adler32 + empty
+# deflate block at the pinned level), computed, not guessed: without
+# subtracting it, EVERY short document reads as "incompressible" — a
+# legitimate 29-byte sentence compresses to ~37 bytes and lands at
+# ~1.3M ppm purely from the envelope, not the payload's entropy.
+import zlib as _zlib  # noqa: E402
+
+ZLIB_FIXED_OVERHEAD = len(_zlib.compress(b"", ZLIB_LEVEL))
+
+# Below this many utf-8 bytes the incompressibility flag is vacuous:
+# deflate cannot beat its own block framing on a few dozen bytes, so a
+# perfectly normal short sentence shows payload ratio ~1.0 — too little
+# signal to call it "binary junk". The ratio columns still report.
+MIN_INCOMPRESSIBLE_BYTES = 64
+
 
 @pandas_udf(LongType())
 def zlib_len_udf(texts: pd.Series) -> pd.Series:
@@ -172,13 +187,27 @@ def compression_signals(text: Column) -> list[Column]:
     rounding anywhere."""
     utf8_len = F.octet_length(text)
     zlen = zlib_len_udf(text)
-    ppm = F.floor(zlen * F.lit(1_000_000) / F.greatest(utf8_len, F.lit(1))).cast(
-        "long"
+    # ratio over the PAYLOAD bytes (fixed stream envelope subtracted),
+    # so short documents are judged on their entropy, not zlib's
+    # header. NULL text stays NULL (greatest() would swallow the null
+    # into the 0 floor otherwise).
+    ppm = F.when(zlen.isNull(), F.lit(None).cast("long")).otherwise(
+        F.floor(
+            F.greatest(zlen - F.lit(ZLIB_FIXED_OVERHEAD), F.lit(0))
+            * F.lit(1_000_000)
+            / F.greatest(utf8_len, F.lit(1))
+        ).cast("long")
     )
     return [
         utf8_len.cast("long").alias("utf8_len"),
         zlen.alias("zlib_len"),
         ppm.alias("ratio_ppm"),
         (ppm < RATIO_LOW_PPM).alias("too_compressible"),
-        (ppm > RATIO_HIGH_PPM).alias("incompressible"),
+        # >= : with the envelope subtracted, a payload deflate cannot
+        # shrink sits at exactly 1.0M ppm — that IS "incompressible";
+        # gated on a minimum length where the verdict carries signal
+        (
+            (ppm >= RATIO_HIGH_PPM)
+            & (utf8_len >= MIN_INCOMPRESSIBLE_BYTES)
+        ).alias("incompressible"),
     ]

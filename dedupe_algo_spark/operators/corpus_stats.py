@@ -304,11 +304,21 @@ def tfidf_cosine_pairs(
         .select(
             id_a,
             id_b,
-            F.round(
-                F.coalesce(F.col("_dot"), F.lit(0.0))
-                / F.sqrt(F.col("_na") * F.col("_nb")),
-                6,
-            ).alias("cosine"),
+            # a zero norm (every token corpus-ubiquitous: df=N ⇒ idf=0)
+            # scores 0.0 — NOT a divide: under ANSI Spark /0 kills the
+            # job, under legacy it yields NULL and the pair silently
+            # vanishes from `score >= threshold`
+            F.when(
+                (F.col("_na") == 0) | (F.col("_nb") == 0), F.lit(0.0)
+            )
+            .otherwise(
+                F.round(
+                    F.coalesce(F.col("_dot"), F.lit(0.0))
+                    / F.sqrt(F.col("_na") * F.col("_nb")),
+                    6,
+                )
+            )
+            .alias("cosine"),
         )
     )
 
@@ -419,18 +429,22 @@ def explain_pairs(
     STRINGS (the whole point is a human reading them), so unlike the
     scorers it shuffles distinct (id, token) rows — but only for pair
     MEMBERS (semi-join first), never the corpus, and distinct tokens
-    of a page are a sliver of its text. The df model is the same
-    corpus-wide slim aggregate the TF-IDF scorer builds."""
-    toks = _tokens(docs, id_col, text_col).distinct()
-    dfreq = toks.groupBy("token").agg(
-        F.count(F.lit(1)).cast("long").alias("df")
-    )
+    of a page are a sliver of its text. The df model is
+    ``document_frequency`` — a map-side-combinable (token, df)
+    aggregate, NOT a corpus-wide distinct over (id, token) rows (that
+    exchange at id granularity is exactly what this operator's
+    contract forbids)."""
+    dfreq = document_frequency(docs, id_col, text_col)
     members = (
         pairs.select(F.col(id_a).alias(id_col))
         .unionByName(pairs.select(F.col(id_b).alias(id_col)))
         .distinct()
     )
-    mt = toks.join(members, id_col, "left_semi")
+    mt = (
+        _tokens(docs, id_col, text_col)
+        .join(members, id_col, "left_semi")
+        .distinct()
+    )
     p = pairs.select(id_a, id_b)
     ta = mt.select(F.col(id_col).alias(id_a), "token")
     tb = mt.select(F.col(id_col).alias(id_b), "token")

@@ -598,7 +598,11 @@ def pr_curve(
     prec = F.when(F.col("tp") + F.col("fp") == 0, F.lit(1.0)).otherwise(
         F.col("tp").cast("double") / (F.col("tp") + F.col("fp"))
     )
-    rec = F.col("tp").cast("double") / (F.col("tp") + F.col("fn"))
+    # same guard class as precision: an empty truth set (tp+fn=0) is
+    # vacuous recall 1.0, not a DIVIDE_BY_ZERO under ANSI
+    rec = F.when(F.col("tp") + F.col("fn") == 0, F.lit(1.0)).otherwise(
+        F.col("tp").cast("double") / (F.col("tp") + F.col("fn"))
+    )
     return agg.select(
         "threshold",
         "tp",

@@ -394,6 +394,9 @@ def token_budget_sample(
     kept = kept_full.unionByName(kept_boundary).withColumnRenamed(
         "_k", key_col
     )
-    return df.where(~F.col(stratum_col).isin(strata)).unionByName(
-        df.join(kept, key_col, "left_semi")
-    )
+    # NULL-stratum rows must pass through whole (the documented
+    # contract): bare `~isin` evaluates NULL for them and the filter
+    # silently drops the row — coalesce the three-valued result
+    return df.where(
+        ~F.coalesce(F.col(stratum_col).isin(list(strata)), F.lit(False))
+    ).unionByName(df.join(kept, key_col, "left_semi"))

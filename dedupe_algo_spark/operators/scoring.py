@@ -72,10 +72,17 @@ def token_containment_score(ta, tb):
     thread) scores 1.0 here while its Jaccard sinks toward
     |A|/|B|. Symmetric min-denominator form (Broder's containment is
     one-sided; min makes the pair score order-independent, matching the
-    url_a<url_b canonical pair orientation). Two empty docs score 1.0."""
+    url_a<url_b canonical pair orientation). Two empty docs score 1.0;
+    ONE empty side scores 0.0 (the repo-wide degenerate-side rule —
+    'empty is contained in everything' would weld a whitespace-only
+    page into every cluster it was ever paired with)."""
     inter = F.size(F.array_intersect(ta, tb))
     mn = F.least(F.size(ta), F.size(tb))
-    return F.when(mn == 0, F.lit(1.0)).otherwise(inter / mn.cast("double"))
+    return (
+        F.when((F.size(ta) == 0) & (F.size(tb) == 0), F.lit(1.0))
+        .when(mn == 0, F.lit(0.0))
+        .otherwise(inter / mn.cast("double"))
+    )
 
 
 def band_gate(

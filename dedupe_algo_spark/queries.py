@@ -3934,7 +3934,9 @@ WITH base AS (
   GROUP BY 1, 2
 )
 SELECT p.id_a, p.id_b,
-       ROUND(COALESCE(d.dot, 0) / sqrt(na.n2 * nb.n2), 6) AS cosine
+       CASE WHEN na.n2 = 0 OR nb.n2 = 0 THEN 0.0
+            ELSE ROUND(COALESCE(d.dot, 0) / sqrt(na.n2 * nb.n2), 6)
+       END AS cosine
 FROM pairs p
 JOIN norms na ON na.doc_id = p.id_a
 JOIN norms nb ON nb.doc_id = p.id_b
@@ -4471,16 +4473,19 @@ WITH t AS (
   SELECT doc_id, toks, list_slice(toks, 1, 40) AS head FROM t
 )
 SELECT doc_id, 'embedded' AS kind,
-  CASE WHEN least(len(head), len(toks)) = 0 THEN 1.0
+  CASE WHEN len(head) = 0 AND len(toks) = 0 THEN 1.0
+       WHEN least(len(head), len(toks)) = 0 THEN 0.0
        ELSE CAST(len(list_intersect(head, toks)) AS DOUBLE)
             / least(len(head), len(toks)) END AS containment,
-  CASE WHEN least(len(head), len(toks)) = 0 THEN 1.0
+  CASE WHEN len(head) = 0 AND len(toks) = 0 THEN 1.0
+       WHEN least(len(head), len(toks)) = 0 THEN 0.0
        ELSE CAST(len(list_intersect(head, toks)) AS DOUBLE)
             / least(len(head), len(toks)) END AS containment_udf
 FROM h
 UNION ALL
 SELECT a.doc_id, 'successor' AS kind,
-  CASE WHEN least(len(a.toks), len(b.toks)) = 0 THEN 1.0
+  CASE WHEN len(a.toks) = 0 AND len(b.toks) = 0 THEN 1.0
+       WHEN least(len(a.toks), len(b.toks)) = 0 THEN 0.0
        ELSE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
             / least(len(a.toks), len(b.toks)) END AS containment,
   CASE WHEN len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)) = 0
@@ -4516,7 +4521,13 @@ def _sql_compression_quality() -> str:
 
     import duckdb as _dd
 
-    from .functions.text import RATIO_HIGH_PPM, RATIO_LOW_PPM, ZLIB_LEVEL
+    from .functions.text import (
+        MIN_INCOMPRESSIBLE_BYTES,
+        RATIO_HIGH_PPM,
+        RATIO_LOW_PPM,
+        ZLIB_FIXED_OVERHEAD,
+        ZLIB_LEVEL,
+    )
 
     rows = (
         _dd.connect()
@@ -4530,11 +4541,13 @@ def _sql_compression_quality() -> str:
     for url, text in rows:
         raw = text.encode("utf-8")
         z = len(zlib.compress(raw, ZLIB_LEVEL))
-        ppm = math.floor(z * 1_000_000 / max(len(raw), 1))
+        ppm = math.floor(
+            max(z - ZLIB_FIXED_OVERHEAD, 0) * 1_000_000 / max(len(raw), 1)
+        )
         vals.append(
             f"('{url}', {len(raw)}, {z}, {ppm}, "
             f"{str(ppm < RATIO_LOW_PPM).lower()}, "
-            f"{str(ppm > RATIO_HIGH_PPM).lower()})"
+            f"{str(ppm >= RATIO_HIGH_PPM and len(raw) >= MIN_INCOMPRESSIBLE_BYTES).lower()})"
         )
     return (
         "SELECT * FROM (VALUES\n  "
@@ -4544,7 +4557,23 @@ def _sql_compression_quality() -> str:
     )
 
 
-SQL_COMPRESSION_QUALITY = _sql_compression_quality()
+# Generated LAZILY (oracles() below): building this string runs DuckDB
+# over the fixture parquet — an import-time dependency that would break
+# every Spark-only consumer (bench.py, a --py-files bundle without
+# fixtures/ or duckdb). The Spark-side QUERIES registry must import
+# clean on a bare executor image.
+SQL_COMPRESSION_QUALITY: str | None = None
+
+
+def oracles() -> dict[str, str]:
+    """The full oracle map, with the one generated entry built on first
+    use instead of at module import."""
+    global SQL_COMPRESSION_QUALITY
+    if SQL_COMPRESSION_QUALITY is None:
+        SQL_COMPRESSION_QUALITY = _sql_compression_quality()
+    out = dict(ORACLES)
+    out["compression_quality"] = SQL_COMPRESSION_QUALITY
+    return out
 
 
 QUERIES = {
@@ -4728,7 +4757,8 @@ ORACLES = {
     "rep_filter": SQL_REP_FILTER,
     "url_canonical_dedup": SQL_URL_CANONICAL_DEDUP,
     "bloom_unseen": SQL_BLOOM_UNSEEN,
-    "compression_quality": SQL_COMPRESSION_QUALITY,
+    # "compression_quality" joins via oracles() — its SQL is generated
+    # with DuckDB on first use, never at import
     "containment_pairs": SQL_CONTAINMENT_PAIRS,
     "line_dedup": SQL_LINE_DEDUP,
     "paragraph_dedup": SQL_PARAGRAPH_DEDUP,

@@ -19,8 +19,12 @@ from dedupe_algo_spark.functions.text import (
 
 TEXTS = [
     "spam " * 200,  # highly templated -> too_compressible
-    "The quick brown fox jumps over the lazy dog. " * 3,
-    "k9!x#Qz@7vR$mN2&pL5^wT8*bH4(jF6)sD1",  # high-entropy -> incompressible
+    # genuinely mixed prose (no verbatim repetition) -> neither flag
+    "The quick brown fox jumps over the lazy dog while seventeen "
+    "astonished zebras quietly debated cartography near an abandoned "
+    "viaduct, and nobody photographed the juxtaposition.",
+    # high-entropy, ≥ MIN_INCOMPRESSIBLE_BYTES -> incompressible
+    "k9!x#Qz@7vR$mN2&pL5^wT8*bH4(jF6)sD1%u0~yG3`eK7|cV9armW6?nJ2+qB8=zS4fT1}dX5",
     "héllo wörld ünïcode — multibyte utf-8 accounting",
     "",
     None,
@@ -42,9 +46,20 @@ def test_matches_python_zlib(spark):
         z = len(zlib.compress(raw, ZLIB_LEVEL))
         assert r.utf8_len == len(raw)
         assert r.zlib_len == z
-        assert r.ratio_ppm == math.floor(z * 1_000_000 / max(len(raw), 1))
+        # payload ratio: the fixed stream envelope is subtracted so
+        # short documents are judged on entropy, not zlib's header
+        from dedupe_algo_spark.functions.text import ZLIB_FIXED_OVERHEAD
+
+        assert r.ratio_ppm == math.floor(
+            max(z - ZLIB_FIXED_OVERHEAD, 0) * 1_000_000 / max(len(raw), 1)
+        )
+        from dedupe_algo_spark.functions.text import MIN_INCOMPRESSIBLE_BYTES
+
         assert r.too_compressible == (r.ratio_ppm < RATIO_LOW_PPM)
-        assert r.incompressible == (r.ratio_ppm > RATIO_HIGH_PPM)
+        assert r.incompressible == (
+            r.ratio_ppm >= RATIO_HIGH_PPM
+            and r.utf8_len >= MIN_INCOMPRESSIBLE_BYTES
+        )
 
 
 def test_flag_band_separates_the_extremes(spark):
@@ -65,3 +80,19 @@ def test_arrow_plan(spark):
         .toString()
     )
     assert "ArrowEvalPython" in plan and "BatchEvalPython" not in plan
+
+
+def test_short_legit_text_not_flagged(spark):
+    """The regression the envelope subtraction fixes: a short normal
+    sentence must not read as 'incompressible' just because zlib's
+    fixed header dominates its compressed size."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    schema = StructType([StructField("text", StringType())])
+    df = spark.createDataFrame(
+        [("A short normal sentence here.",), ("",)], schema
+    )
+    rows = {r.text: r for r in df.select("text", *compression_signals(F.col("text"))).collect()}
+    assert not rows["A short normal sentence here."].incompressible
+    # empty text: payload 0 -> ppm 0 -> too_compressible, never 8M ppm
+    assert rows[""].ratio_ppm == 0 and not rows[""].incompressible
