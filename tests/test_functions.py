@@ -317,3 +317,39 @@ def test_lsh_plan_derives_the_flagship_constants():
         lsh_plan(0, 0.7)
     with pytest.raises(ValueError):
         lsh_plan(128, 1.0)
+
+
+def test_canonical_url_idempotent_and_classes(spark):
+    """canonical(canonical(u)) == canonical(u) over a broad grid of url
+    shapes (schemes/case/www/ports/fragments/trailing slash/query), and
+    equivalent spellings collapse to one key."""
+    from itertools import product
+
+    from dedupe_algo_spark.functions.urls import canonical_url
+
+    urls = []
+    for scheme, www, port, path, tail in product(
+        ["http", "HTTPS", "https"],
+        ["", "www.", "WWW."],
+        ["", ":80", ":443", ":8080"],
+        ["", "/", "/a/b", "/a/b/"],
+        ["", "?q=1&b=2", "#frag", "?q=1#frag"],
+    ):
+        urls.append(f"{scheme}://{www}Example.COM{port}{path}{tail}")
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    out = df.select(
+        "url",
+        canonical_url(F.col("url")).alias("c1"),
+        canonical_url(canonical_url(F.col("url"))).alias("c2"),
+    ).collect()
+    for r in out:
+        assert r.c2 == r.c1, (r.url, r.c1, r.c2)
+    # equivalent spellings → identical keys
+    got = {r.url: r.c1 for r in out}
+    assert (
+        got["https://www.Example.COM:443/a/b#frag"]
+        == got["HTTPS://Example.COM/a/b/"]
+        == "https://example.com/a/b"
+    )
+    assert got["http://Example.COM:80/"] == "http://example.com"
+    assert got["http://WWW.Example.COM:8080/a/b?q=1&b=2"] == "http://example.com:8080/a/b?q=1&b=2"
