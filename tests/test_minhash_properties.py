@@ -77,3 +77,33 @@ def test_estimator_tracks_overlap_with_margin():
     e_far = estimate_jaccard(s, minhash_signature(" ".join(far)))
     assert e_near > 0.5 > e_far
     assert e_near > e_far + 0.3
+
+
+# --- SimHash kernel (functions/simhash.py), same driver-side style ---
+
+
+def _ham(a: int, b: int) -> int:
+    return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+
+@settings(max_examples=80, deadline=None)
+@given(_text)
+def test_simhash_deterministic_64bit(t):
+    from dedupe_algo_spark.functions.simhash import simhash64
+
+    s1, s2 = simhash64(t), simhash64(t)
+    assert s1 == s2
+    if s1 is not None:
+        assert -(1 << 63) <= s1 < (1 << 63)  # stored as Spark LONG
+    assert simhash64(None) is None
+
+
+def test_simhash_near_text_small_hamming():
+    from dedupe_algo_spark.functions.simhash import simhash64
+
+    base = " ".join(f"w{i}" for i in range(200))
+    near = " ".join(f"w{i}" for i in range(198)) + " q1 q2"
+    far = " ".join(f"z{i}" for i in range(200))
+    d_near = _ham(simhash64(base), simhash64(near))
+    d_far = _ham(simhash64(base), simhash64(far))
+    assert d_near < 8 < d_far  # Charikar: cosine-close ⇒ few flipped bits
