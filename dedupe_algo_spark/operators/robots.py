@@ -73,7 +73,9 @@ def parse_robots(
                         for a in agents:
                             rows.append((host, a, key, val, order))
                             order += 1
-                    # crawl-delay/sitemap/unknown: skipped
+                    # crawl-delay/unknown: skipped (sitemaps via
+                    # parse_sitemap_urls — they are host-scoped, not
+                    # group-scoped, so they don't belong in this table)
                 yield pd.DataFrame(
                     rows,
                     columns=["host", "agent", "directive", "path", "ord"],
@@ -81,6 +83,38 @@ def parse_robots(
                 rows = []
 
     return bodies.mapInPandas(gen, schema=ROBOTS_RULES_SCHEMA)
+
+
+def parse_sitemap_urls(
+    bodies: DataFrame, host_col: str = "host", body_col: str = "body"
+) -> DataFrame:
+    """``Sitemap:`` declarations per host — the crawl-seeding output of
+    a robots fetch (RFC 9309 §2.3 allows them anywhere in the file,
+    outside any agent group, so this is a stateless line extract: pure
+    codegen regexp over the body, one explode, no Python). Comments
+    strip, values trim, blanks drop."""
+    body = (
+        F.col(body_col).cast("string")
+        if dict(bodies.dtypes)[body_col] == "binary"
+        else F.col(body_col)
+    )
+    lines = F.split(body, "\r?\n")
+    maps = F.transform(
+        lines,
+        lambda ln: F.trim(
+            F.regexp_extract(
+                F.split(ln, "#", 2)[0], r"(?i)^\s*sitemap\s*:\s*(.*)$", 1
+            )
+        ),
+    )
+    return (
+        bodies.select(
+            F.col(host_col).alias("host"),
+            F.explode(F.filter(maps, lambda s: F.length(s) > 0)).alias(
+                "sitemap_url"
+            ),
+        )
+    )
 
 
 def _like_pattern(path: Column) -> Column:

@@ -1230,6 +1230,51 @@ FROM read_parquet('{HTML_SNAPSHOT}')
 """
 
 
+def q_sitemap_urls(spark, sf_dir):
+    """Sitemap extraction from robots bodies (operators/robots.py):
+    one synthesized robots.txt per source host carrying 1 + (k mod 2)
+    Sitemap declarations among agent groups and comments; the real
+    stateless extractor pulls them, the DuckDB twin re-extracts with
+    its own regexp over the same bodies."""
+    from .operators.robots import parse_sitemap_urls
+
+    hosts = _docs(spark, sf_dir).select("source").distinct()
+    k = F.regexp_extract("source", r"(\d+)", 1).cast("int")
+    body = F.concat(
+        F.lit("User-agent: *\nDisallow: /private/\n# seeds\nSitemap: https://"),
+        "source",
+        F.lit(".com/sitemap.xml\n"),
+        F.when(
+            k % 2 == 1,
+            F.concat(
+                F.lit("Sitemap: https://"),
+                "source",
+                F.lit(".com/news.xml\n"),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("User-agent: evil\nDisallow: /\n"),
+    )
+    bodies = hosts.select(
+        F.concat(F.col("source"), F.lit(".com")).alias("host"),
+        body.alias("body"),
+    )
+    return parse_sitemap_urls(bodies)
+
+
+SQL_SITEMAP_URLS = r"""
+WITH h AS (
+  SELECT DISTINCT source,
+         CAST(regexp_extract(source, '(\d+)', 1) AS INT) AS k
+  FROM documents
+)
+SELECT source || '.com' AS host,
+       'https://' || source || '.com/sitemap.xml' AS sitemap_url FROM h
+UNION ALL
+SELECT source || '.com',
+       'https://' || source || '.com/news.xml' FROM h WHERE k % 2 = 1
+"""
+
+
 def q_wet_ingest(spark, sf_dir):
     """WET (extracted-text) round-trip: pack the fixture's ground-truth
     text as conversion records, parse with the distributed reader, and
@@ -4625,6 +4670,7 @@ QUERIES = {
     "warc_revisit_resolve": q_warc_revisit_resolve,
     "robots_verdicts": q_robots_verdicts,
     "wet_ingest": q_wet_ingest,
+    "sitemap_urls": q_sitemap_urls,
     "host_outlinks": q_host_outlinks,
     "host_pagerank3": q_host_pagerank3,
     # derived deterministic twins of the rows-only queries below
@@ -4741,6 +4787,7 @@ ORACLES = {
     "warc_revisit_resolve": SQL_WARC_REVISIT_RESOLVE,
     "robots_verdicts": SQL_ROBOTS_VERDICTS,
     "wet_ingest": SQL_WET_INGEST,
+    "sitemap_urls": SQL_SITEMAP_URLS,
     "host_outlinks": SQL_HOST_OUTLINKS,
     "host_pagerank3": SQL_HOST_PAGERANK3,
     "pages_dedup_clusters_2k": SQL_PAGES_DEDUP_CLUSTERS_2K,

@@ -147,3 +147,26 @@ def test_uppercase_scheme_still_matches_rules(spark):
     )
     v = robots_verdicts(pages, rules).collect()[0]
     assert not v.allowed  # an uppercase scheme must not bypass Disallow
+
+
+def test_parse_sitemap_urls(spark):
+    body = (
+        "User-agent: *\nDisallow: /x/\n"
+        "Sitemap: https://ex.com/sitemap.xml\n"
+        "  sitemap :  https://ex.com/news.xml  # comment\n"
+        "Sitemap:\n"  # empty value drops
+        "NotASitemap: https://no.example/\n"
+    )
+    from dedupe_algo_spark.operators.robots import parse_sitemap_urls
+
+    bodies = spark.createDataFrame(
+        [("ex.com", body), ("bare.org", "User-agent: *\nDisallow:\n")],
+        "host string, body string",
+    )
+    got = sorted(
+        (r.host, r.sitemap_url) for r in parse_sitemap_urls(bodies).collect()
+    )
+    assert got == [
+        ("ex.com", "https://ex.com/news.xml"),
+        ("ex.com", "https://ex.com/sitemap.xml"),
+    ]
