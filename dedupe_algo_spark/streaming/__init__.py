@@ -133,6 +133,7 @@ def warc_segment_stream(
     spark: SparkSession,
     source_dir: str,
     options: dict | None = None,
+    segment_format: str = "warc",
 ) -> DataFrame:
     """Streaming WARC ingestion: watch a directory for arriving
     ``.warc[.gz]`` segment objects (the shape of a live crawl dropping
@@ -141,8 +142,9 @@ def warc_segment_stream(
     Arrow parser + codegen text extraction run per micro-batch exactly
     as in batch (``pages_from_warc`` is stream-agnostic). Use
     ``options={"maxFilesPerTrigger": N}`` to bound micro-batch size on
-    a backlogged bucket."""
-    from ..sources.warc import pages_from_warc
+    a backlogged bucket. ``segment_format="wet"`` parses extracted-text
+    conversion records instead of HTTP responses."""
+    from ..sources.warc import pages_from_warc, pages_from_wet
 
     reader = spark.readStream.format("binaryFile").schema(
         "path string, modificationTime timestamp, length long, content binary"
@@ -152,7 +154,9 @@ def warc_segment_stream(
     blobs = reader.load(source_dir).select(
         F.col("path").alias("warc_file"), F.col("content").alias("data")
     )
-    return pages_from_warc(blobs)
+    return (
+        pages_from_wet(blobs) if segment_format == "wet" else pages_from_warc(blobs)
+    )
 
 
 def dedup_warc_stream(
@@ -160,12 +164,16 @@ def dedup_warc_stream(
     source_dir: str,
     min_len: int = 10,
     options: dict | None = None,
+    segment_format: str = "warc",
 ) -> DataFrame:
-    """Streaming exact dedup straight off a crawl bucket: WARC segments
-    in, first-seen distinct pages out — ``warc_segment_stream`` feeds
-    the same slim-metadata stateful operator as the parquet variant
-    (text is hashed map-side and never enters the stateful exchange)."""
-    pages = warc_segment_stream(spark, source_dir, options=options)
+    """Streaming exact dedup straight off a crawl bucket: WARC (or WET)
+    segments in, first-seen distinct pages out — ``warc_segment_stream``
+    feeds the same slim-metadata stateful operator as the parquet
+    variant (text is hashed map-side and never enters the stateful
+    exchange)."""
+    pages = warc_segment_stream(
+        spark, source_dir, options=options, segment_format=segment_format
+    )
     meta = pages.where(F.length("text") >= min_len).select(
         "url",
         "warc_ts",

@@ -61,8 +61,16 @@ def run_stream(
         if max_files_per_trigger
         else None
     )
-    stream_fn = dedup_warc_stream if input_format == "warc" else dedup_pages_stream
-    out = stream_fn(spark, input_dir, min_len=min_len, options=options)
+    if input_format in ("warc", "wet"):
+        out = dedup_warc_stream(
+            spark,
+            input_dir,
+            min_len=min_len,
+            options=options,
+            segment_format=input_format,
+        )
+    else:
+        out = dedup_pages_stream(spark, input_dir, min_len=min_len, options=options)
     writer = (
         out.writeStream.format("parquet")
         .option("path", output_dir)
@@ -84,7 +92,7 @@ def main() -> None:
     p.add_argument("--min-len", type=int, default=10)
     p.add_argument(
         "--input-format",
-        choices=["parquet", "warc"],
+        choices=["parquet", "warc", "wet"],
         default="parquet",
         help="'warc': watch --input for raw .warc[.gz] segment objects",
     )

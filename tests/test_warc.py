@@ -478,3 +478,30 @@ def test_member_walk_is_linear():
     t0 = time.time()
     assert len(list(iter_gzip_members(blob))) == 20000
     assert time.time() - t0 < 2.0
+
+
+def test_dedup_wet_stream(spark, tmp_path):
+    """WET segments stream like WARC ones: conversion text hashes
+    map-side, first-seen dedup across the bucket."""
+    from dedupe_algo_spark.sources.warc import build_wet
+    from dedupe_algo_spark.streaming import dedup_warc_stream
+
+    d = tmp_path / "wetbucket"
+    d.mkdir()
+    t = "alpha text body " * 10
+    (d / "s0.warc.wet.gz").write_bytes(
+        build_wet([("http://ws/a", 1800000000, t), ("http://ws/b", 1800000001, t)])
+    )
+    out = dedup_warc_stream(spark, str(d), segment_format="wet")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("wet_stream_t")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        pdf = spark.sql("select * from wet_stream_t").toPandas()
+        assert sorted(pdf["url"]) == ["http://ws/a"]  # dup content collapsed
+    finally:
+        q.stop()
