@@ -290,4 +290,9 @@ def minhash_jaccard_udf(sig_a: pd.Series, sig_b: pd.Series) -> pd.Series:
             a = np.stack(sig_a.values[valid])
             b = np.stack(sig_b.values[valid])
             out[valid] = (a == b).mean(axis=1)
-    return pd.Series(out)
+    # NULL signatures → NULL estimate, never NaN (Spark orders NaN above
+    # every number, so NaN would pass an `est_score >= gate` filter)
+    s = pd.Series(out, dtype="Float64")
+    if n:
+        s[~(sig_a.notna() & sig_b.notna()).values] = pd.NA
+    return s

@@ -19,6 +19,19 @@ from pyspark.sql.types import DoubleType
 LEV_CAP = 512  # cap quadratic edit-distance work per pair
 
 
+def _null_safe(out: np.ndarray, nulls: np.ndarray) -> pd.Series:
+    """Pair-scorer return convention: NULL text scores NULL, never NaN —
+    Spark orders NaN ABOVE every number, so a NaN score would PASS
+    ``score >= threshold`` while the JVM scorer paths yield NULL and
+    drop the pair; the switchable paths must agree on NULL input.
+    Nullable Float64 keeps the None through Arrow (plain float64 would
+    coerce it back to NaN)."""
+    s = pd.Series(out, dtype="Float64")
+    if nulls.any():
+        s[nulls] = pd.NA
+    return s
+
+
 @pandas_udf(DoubleType())
 def pair_jaccard_udf(text_a: pd.Series, text_b: pd.Series) -> pd.Series:
     """Exact token-set Jaccard per pair (the confirm-stage score for
@@ -47,15 +60,17 @@ def pair_jaccard_udf(text_a: pd.Series, text_b: pd.Series) -> pd.Series:
         return arr
 
     out = np.empty(len(text_a), dtype=np.float64)
+    nulls = np.zeros(len(text_a), dtype=bool)
     for i, (a, b) in enumerate(zip(text_a.values, text_b.values)):
         if a is None or b is None:
-            out[i] = np.nan
+            nulls[i] = True
+            out[i] = 0.0
             continue
         ha, hb = tok_hashes(a), tok_hashes(b)
         inter = np.intersect1d(ha, hb, assume_unique=True).size
         u = ha.size + hb.size - inter
         out[i] = (inter / u) if u else 1.0
-    return pd.Series(out)
+    return _null_safe(out, nulls)
 
 
 @pandas_udf(DoubleType())
@@ -140,14 +155,16 @@ def pair_levenshtein_sim_udf(text_a: pd.Series, text_b: pd.Series) -> pd.Series:
     """Batched 1 − lev/maxlen on capped prefixes (UDF variant; the
     built-in ``levenshtein_sim_col`` is preferred in the hot path)."""
     out = np.empty(len(text_a), dtype=np.float64)
+    nulls = np.zeros(len(text_a), dtype=bool)
     for i, (a, b) in enumerate(zip(text_a.values, text_b.values)):
         if a is None or b is None:
-            out[i] = np.nan
+            nulls[i] = True
+            out[i] = 0.0
             continue
         a, b = a[:LEV_CAP], b[:LEV_CAP]
         mx = max(len(a), len(b))
         out[i] = 1.0 if mx == 0 else 1.0 - _levenshtein(a, b) / mx
-    return pd.Series(out)
+    return _null_safe(out, nulls)
 
 
 def _damerau_levenshtein(a: str, b: str) -> int:
@@ -200,14 +217,16 @@ def pair_damerau_sim_udf(text_a: pd.Series, text_b: pd.Series) -> pd.Series:
     transposition-aware edit similarity (swapped words/chars cost 1,
     not 2), the classic fielded-record ER scorer."""
     out = np.empty(len(text_a), dtype=np.float64)
+    nulls = np.zeros(len(text_a), dtype=bool)
     for i, (a, b) in enumerate(zip(text_a.values, text_b.values)):
         if a is None or b is None:
-            out[i] = np.nan
+            nulls[i] = True
+            out[i] = 0.0
             continue
         a, b = a[:LEV_CAP], b[:LEV_CAP]
         mx = max(len(a), len(b))
         out[i] = 1.0 if mx == 0 else 1.0 - _damerau_levenshtein(a, b) / mx
-    return pd.Series(out)
+    return _null_safe(out, nulls)
 
 
 def _jaro(a: str, b: str) -> float:
@@ -268,12 +287,14 @@ def _jaro_winkler(a: str, b: str, p: float = 0.1) -> float:
 def pair_jaro_winkler_udf(text_a: pd.Series, text_b: pd.Series) -> pd.Series:
     """Batched Jaro-Winkler on capped prefixes."""
     out = np.empty(len(text_a), dtype=np.float64)
+    nulls = np.zeros(len(text_a), dtype=bool)
     for i, (a, b) in enumerate(zip(text_a.values, text_b.values)):
         if a is None or b is None:
-            out[i] = np.nan
+            nulls[i] = True
+            out[i] = 0.0
         else:
             out[i] = _jaro_winkler(a[:LEV_CAP], b[:LEV_CAP])
-    return pd.Series(out)
+    return _null_safe(out, nulls)
 
 
 def ngram_grams_col(t: Column, n: int = 5) -> Column:
@@ -316,11 +337,13 @@ def pair_ngram_jaccard_udf(text_a: pd.Series, text_b: pd.Series) -> pd.Series:
         return {s[i : i + N] for i in range(max(1, len(s) - N + 1))}
 
     out = np.empty(len(text_a), dtype=np.float64)
+    nulls = np.zeros(len(text_a), dtype=bool)
     for i, (a, b) in enumerate(zip(text_a.values, text_b.values)):
         if a is None or b is None:
-            out[i] = np.nan
+            nulls[i] = True
+            out[i] = 0.0
             continue
         ga, gb = grams(a), grams(b)
         u = len(ga | gb)
         out[i] = (len(ga & gb) / u) if u else 1.0
-    return pd.Series(out)
+    return _null_safe(out, nulls)

@@ -4424,7 +4424,8 @@ SQL_PR_CURVE = _SQL_PLANTED_ROLES + """
 SELECT threshold, tp, fp, fn,
   CASE WHEN tp + fp = 0 THEN 1.0
        ELSE CAST(tp AS DOUBLE) / (tp + fp) END AS precision,
-  CAST(tp AS DOUBLE) / (tp + fn) AS recall,
+  CASE WHEN tp + fn = 0 THEN 1.0
+       ELSE CAST(tp AS DOUBLE) / (tp + fn) END AS recall,
   CASE WHEN tp = 0 THEN 0.0
        ELSE 2.0 * CAST(tp AS DOUBLE) / (2 * tp + fp + fn) END AS f1
 FROM agg

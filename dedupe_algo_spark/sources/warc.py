@@ -59,7 +59,7 @@ _CRLF2 = b"\r\n\r\n"
 _GZ_CHUNK = 8 << 10
 
 
-def _iter_members_chunked(data: bytes):
+def _iter_members_chunked(data: bytes, keep_partial: bool = False):
     """Core member walk shared by :func:`_gunzip_members` and
     :func:`iter_gzip_members`: yields ``(offset, comp_len, plain)`` per
     complete gzip member. The decompressor is fed bounded chunks and
@@ -67,8 +67,13 @@ def _iter_members_chunked(data: bytes):
     whole walk is O(filesize) — feeding the full remaining tail per
     member makes ``unused_data`` copy the tail once per member, which
     is quadratic (measured: 5k members 0.03s, 40k members 1.6s; a real
-    ~1 GiB record-gzip segment has tens of thousands of members). A
-    trailing truncated member is dropped whole."""
+    ~1 GiB record-gzip segment has tens of thousands of members).
+
+    A trailing truncated/corrupt member is dropped whole when
+    ``keep_partial`` is False (the CDX geometry — an incomplete member
+    is not fetchable), or yielded with whatever decoded when True (the
+    parse path — a cut-off whole-file-gzip object must still give up
+    its decodable record prefix)."""
     view = memoryview(data)
     n = len(data)
     pos = 0
@@ -87,8 +92,13 @@ def _iter_members_chunked(data: bytes):
                     complete = True
                     break
         except zlib.error:
-            return  # corrupt member: keep only prior members
+            # corrupt member: surface its prefix if asked, stop either way
+            if keep_partial and parts:
+                yield (start, n - start, b"".join(parts))
+            return
         if not complete:
+            if keep_partial and parts:
+                yield (start, n - start, b"".join(parts))
             return  # data exhausted mid-member (truncated tail)
         yield (start, pos - start, b"".join(parts))
 
@@ -96,11 +106,16 @@ def _iter_members_chunked(data: bytes):
 def _gunzip_members(data: bytes) -> bytes:
     """Decompress a (possibly multi-member) gzip stream; pass through
     plain bytes. Member-by-member so a trailing truncated member
-    degrades to 'records so far', matching how CC readers tolerate a
-    cut-off segment. O(filesize) — see :func:`_iter_members_chunked`."""
+    degrades to 'records so far' — INCLUDING a truncated whole-file
+    gzip, whose decodable prefix still parses (matching how CC readers
+    tolerate a cut-off segment). O(filesize) — see
+    :func:`_iter_members_chunked`."""
     if not data.startswith(_GZIP_MAGIC):
         return data
-    return b"".join(plain for _, _, plain in _iter_members_chunked(bytes(data)))
+    return b"".join(
+        plain
+        for _, _, plain in _iter_members_chunked(bytes(data), keep_partial=True)
+    )
 
 
 def _hdr_decode(b: bytes) -> str:

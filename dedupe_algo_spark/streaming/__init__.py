@@ -154,9 +154,12 @@ def warc_segment_stream(
     blobs = reader.load(source_dir).select(
         F.col("path").alias("warc_file"), F.col("content").alias("data")
     )
-    return (
-        pages_from_wet(blobs) if segment_format == "wet" else pages_from_warc(blobs)
-    )
+    if segment_format == "wet":
+        return pages_from_wet(blobs)
+    if segment_format == "warc":
+        return pages_from_warc(blobs)
+    # a typo must fail loudly, not stream 0 pages through the wrong parser
+    raise ValueError(f"unknown segment_format: {segment_format!r}")
 
 
 def dedup_warc_stream(

@@ -94,7 +94,8 @@ def main() -> None:
         "--input-format",
         choices=["parquet", "warc", "wet"],
         default="parquet",
-        help="'warc': watch --input for raw .warc[.gz] segment objects",
+        help="'warc': watch --input for raw .warc[.gz] segment objects; "
+        "'wet': extracted-text conversion segments (*.wet.gz)",
     )
     p.add_argument("--max-files-per-trigger", type=int, default=None)
     p.add_argument(

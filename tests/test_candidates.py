@@ -288,3 +288,21 @@ def test_confirm_pairs_containment_scorer(spark):
         for r in confirm_pairs(pairs, pages, 0.0).collect()
     }
     assert jac[("u1", "u2")] == 5 / 10  # inter 5, union 10
+
+
+def test_null_text_drops_pair_on_both_paths(spark):
+    """NULL text must yield a NULL score (dropped by >= threshold) on
+    the pandas path exactly like the JVM path — NaN would instead PASS
+    any threshold under Spark's NaN ordering."""
+    pages = spark.createDataFrame(
+        [("u1", "real words here"), ("u2", None)], "url string, text string"
+    )
+    pairs = spark.createDataFrame([("u1", "u2")], "url_a string, url_b string")
+    for kw in (
+        {"jvm_tokens": False},  # pandas jaccard
+        {"scorer": "jaro_winkler"},
+        {"scorer": "damerau"},
+        {"scorer": "containment", "jvm_tokens": False},
+    ):
+        got = confirm_pairs(pairs, pages, 0.0, **kw).collect()
+        assert got == [], kw

@@ -505,3 +505,17 @@ def test_dedup_wet_stream(spark, tmp_path):
         assert sorted(pdf["url"]) == ["http://ws/a"]  # dup content collapsed
     finally:
         q.stop()
+
+
+def test_truncated_whole_file_gzip_keeps_prefix():
+    """A cut-off single-member (whole-file) gzip object must still give
+    up its decodable record prefix — the chunked member walk may not
+    drop the partial member on the parse path."""
+    import gzip as _g
+
+    plain = _gunzip_members(build_warc(PAGES, warcinfo=False))
+    whole = _g.compress(plain, mtime=0)
+    cut = whole[: int(len(whole) * 0.9)]
+    recs = list(parse_warc(cut))
+    assert len(recs) >= 1  # prefix recovered, not zero
+    assert recs[0]["body"] == PAGES[0][2]
