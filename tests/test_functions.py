@@ -353,3 +353,39 @@ def test_canonical_url_idempotent_and_classes(spark):
     )
     assert got["http://Example.COM:80/"] == "http://example.com"
     assert got["http://WWW.Example.COM:8080/a/b?q=1&b=2"] == "http://example.com:8080/a/b?q=1&b=2"
+
+
+def test_normalized_for_dedup_idempotent_and_collapses(spark):
+    """normalized(normalized(t)) == normalized(t) over a grid of web
+    mutations, and the mutations the tier exists to collapse (casing,
+    counters, punctuation runs, whitespace) map to one key while real
+    content edits stay distinct."""
+    from dedupe_algo_spark.functions.hashing import normalized_for_dedup
+
+    texts = [
+        "Page 3 of 10 — Hello, World!",
+        "page 7 of 99 :: hello world",
+        "PAGE 0 OF 00\thello world",
+        "Hello   World (page 1 of 2)",
+        "a completely different document body",
+        "héllo wörld ünïcode 42",
+        "HÉLLO WÖRLD ÜNÏCODE 99",
+        "", "   ", "!!!", "123",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "t string")
+    out = df.select(
+        "t",
+        normalized_for_dedup(F.col("t")).alias("n1"),
+        normalized_for_dedup(normalized_for_dedup(F.col("t"))).alias("n2"),
+    ).collect()
+    got = {r.t: r.n1 for r in out}
+    for r in out:
+        assert r.n2 == r.n1, (r.t, r.n1, r.n2)
+    # counter/casing/punct mutations collapse
+    assert got["Page 3 of 10 — Hello, World!"] == got["page 7 of 99 :: hello world"]
+    assert got["héllo wörld ünïcode 42"] == got["HÉLLO WÖRLD ÜNÏCODE 99"]
+    # degenerate inputs normalize cleanly, not to each other
+    assert got[""] == got["   "] == got["!!!"] == ""
+    assert got["123"] == "000"
+    # real content difference survives
+    assert got["a completely different document body"] != got["page 7 of 99 :: hello world"]
