@@ -17,10 +17,16 @@ Two halves:
 
 Spec: RFC 9309 (Robots Exclusion Protocol). Match length is the raw
 path-pattern length (including wildcards), ties prefer Allow; an empty
-``Disallow:`` emits no rule (everything allowed); group inheritance:
-the most specific matching user-agent group applies — this module
-keeps the common crawl-pipeline simplification of filtering on ONE
-agent string (default ``*``) chosen at call time.
+``Disallow:`` emits no rule (everything allowed); group inheritance
+follows §2.2.1: hosts with a group for the exact agent string use ONLY
+that group, every other host falls back to its ``*`` group (agent
+matching here is exact-string, not the spec's product-token prefix —
+the one documented simplification). Bodies are parsed up to the
+RFC 9309 §2.5 500 KiB minimum-support limit; bytes beyond it are
+ignored, which for a crawl gate is the conservative direction only
+when paired with caps on what a hostile host can make us hold — the
+truncation also bounds the per-host rules array ``robots_verdicts``
+collects.
 """
 
 from __future__ import annotations
@@ -36,6 +42,12 @@ ROBOTS_RULES_SCHEMA = (
     "host string, agent string, directive string, path string, ord int"
 )
 
+# RFC 9309 §2.5: crawlers MUST parse at least 500 KiB and MAY ignore
+# the rest. Truncating here bounds both the parse cost and the size of
+# the per-host rules array robots_verdicts later collect_list's, so an
+# adversarially large robots.txt cannot blow up the broadcast side.
+ROBOTS_MAX_BYTES = 500 * 1024
+
 
 def parse_robots(
     bodies: DataFrame, host_col: str = "host", body_col: str = "body"
@@ -44,14 +56,25 @@ def parse_robots(
     tracked per the spec: consecutive ``User-agent`` lines share the
     following Allow/Disallow block; rules before any agent line are
     ignored; comments (#) and unknown directives are skipped; empty
-    Disallow emits nothing."""
+    Disallow emits nothing. Bodies beyond ``ROBOTS_MAX_BYTES`` are
+    truncated at the limit (RFC 9309 §2.5)."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for host, body in zip(pdf[host_col], pdf[body_col]):
                 if isinstance(body, (bytes, bytearray)):
-                    body = bytes(body).decode("utf-8", errors="replace")
+                    body = bytes(body)[:ROBOTS_MAX_BYTES].decode(
+                        "utf-8", errors="replace"
+                    )
+                elif isinstance(body, str):
+                    # cap on the encoded length so str and binary
+                    # inputs truncate at the same byte boundary
+                    raw = body.encode("utf-8", errors="replace")
+                    if len(raw) > ROBOTS_MAX_BYTES:
+                        body = raw[:ROBOTS_MAX_BYTES].decode(
+                            "utf-8", errors="replace"
+                        )
                 agents: list[str] = []
                 in_group_body = False
                 order = 0
@@ -137,9 +160,18 @@ def url_path(url: Column) -> Column:
     """Path+query of a url (the part robots rules match against),
     ``/`` when absent — pure regexp. Scheme match is case-insensitive
     like ``host_of``'s: an uppercase-scheme url must not collapse to
-    path ``/`` and slip past Disallow rules."""
-    p = F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]+(/.*)?$", 1)
-    return F.when(F.length(p) == 0, F.lit("/")).otherwise(p)
+    path ``/`` and slip past Disallow rules. The host stops at ``/``
+    OR ``?`` so a query-only url (``https://h.com?q=1``) keeps its
+    query; a leading-``?`` extract is normalized to ``/?...`` so
+    query-targeting rules (``Disallow: /*?*``) still match it."""
+    p = F.regexp_extract(
+        url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?]+([/?].*)?$", 1
+    )
+    return (
+        F.when(F.length(p) == 0, F.lit("/"))
+        .when(p.startswith("?"), F.concat(F.lit("/"), p))
+        .otherwise(p)
+    )
 
 
 def robots_verdicts(
@@ -158,13 +190,32 @@ def robots_verdicts(
     collect_list, a few thousand rows at web scale. Adds
     ``allowed: boolean`` and ``matched_rule: string`` (null when no
     rule matched); no matching rule = allowed, longest path wins,
-    Allow wins length ties."""
+    Allow wins length ties. Group selection per RFC 9309 §2.2.1: a
+    host with a group for ``agent`` uses only that group; hosts
+    without one fall back to their ``*`` group (so a
+    ``User-agent: *`` / ``Disallow: /`` host denies every agent, not
+    just the wildcard one)."""
     from ..functions.urls import host_of
+    from pyspark.sql import Window
 
     host = host_of(F.col(url_col)) if host_of_url is None else host_of_url
+    exact = agent.lower()
+    cand = rules.where(F.col("agent").isin(exact, "*"))
+    if exact != "*":
+        # keep '*' rows only for hosts with no exact-agent group; the
+        # window shuffles just the tiny rules table (same exchange the
+        # groupBy below already pays).
+        w = Window.partitionBy("host")
+        cand = (
+            cand.withColumn(
+                "_has_exact",
+                F.max((F.col("agent") == exact).cast("int")).over(w),
+            )
+            .where((F.col("agent") == exact) | (F.col("_has_exact") == 0))
+            .drop("_has_exact")
+        )
     per_host = (
-        rules.where(F.col("agent") == agent.lower())
-        .select(
+        cand.select(
             F.col("host").alias("_rhost"),
             F.struct(
                 F.col("directive"),

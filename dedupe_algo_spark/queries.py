@@ -1378,24 +1378,33 @@ FROM l GROUP BY 1, 2
 
 
 def q_host_pagerank3(spark, sf_dir):
-    """Three exact power iterations of PageRank over the 16-host
-    synthetic link graph (host k → (5k+1)%16, (7k+3)%16 as parallel
-    edges where they coincide). Every quantity is a dyadic rational —
-    N=16, outdeg=2, damping 3/4, teleport (1-d)/N = 1/64 — so IEEE
-    doubles are EXACT and the distributed sum order cannot perturb a
-    bit: the hash compare against DuckDB's chained-CTE replay is
-    byte-stable by construction, not by rounding luck. Runs the REAL
-    operator (operators/linkgraph.pagerank — checkpointed iterations,
-    dangling redistribution), so the oracle pins the operator, not a
-    query-local reimplementation; every host here has outdegree 2, so
-    the dangling term is exactly zero."""
+    """Three exact power iterations of PageRank over a 16-host
+    synthetic link graph, host k → (k²+1)%16 and (3k+2)%16. The graph
+    is deliberately NON-regular: k²+1 mod 16 only hits {1,2,5,10} (4
+    in-edges each) while (3k+2) is a bijection (1 each), so in-degrees
+    are 5 for hosts {1,2,5,10} and 1 elsewhere and the rank vector is
+    far from uniform — an operator that skipped iterations, botched
+    damping, or returned its initial vector flips the hash (round-4
+    ADVICE: the previous (5k+1)/(7k+3) pair were both bijections, so
+    uniform 1/16 was a fixed point and the oracle was vacuous). Every
+    quantity stays a dyadic rational — N=16, outdeg=2, damping 3/4,
+    teleport (1-d)/N = 1/64 — so IEEE doubles are EXACT and the
+    distributed sum order cannot perturb a bit: the hash compare
+    against DuckDB's chained-CTE replay is byte-stable by
+    construction, not by rounding luck. Runs the REAL operator
+    (operators/linkgraph.pagerank — checkpointed iterations, dangling
+    redistribution), so the oracle pins the operator, not a
+    query-local reimplementation; every host has outdegree 2, so the
+    dangling term is exactly zero."""
     from .operators.linkgraph import pagerank
 
     hosts = spark.range(16).select(F.col("id").cast("int").alias("h"))
     edges = hosts.select(
         F.col("h").alias("src"),
         F.explode(
-            F.array((F.col("h") * 5 + 1) % 16, (F.col("h") * 7 + 3) % 16)
+            F.array(
+                (F.col("h") * F.col("h") + 1) % 16, (F.col("h") * 3 + 2) % 16
+            )
         ).alias("dst"),
     )
     pr = pagerank(edges, iterations=3, damping=0.75)
@@ -1407,9 +1416,9 @@ def q_host_pagerank3(spark, sf_dir):
 SQL_HOST_PAGERANK3 = """
 WITH hosts AS (SELECT unnest(range(0, 16)) AS h),
 edges AS (
-  SELECT h AS src, (h * 5 + 1) % 16 AS dst FROM hosts
+  SELECT h AS src, (h * h + 1) % 16 AS dst FROM hosts
   UNION ALL
-  SELECT h, (h * 7 + 3) % 16 FROM hosts
+  SELECT h, (h * 3 + 2) % 16 FROM hosts
 ),
 p0 AS (SELECT h, 1.0 / 16 AS pr FROM hosts),
 p1 AS (

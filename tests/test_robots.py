@@ -149,6 +149,83 @@ def test_uppercase_scheme_still_matches_rules(spark):
     assert not v.allowed  # an uppercase scheme must not bypass Disallow
 
 
+def test_star_group_fallback(spark):
+    # RFC 9309 §2.2.1: a specific agent with no group of its own falls
+    # back to the '*' group; an agent WITH its own group ignores '*'.
+    bodies = spark.createDataFrame(
+        [
+            ("closed.com", "User-agent: *\nDisallow: /\n"),
+            (
+                "mixed.com",
+                "User-agent: *\nDisallow: /\n"
+                "User-agent: somebot\nDisallow: /private/\n",
+            ),
+        ],
+        "host string, body string",
+    )
+    rules = parse_robots(bodies)
+    pages = spark.createDataFrame(
+        [
+            ("https://closed.com/x",),
+            ("https://mixed.com/x",),
+            ("https://mixed.com/private/x",),
+        ],
+        "url string",
+    )
+    got = {
+        r.url: r.allowed
+        for r in robots_verdicts(pages, rules, agent="somebot").collect()
+    }
+    assert got == {
+        # '*'-only host: Disallow / applies to somebot via fallback
+        "https://closed.com/x": False,
+        # host with an exact somebot group: '*' is ignored entirely
+        "https://mixed.com/x": True,
+        "https://mixed.com/private/x": False,
+    }
+
+
+def test_query_only_url_matches_query_rules(spark):
+    # a url with a query but no path must not collapse to '/': the
+    # query participates in matching ('/?...' normalization).
+    bodies = spark.createDataFrame(
+        [("q.io", "User-agent: *\nDisallow: /*?*\n")],
+        "host string, body string",
+    )
+    rules = parse_robots(bodies)
+    cases = {
+        "https://q.io?q=1": False,
+        "https://q.io/p?q=1": False,
+        "https://q.io/p": True,
+        "https://q.io": True,
+    }
+    pages = spark.createDataFrame([(u,) for u in cases], "url string")
+    got = {r.url: r.allowed for r in robots_verdicts(pages, rules).collect()}
+    assert got == cases
+
+
+def test_oversized_body_truncates_at_500kib(spark):
+    from dedupe_algo_spark.operators.robots import ROBOTS_MAX_BYTES
+
+    # a rule entirely past the 500 KiB limit is ignored (RFC 9309
+    # §2.5); rules before it survive. Same for str and binary bodies.
+    pad = "# " + "x" * ROBOTS_MAX_BYTES + "\n"
+    body = "User-agent: *\nDisallow: /early/\n" + pad + "Disallow: /late/\n"
+    as_str = spark.createDataFrame(
+        [("s.io", body)], "host string, body string"
+    )
+    as_bin = spark.createDataFrame(
+        [("b.io", body.encode())], "host string, body binary"
+    )
+    rows = {
+        (r.host, r.path)
+        for df in (as_str, as_bin)
+        for r in parse_robots(df).collect()
+    }
+    assert ("s.io", "/early/") in rows and ("b.io", "/early/") in rows
+    assert not any(p == "/late/" for _, p in rows)
+
+
 def test_parse_sitemap_urls(spark):
     body = (
         "User-agent: *\nDisallow: /x/\n"
