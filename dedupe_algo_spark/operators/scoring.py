@@ -85,6 +85,59 @@ def token_containment_score(ta, tb):
     )
 
 
+def pair_value_join(cand: DataFrame, slice_: DataFrame, val: str) -> DataFrame:
+    """One-pass pair/value join: melt each pair into (url_a, url_b,
+    side, url), join the per-url value slice ONCE, and pivot the two
+    sides back into ``_ta``/``_tb`` per pair.
+
+    This replaces the classic double join (slice as ``ta`` on url_a,
+    slice as ``tb`` on url_b), and exists for a scale reason: the
+    double join references the slice twice, so its two exchange
+    children are independent query stages that AQE submits
+    CONCURRENTLY — with a cold cache each re-runs the full
+    scan+semi-join+tokenize while racing to fill it (measured ~300
+    cpu-s per side at 4M pages), and the fix was a driver-blocking
+    ``slice_.count()`` barrier before the join. Here the slice appears
+    exactly once, so there is no race, no persist, and no barrier job
+    — and the big array payload moves fewer times: the melt side is
+    slim (two urls + a one-char side tag), the slice side crosses one
+    join exchange, and the pivot's groupBy exchange carries each
+    pair's two values once (vs the double join's ta exchange + tb
+    exchange + ``_ta`` carried through the second join's url_b
+    exchange).
+
+    Semantics match the inner double join: a pair whose url is absent
+    from the slice (or whose value is null) pivots to a null side,
+    scores null, and dies at the threshold filter — exactly where the
+    double join dropped it. Input pairs are distinct by construction
+    (candidate_pairs/band_gate both dedup); the pivot would collapse
+    duplicate pairs, which is the correct behavior for a pair list
+    anyway."""
+    melt = cand.select(
+        "url_a",
+        "url_b",
+        F.explode(
+            F.array(
+                F.struct(F.lit("a").alias("s"), F.col("url_a").alias("url")),
+                F.struct(F.lit("b").alias("s"), F.col("url_b").alias("url")),
+            )
+        ).alias("_m"),
+    ).select(
+        "url_a",
+        "url_b",
+        F.col("_m.s").alias("_s"),
+        F.col("_m.url").alias("url"),
+    )
+    side = lambda tag: F.first(  # noqa: E731 — one non-null row per side
+        F.when(F.col("_s") == tag, F.col(val)), ignorenulls=True
+    )
+    return (
+        melt.join(slice_, "url")
+        .groupBy("url_a", "url_b")
+        .agg(side("a").alias("_ta"), side("b").alias("_tb"))
+    )
+
+
 def band_gate(
     pairs_with_counts: DataFrame, min_matches: int = DEFAULT_MIN_BAND_MATCHES
 ) -> DataFrame:
@@ -152,13 +205,22 @@ def confirm_pairs(
 
     The text column is read from the source exactly ONCE: a semi-join
     against the candidate url set carves out the text slice (≤2×|pairs|
-    rows), which is then persisted and joined twice. The url set is
-    **explicitly broadcast** when small enough: Catalyst's size estimate
-    for a derived distinct-union is unknowable at plan time, so without
-    the hint AQE plants a sort-merge semi-join that shuffles the whole
-    pages table — text and all (measured: 13.6GB of a 31GB input at 4M
-    pages). The count that decides the hint is over the (persisted,
-    tiny) pair list, not the pages table.
+    rows), which then meets the pair list in ONE melt/pivot join
+    (``pair_value_join``) instead of the classic double join — the
+    slice is referenced once, so it needs no persist and no
+    driver-blocking ``count()`` barrier to serialize racing exchange
+    children (two such barriers existed through round 4). The url set
+    is **explicitly broadcast** when small enough: Catalyst's size
+    estimate for a derived distinct-union is unknowable at plan time,
+    so without the hint AQE plants a sort-merge semi-join that
+    shuffles the whole pages table — text and all (measured: 13.6GB of
+    a 31GB input at 4M pages). The count that decides the hint is over
+    the (persisted, tiny) pair list, not the pages table; it is the
+    ONE remaining driver barrier and is irreducible by the Observation
+    fold that deleted CC's convergence collects — an Observation can
+    only report metrics of a job that already ran, and this count
+    gates a plan-time decision (the broadcast hint) for the very next
+    job, so no earlier action exists to ride.
 
     ``jvm_tokens`` (default): each slice row is tokenized ONCE into a
     distinct-token array during the carve-out, and the per-pair Jaccard
@@ -211,15 +273,9 @@ def confirm_pairs(
             pair_jaro_winkler_udf,
         )
 
-        slice_ = _persist(
-            sliced.select("url", F.substring("text", 1, LEV_CAP).alias("_t"))
+        slice_ = sliced.select(
+            "url", F.substring("text", 1, LEV_CAP).alias("_t")
         )
-        # materialize before the double join — same duplicate-pass race
-        # as the jvm_tokens branch below: the ta/tb exchange children
-        # otherwise each re-run the scan+semi-join while filling the cache
-        slice_.count()
-        ta = slice_.select(F.col("url").alias("url_a"), F.col("_t").alias("_ta"))
-        tb = slice_.select(F.col("url").alias("url_b"), F.col("_t").alias("_tb"))
         if scorer == "jaro_winkler":
             score = pair_jaro_winkler_udf(F.col("_ta"), F.col("_tb"))
         elif scorer == "levenshtein":
@@ -230,17 +286,16 @@ def confirm_pairs(
             score = ngram_jaccard_col(F.col("_ta"), F.col("_tb"))
         else:
             raise ValueError(f"unknown scorer {scorer!r}")
-        scored = cand.join(ta, "url_a").join(tb, "url_b").withColumn("score", score)
+        scored = pair_value_join(cand, slice_, "_t").withColumn("score", score)
     elif jvm_tokens:
         # Token identity is a 32-bit Murmur3 hash (F.hash → native INT),
         # not the string: the pair join's array_intersect then compares
         # ints instead of hashing and equality-checking strings per
-        # element — the confirm SMJ stage was the largest post-scan CPU
-        # item at 4M pages (~560 cpu-s at N) and the slice cache shrinks
-        # ~8x vs raw text. INT (not the earlier xxhash64 LONG) because
-        # the token arrays are the biggest post-scan shuffle payload and
-        # they move THREE times (ta exchange, tb exchange, and _ta
-        # carried through the second join's url_b exchange); hash
+        # element — the confirm join stage was the largest post-scan
+        # CPU item at 4M pages (~560 cpu-s at N). INT (not the earlier
+        # xxhash64 LONG) because the token arrays are the biggest
+        # post-scan shuffle payload (the slice's join exchange plus
+        # both pivoted arrays through the groupBy exchange); hash
         # entropy is incompressible, so 4-byte ids halve those bytes
         # outright. Jaccard over distinct token hashes equals Jaccard
         # over distinct tokens up to 32-bit collisions (P ≈ n²/2³³ per
@@ -248,39 +303,30 @@ def confirm_pairs(
         # and shifts one side's set size by 1 — a ≲2% score nudge on a
         # handful of docs per 10⁷, immaterial next to the MinHash tiers
         # feeding this stage and far from the τ=0.8 decision boundary).
-        slice_ = _persist(
-            sliced.select("url", token_hash_array(F.col("text")).alias("_toks"))
+        # The slice is referenced ONCE (pair_value_join), so it needs
+        # no persist and no barrier count — the round-4 slice_.count()
+        # existed only to serialize the double join's racing exchange
+        # children, a shape this path no longer has.
+        slice_ = sliced.select(
+            "url", token_hash_array(F.col("text")).alias("_toks")
         )
-        # Materialize the token cache BEFORE the pair join. The join's
-        # two children (ta/tb exchanges) otherwise each re-run the full
-        # scan+semi-join+tokenize while racing to fill the same cache —
-        # AQE runs them as sequential shuffle jobs, so the duplicate
-        # pass is pure added wall-clock (measured ~300 cpu-s per side at
-        # 4M pages; ReuseExchange would dedup them but is defeated by
-        # the persisted parents). One count = one tokenize pass; both
-        # exchanges then read cached batches.
-        slice_.count()
-        ta = slice_.select(F.col("url").alias("url_a"), F.col("_toks").alias("_ta"))
-        tb = slice_.select(F.col("url").alias("url_b"), F.col("_toks").alias("_tb"))
         score = (
             token_containment_score(F.col("_ta"), F.col("_tb"))
             if scorer == "containment"
             else token_jaccard_score(F.col("_ta"), F.col("_tb"))
         )
-        scored = cand.join(ta, "url_a").join(tb, "url_b").withColumn("score", score)
+        scored = pair_value_join(cand, slice_, "_toks").withColumn(
+            "score", score
+        )
     else:
         from ..functions.similarity import pair_containment_udf
 
-        slice_ = _persist(sliced.select("url", "text"))
-        ta = slice_.select(F.col("url").alias("url_a"), F.col("text").alias("_ta"))
-        tb = slice_.select(F.col("url").alias("url_b"), F.col("text").alias("_tb"))
+        slice_ = sliced.select("url", F.col("text").alias("_t"))
         pair_udf = (
             pair_containment_udf if scorer == "containment" else pair_jaccard_udf
         )
-        scored = (
-            cand.join(ta, "url_a")
-            .join(tb, "url_b")
-            .withColumn("score", pair_udf(F.col("_ta"), F.col("_tb")))
+        scored = pair_value_join(cand, slice_, "_t").withColumn(
+            "score", pair_udf(F.col("_ta"), F.col("_tb"))
         )
     return scored.where(F.col("score") >= threshold).select("url_a", "url_b", "score")
 
