@@ -55,6 +55,14 @@ HEADLINE = [
     "lang_id",
     "embedding_topk",
     "cache_validity_join",
+    # round-4 operator families (regressions here were invisible to
+    # the r4 suite): crawl-policy gate, link-graph power iteration,
+    # CCNet normalized-exact tier, WARC container parse (fixture-scale
+    # correctness tier; warc_parse below is the scaled throughput tier)
+    "robots_verdicts",
+    "host_pagerank3",
+    "normalized_exact",
+    "warc_ingest",
 ]
 
 
@@ -73,6 +81,28 @@ def pages_parquet(spark, n_pages: int) -> str:
 
         synth_pages(spark, n_pages).write.mode("overwrite").parquet(path)
     return path
+
+
+def warc_parquet(spark, n_pages: int) -> tuple[str, int]:
+    """Materialize scaled WARC blobs once per size: n_pages/10
+    synthetic pages packed 200-records-per-.warc.gz (Common Crawl
+    layout). The cached blobs make ``warc_parse`` time the distributed
+    gzip-member walk + record parse itself, not the fixture build."""
+    n = max(1_000, n_pages // 10)
+    path = os.path.join(CACHE_ROOT, f"warc_{n}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        from pyspark.sql import functions as F
+
+        from dedupe_algo_spark.sources.warc import warc_blobs_from_pages
+        from dedupe_algo_spark.synth import synth_pages
+
+        pages = synth_pages(spark, n).select(
+            "url", F.col("warc_ts").cast("long").alias("ts_epoch"), "html"
+        )
+        warc_blobs_from_pages(pages, per_file=200).write.mode(
+            "overwrite"
+        ).parquet(path)
+    return path, n
 
 
 def cpu_control() -> float:
@@ -95,6 +125,7 @@ def main() -> None:
     from dedupe_algo_spark.queries import QUERIES
 
     ppath = pages_parquet(spark, n_pages)
+    wpath, n_warc_pages = warc_parquet(spark, n_pages)
     runs: dict[str, list[float]] = {}
     ctl: list[float] = []
     f1: dict[str, float] | None = None
@@ -126,6 +157,15 @@ def main() -> None:
         exact_dup_assignments(spark.read.parquet(ppath)).count()
         runs.setdefault("exact_cascade", []).append(round(time.time() - t0, 3))
 
+        # --- scaled WARC container parse (throughput tier) ---
+        t0 = time.time()
+        from dedupe_algo_spark.sources.warc import read_warc_records
+
+        read_warc_records(
+            spark.read.parquet(wpath), only_responses=True
+        ).write.format("noop").mode("overwrite").save()
+        runs.setdefault("warc_parse", []).append(round(time.time() - t0, 3))
+
         # --- representative relational/text/vector queries on testdata
         for name in HEADLINE:
             t0 = time.time()
@@ -147,6 +187,8 @@ def main() -> None:
         "sf": sf,
         "pages": n_pages,
         "pages_per_sec": round(n_pages / dedup_sec, 1),
+        "warc_pages": n_warc_pages,
+        "warc_pages_per_sec": round(n_warc_pages / timings["warc_parse"], 1),
         "clustered_urls": n_clustered,
         "f1": round(f1["f1"], 6) if f1 else None,
         "f1_detail": {k: round(v, 6) for k, v in f1.items()} if f1 else None,
