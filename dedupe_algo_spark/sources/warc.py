@@ -523,11 +523,161 @@ def read_blobs(spark, path: str) -> DataFrame:
     """Segment objects as ``(warc_file, data)`` rows via ``binaryFile``
     — one task per file. The single blob reader behind every WARC/WET
     entry point (batch jobs here; the streaming twin re-declares the
-    same projection on ``readStream``)."""
+    same projection on ``readStream``). ``binaryFile`` holds a whole
+    object in one byte array, capped at the JVM's 2 GB int limit —
+    standard CC segments are ~1 GB so this is the right default; for
+    oversized segments use :func:`read_blobs_ranged`."""
     return (
         spark.read.format("binaryFile")
         .load(path)
         .select(F.col("path").alias("warc_file"), F.col("content").alias("data"))
+    )
+
+
+def _local_path(p: str) -> str:
+    """Strip the ``file:`` scheme ``binaryFile``/``warc_cdx_index``
+    carry so task-side ``open()`` works on the same identifiers."""
+    if p.startswith("file://"):
+        return p[7:]
+    if p.startswith("file:"):
+        return p[5:]
+    return p
+
+
+def _list_segment_files(path: str) -> list[str]:
+    """``binaryFile``-style listing for the ranged reader: a directory
+    lists its files, anything else is a glob pattern."""
+    import glob as _glob
+    import os as _os
+
+    p = _local_path(path)
+    cands = (
+        sorted(_glob.glob(_os.path.join(p, "*")))
+        if _os.path.isdir(p)
+        else sorted(_glob.glob(p))
+    )
+    return [c for c in cands if _os.path.isfile(c)]
+
+
+def file_member_geometry(
+    spark, path: str, num_partitions: int | None = None
+) -> DataFrame:
+    """``(warc_file, offset, length)`` for every complete gzip member
+    of every segment under ``path`` — the no-CDX bootstrap for
+    :func:`read_blobs_ranged`. One task per file; each task ``mmap``-s
+    its file and runs the same chunked member walk as the in-memory
+    parse, so resident memory is one decompressed member plus the OS
+    page cache's sequential window — a 100 GB segment indexes without
+    ever being held, and 64-bit offsets sidestep the ``binaryFile``
+    2 GB cap entirely."""
+    files = _list_segment_files(path)
+    if not files:
+        return spark.createDataFrame(
+            [], "warc_file string, offset long, length long"
+        )
+    if num_partitions is None:
+        num_partitions = min(len(files), spark.sparkContext.defaultParallelism)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import mmap
+        import os as _os
+
+        for pdf in batches:
+            for p in pdf["warc_file"]:
+                rows = []
+                if _os.path.getsize(p) > 0:
+                    with open(p, "rb") as fh, mmap.mmap(
+                        fh.fileno(), 0, access=mmap.ACCESS_READ
+                    ) as mm:
+                        rows = [
+                            (p, off, clen)
+                            for off, clen, _ in _iter_members_chunked(mm)
+                        ]
+                yield pd.DataFrame(
+                    rows, columns=["warc_file", "offset", "length"]
+                )
+
+    return (
+        spark.createDataFrame([(p,) for p in files], "warc_file string")
+        .repartition(max(num_partitions, 1))
+        .mapInPandas(gen, schema="warc_file string, offset long, length long")
+    )
+
+
+# Ranged-chunk target: enough members per task to amortize the open()
+# and scheduling, far below executor memory even decompressed.
+DEFAULT_RANGE_BYTES = 128 << 20
+
+
+def read_blobs_ranged(
+    spark,
+    path: str,
+    cdx: DataFrame | None = None,
+    target_bytes: int = DEFAULT_RANGE_BYTES,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Splittable ranged ingest for segments ``binaryFile`` cannot hold
+    (its byte array caps at the JVM 2 GB int limit; remote stores have
+    the same shape with ranged GETs). Produces the exact
+    ``(warc_file, data)`` blob rows :func:`read_warc_records` /
+    :func:`pages_from_warc` already consume — each row is a run of
+    complete gzip members re-packed as one multi-member stream — so
+    every downstream parser works unchanged while a single oversized
+    file fans out across many bounded tasks.
+
+    Geometry: ``cdx`` (a :func:`warc_cdx_index`-shaped table, e.g. the
+    index Common Crawl ships next to its segments) supplies
+    ``(warc_file, offset, length)`` directly — the reader then
+    ingests exactly the indexed records (CC's CDX indexes responses,
+    so warcinfo/request filler bytes are skipped, which is the point
+    of an index-driven fetch). Without one, :func:`file_member_geometry`
+    streams the member walk per file, covering every record type.
+
+    Chunking is distributed: a per-file cumulative-sum window over the
+    slim geometry rows assigns members to ≤``target_bytes`` chunks
+    (one shuffle of (file, offset, length) triples — nothing else
+    moves), then one task per chunk seeks and reads only its ranges.
+    A member larger than ``target_bytes`` gets a chunk to itself;
+    memory per task is bounded by max(chunk, one member) compressed
+    plus one decompressed member downstream, never the file."""
+    geom = (
+        cdx.select("warc_file", "offset", "length")
+        if cdx is not None
+        else file_member_geometry(spark, path)
+    )
+    w = Window.partitionBy("warc_file").orderBy("offset")
+    chunks = (
+        geom.withColumn("_end", F.sum("length").over(w))
+        .withColumn(
+            "_chunk",
+            ((F.col("_end") - F.col("length")) / F.lit(int(target_bytes))).cast(
+                "long"
+            ),
+        )
+        .groupBy("warc_file", "_chunk")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("offset", "length"))).alias(
+                "_ranges"
+            )
+        )
+    )
+    if num_partitions is None:
+        num_partitions = spark.sparkContext.defaultParallelism
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for name, ranges in zip(pdf["warc_file"], pdf["_ranges"]):
+                with open(_local_path(name), "rb") as fh:
+                    parts = []
+                    for r in ranges:
+                        fh.seek(int(r["offset"]))
+                        parts.append(fh.read(int(r["length"])))
+                yield pd.DataFrame(
+                    {"warc_file": [name], "data": [b"".join(parts)]}
+                )
+
+    return chunks.repartition(max(int(num_partitions), 1)).mapInPandas(
+        gen, schema="warc_file string, data binary"
     )
 
 
@@ -543,9 +693,14 @@ def load_pages(
     build the pages shape. ``prior_path`` (warc only): the previous
     crawl's pages parquet — revisit records resolve against it, so a
     crawl-diff bucket ingests complete."""
-    if input_format == "warc":
+    if input_format in ("warc", "warc-ranged"):
         prior = spark.read.parquet(prior_path) if prior_path else None
-        return pages_from_warc(read_blobs(spark, path), prior_pages=prior)
+        blobs = (
+            read_blobs_ranged(spark, path)
+            if input_format == "warc-ranged"
+            else read_blobs(spark, path)
+        )
+        return pages_from_warc(blobs, prior_pages=prior)
     if input_format == "wet":
         return pages_from_wet(read_blobs(spark, path))
     if input_format == "parquet":

@@ -145,6 +145,97 @@ def test_warc_dir_via_binaryfile(spark, tmp_path):
     assert urls == ["http://w/a", "http://w/b"]
 
 
+def _ranged_fixture(tmp_path, n_per_file=6, n_files=3):
+    d = tmp_path / "big_segments"
+    d.mkdir()
+    all_pages = []
+    for f in range(n_files):
+        seg = [
+            (
+                f"http://big/{f}/{i}",
+                1735689600 + f * 100 + i,
+                (f"<html><body>page {f}-{i} " + "w" * (200 * i) + "</body></html>").encode(),
+            )
+            for i in range(n_per_file)
+        ]
+        (d / f"seg-{f:05d}.warc.gz").write_bytes(build_warc(seg))
+        all_pages += seg
+    return d, all_pages
+
+
+def test_file_member_geometry_tiles_each_file(spark, tmp_path):
+    import os
+
+    from dedupe_algo_spark.sources.warc import file_member_geometry
+
+    d, _ = _ranged_fixture(tmp_path)
+    geom = sorted(
+        ((r.warc_file, r.offset, r.length)
+         for r in file_member_geometry(spark, str(d)).collect())
+    )
+    by_file: dict[str, list[tuple[int, int]]] = {}
+    for p, off, ln in geom:
+        by_file.setdefault(p, []).append((off, ln))
+    assert len(by_file) == 3
+    for p, ranges in by_file.items():
+        # contiguous from 0 and tiling the exact file size
+        pos = 0
+        for off, ln in sorted(ranges):
+            assert off == pos
+            pos += ln
+        assert pos == os.path.getsize(p)
+        assert len(ranges) == 7  # warcinfo + 6 responses
+
+
+def test_read_blobs_ranged_matches_binaryfile(spark, tmp_path):
+    """The 2 GB-cap fallback: multi-member segments read as ranged
+    chunks must produce byte-identical pages to the binaryFile path —
+    with target_bytes small enough that every file splits into several
+    chunk tasks."""
+    from dedupe_algo_spark.sources.warc import (
+        pages_from_warc,
+        read_blobs,
+        read_blobs_ranged,
+    )
+
+    d, all_pages = _ranged_fixture(tmp_path)
+    base = {
+        (r.url, bytes(r.html))
+        for r in pages_from_warc(read_blobs(spark, str(d))).collect()
+    }
+    ranged_blobs = read_blobs_ranged(spark, str(d), target_bytes=400)
+    # chunking actually split: more chunk rows than files
+    assert ranged_blobs.count() > 3
+    got = {
+        (r.url, bytes(r.html))
+        for r in pages_from_warc(ranged_blobs).collect()
+    }
+    assert got == base == {(u, h) for u, _, h in all_pages}
+
+
+def test_read_blobs_ranged_cdx_geometry(spark, tmp_path):
+    """CDX-driven ranges: the shipped index's (offset, length) rows
+    select exactly the response records — warcinfo bytes are never
+    read — and the parse matches the full-scan baseline."""
+    from dedupe_algo_spark.sources.warc import (
+        read_blobs,
+        read_blobs_ranged,
+        read_warc_records,
+        warc_cdx_index,
+    )
+
+    d, all_pages = _ranged_fixture(tmp_path)
+    cdx = warc_cdx_index(read_blobs(spark, str(d)))
+    recs = read_warc_records(
+        read_blobs_ranged(spark, str(d), cdx=cdx, target_bytes=400)
+    )
+    assert recs.where(F.col("warc_type") != "response").count() == 0
+    got = {
+        (r.url, r.warc_epoch, bytes(r.body)) for r in recs.collect()
+    }
+    assert got == {(u, e, h) for u, e, h in all_pages}
+
+
 def test_warc_cdx_index_point_lookup(spark):
     """CDX build + point lookup: the index rows' (offset, length) slices
     random-access their exact records through Spark, the way a 100 TB
