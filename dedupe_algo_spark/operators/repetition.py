@@ -21,18 +21,30 @@ bit-for-bit in any engine; callers derive the fractions:
   duplicate-n-gram-character-fraction, n=5; overlaps counted, as in
   the paper's published implementation).
 
-Two physical strategies, proven equivalent by test:
+Three physical strategies, proven equivalent by test:
 
-- ``mode="groupby"`` (default, the long-document scale path): one
+- ``mode="groupby"`` (default, the many-disk cluster path): one
   explode of slim (id, n, gram) triples for n ∈ {2, 5}, one groupBy on
   (id, n, gram) with map-side partial aggregation, one per-doc rollup,
   one join back to the map-side doc stats. Linear in tokens; the text
-  column itself never shuffles.
-- ``mode="hof"`` — zero shuffle: higher-order functions
+  column itself never shuffles — but the exploded gram occurrences DO
+  (~2 rows per token: ≈4B slim rows per 4M pages), which is fine
+  spread across a cluster's disks and fatal on a one-disk box (the
+  spill exceeded local storage at 4M pages here).
+- ``mode="pandas"`` — zero shuffle, Arrow-batched: one ``mapInPandas``
+  computes every signal per document with a ``Counter`` over the gram
+  stream, O(tokens) per doc. The UDF boundary is the price; for a
+  spill-constrained or shuffle-dominated setting it is the cheapest
+  plan by far, and the per-doc work is exact-integer identical (the
+  tokenizer is Java ``\\s`` replicated as ``re.ASCII``; string
+  tie-breaks agree because UTF-8 byte order is code-point order).
+- ``mode="hof"`` — zero shuffle, zero Python: higher-order functions
   (transform/filter/aggregate over the token array) compute every
   signal inside whole-stage codegen. Per-doc cost is
-  O(distinct_grams × grams) — the right plan for short documents
-  (comments, titles), the wrong one for book-length pages.
+  O(distinct_grams × grams) — the right plan for SHORT documents
+  (comments, titles; interpreted-lambda quadratic cost explodes on
+  500+-token pages: measured minutes/task at the synthetic corpus's
+  p99 of ~2k tokens).
 """
 
 from __future__ import annotations
@@ -105,8 +117,12 @@ def repetition_signals(
     fewer than two tokens."""
     if mode == "hof":
         return _signals_hof(docs, id_col, text_col)
+    if mode == "pandas":
+        return _signals_pandas(docs, id_col, text_col)
     if mode != "groupby":
-        raise ValueError(f"mode must be 'groupby' or 'hof', got {mode!r}")
+        raise ValueError(
+            f"mode must be 'groupby', 'pandas' or 'hof', got {mode!r}"
+        )
 
     stats = _doc_stats(docs, id_col, text_col)
     toks = F.col("_toks")
@@ -163,6 +179,84 @@ def repetition_signals(
             .alias("dup_5gram_chars"),
         )
     )
+
+
+def _signals_pandas(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Zero-shuffle Arrow-batched variant: per-doc ``Counter`` over the
+    gram stream, O(tokens) per document — see the module docstring for
+    when this beats the groupby shuffle. Bit-for-bit parity contract
+    with the other modes (pinned by test_repetition_modes_agree):
+
+    - tokenizer: Java ``\\s+`` (ASCII class) ⇒ ``re.compile(r"\\s+",
+      re.ASCII)`` — both are exactly ``[ \\t\\n\\x0B\\f\\r]``; Spark
+      ``trim`` strips 0x20 only ⇒ ``str.strip(' ')``.
+    - an EMPTY trimmed doc splits to ``['']`` in both engines
+      (n_tokens 1), a NULL doc gives null stats and zeroed gram
+      signals (the groupby left-join shape).
+    - top-bigram tie-break: max (cnt, gram) with UTF-8-binary string
+      order — Python code-point comparison agrees because UTF-8 byte
+      order preserves code-point order.
+    """
+    import re
+    from collections import Counter
+    from typing import Iterator
+
+    import pandas as pd
+
+    id_type = dict(docs.dtypes)[id_col]
+    schema = (
+        f"{id_col} {id_type}, n_chars long, n_tokens long, "
+        "n_dup_tokens long, top_bigram string, top_bigram_count long, "
+        "dup_5gram_chars long"
+    )
+    ws = re.compile(r"\s+", re.ASCII)
+    cols = [
+        id_col,
+        "n_chars",
+        "n_tokens",
+        "n_dup_tokens",
+        "top_bigram",
+        "top_bigram_count",
+        "dup_5gram_chars",
+    ]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                if t is None or (isinstance(t, float) and pd.isna(t)):
+                    rows.append((i, None, None, None, None, 0, 0))
+                    continue
+                trimmed = t.strip(" ")
+                toks = ws.split(trimmed)
+                n = len(toks)
+                top_gram, top_cnt, dup5 = None, 0, 0
+                if n >= 2:
+                    c2 = Counter(
+                        " ".join(toks[j : j + 2]) for j in range(n - 1)
+                    )
+                    m = max(c2.values())
+                    top_cnt = m
+                    top_gram = max(g for g, c in c2.items() if c == m)
+                if n >= 5:
+                    c5 = Counter(
+                        " ".join(toks[j : j + 5]) for j in range(n - 4)
+                    )
+                    dup5 = sum(c * len(g) for g, c in c5.items() if c >= 2)
+                rows.append(
+                    (
+                        i,
+                        len(trimmed),
+                        n,
+                        n - len(set(toks)),
+                        top_gram,
+                        top_cnt,
+                        dup5,
+                    )
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return docs.select(id_col, text_col).mapInPandas(gen, schema=schema)
 
 
 def _signals_hof(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:

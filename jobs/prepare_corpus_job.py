@@ -92,6 +92,7 @@ def prepare(
     robots_rules=None,
     robots_agent: str = "*",
     link_rank: bool = False,
+    rep_mode: str = "groupby",
 ):
     """Run the six-stage preparation over a pages DataFrame. Returns
     (mixed DataFrame ready to write, lineage dict of per-stage counts,
@@ -175,9 +176,17 @@ def prepare(
         )
         lineage["c4_clean"] = pages.select("url").count()
 
-    # 2. Gopher repetition gate (keep verdicts are exact-integer)
+    # 2. Gopher repetition gate (keep verdicts are exact-integer).
+    # rep_mode picks the physical strategy (operators/repetition.py):
+    # "groupby" explodes slim (id, n, gram) triples — linear in tokens,
+    # the right plan when shuffle spreads across a cluster's disks;
+    # "pandas" computes the same signals in zero-shuffle Arrow batches
+    # — the plan for spill-constrained boxes (the gram shuffle exceeds
+    # one local disk at 4M pages); "hof" is codegen-only for SHORT docs.
     keep = repetition_filter(
-        repetition_signals(pages, id_col="url", text_col="text"),
+        repetition_signals(
+            pages, id_col="url", text_col="text", mode=rep_mode
+        ),
         id_col="url",
     ).where("keep").select("url")
     pages = pages.join(keep, "url", "left_semi")
@@ -381,6 +390,14 @@ def main() -> None:
     )
     p.add_argument("--robots-agent", default="*")
     p.add_argument(
+        "--rep-mode",
+        choices=("groupby", "pandas", "hof"),
+        default="groupby",
+        help="repetition-signal strategy: groupby (gram shuffle — the "
+        "many-disk cluster plan), pandas (zero-shuffle Arrow batches — "
+        "the spill-constrained plan), hof (codegen — short docs only)",
+    )
+    p.add_argument(
         "--link-rank",
         action="store_true",
         help="attach a host_rank column: damped PageRank over the "
@@ -496,6 +513,7 @@ def main() -> None:
         robots_rules=robots_rules,
         robots_agent=args.robots_agent,
         link_rank=args.link_rank,
+        rep_mode=args.rep_mode,
     )
     writer = mixed
     if args.shuffle_shards:

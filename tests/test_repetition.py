@@ -61,10 +61,54 @@ def test_repetition_signals_hand_truth(spark):
 
 
 def test_repetition_modes_agree(spark):
-    docs = _docs(spark, REP_DOCS + [(9, "")])
-    a = sorted(repetition_signals(docs, mode="groupby").collect())
-    b = sorted(repetition_signals(docs, mode="hof").collect())
-    assert a == b
+    docs = _docs(
+        spark,
+        REP_DOCS
+        + [
+            (9, ""),
+            # Java \s+ boundary set [ \t\n\x0B\f\r]: tab/VT/CR split,
+            # U+00A0/U+2009 (unicode whitespace) must NOT split in any
+            # mode, and leading \t must survive trim (trim is 0x20-only)
+            (10, "\ta b\x0bc\rd e f g h a b\n"),
+            (11, None),
+            # tie-break between multibyte grams: UTF-8 byte order ==
+            # code-point order, all three engines must pick the same
+            (12, "é a é a ü b ü b"),
+        ],
+    )
+    a = sorted(
+        repetition_signals(docs, mode="groupby").collect(),
+        key=lambda r: r.doc_id,
+    )
+    b = sorted(
+        repetition_signals(docs, mode="hof").collect(),
+        key=lambda r: r.doc_id,
+    )
+    c = sorted(
+        repetition_signals(docs, mode="pandas").collect(),
+        key=lambda r: r.doc_id,
+    )
+    assert a == b == c
+
+
+def test_repetition_pandas_mode_at_synth_lengths(spark):
+    # the synthetic corpus's real length profile (~530-token mean) —
+    # the regime where hof is quadratic-pathological and groupby's
+    # gram shuffle is the cost: pandas must match groupby exactly
+    from dedupe_algo_spark.synth import synth_pages
+
+    docs = synth_pages(spark, 300).select(
+        F.col("url").alias("doc_id"), "text"
+    )
+    a = sorted(
+        repetition_signals(docs, mode="groupby").collect(),
+        key=lambda r: r.doc_id,
+    )
+    c = sorted(
+        repetition_signals(docs, mode="pandas").collect(),
+        key=lambda r: r.doc_id,
+    )
+    assert a == c
 
 
 def test_repetition_filter_bitmask(spark):
