@@ -93,6 +93,7 @@ def prepare(
     robots_agent: str = "*",
     link_rank: bool = False,
     rep_mode: str = "groupby",
+    keep_html: bool = True,
 ):
     """Run the six-stage preparation over a pages DataFrame. Returns
     (mixed DataFrame ready to write, lineage dict of per-stage counts,
@@ -117,6 +118,23 @@ def prepare(
     from dedupe_algo_spark.pipeline import dedup_pipeline
 
     lineage: dict[str, int] = {"input": pages.count()}
+
+    # The WORKING SET is SLIM: no stage below computes on html (every
+    # signal, filter, hash, and dedup runs on url/text/meta), so html
+    # must not ride the stage caches, windows, or shuffles — at 4M
+    # pages the html-bearing persists exceeded one box's heap and disk
+    # (31 GB columnar cache spilled, then execution memory starved),
+    # and at 10^12 rows the same shape multiplies EVERY exchange by
+    # the dead payload. html stays in the never-cached source relation
+    # and rejoins on (url, warc_ts) — the capture identity — only
+    # where it is consumed: the link-rank extractor (semi-join
+    # carve-out) and the final export (``keep_html``). Exact-duplicate
+    # (url, warc_ts) captures are assumed identical (the capture-key
+    # contract); each copy would contribute once.
+    src = pages
+    has_html = "html" in pages.columns
+    if has_html:
+        pages = pages.drop("html")
 
     # 0. optional robots.txt gate (RFC 9309): drop urls the crawl
     # policy disallows — the cheapest cut (broadcast rules, zero page
@@ -303,8 +321,24 @@ def prepare(
     if link_rank:
         from dedupe_algo_spark.functions.urls import host_of
         from dedupe_algo_spark.operators.linkgraph import host_edges, pagerank
+        from dedupe_algo_spark.operators.scoring import BROADCAST_URL_LIMIT
 
-        edges = host_edges(mixed.where(F.col("html").isNotNull()))
+        if not has_html:
+            raise ValueError("--link-rank needs an html column in the input")
+        # html is read through a semi-join carve-out against the kept
+        # capture keys, so the extractor scans only surviving pages and
+        # html never enters an exchange (slim keys broadcast when the
+        # last lineage count — an upper bound on |mixed| with zero
+        # extra jobs — allows it)
+        kept_keys = mixed.select("url", "warc_ts")
+        upper = lineage.get(
+            "decontam",
+            lineage.get("domain_cap", lineage["content_dedup"]),
+        )
+        if upper <= BROADCAST_URL_LIMIT:
+            kept_keys = F.broadcast(kept_keys)
+        kept_src = src.join(kept_keys, ["url", "warc_ts"], "left_semi")
+        edges = host_edges(kept_src.where(F.col("html").isNotNull()))
         ranks = pagerank(
             edges.withColumnRenamed("src_host", "src").withColumnRenamed(
                 "dst_host", "dst"
@@ -330,6 +364,15 @@ def prepare(
 
         mixed = corpus_shuffle(
             mixed, key_col="url", seed=seed + 2, num_shards=shuffle_shards
+        )
+    if keep_html and has_html:
+        # export-time html reattach: the one place the payload moves —
+        # a single join on the capture key against the never-cached
+        # source. ``keep_html=False`` (--drop-html) skips even that:
+        # the at-scale export shape, where html stays in the source
+        # store addressable by (url, warc_ts).
+        mixed = mixed.join(
+            src.select("url", "warc_ts", "html"), ["url", "warc_ts"], "left"
         )
     return mixed, lineage, lambda: final.unpersist()
 
@@ -389,6 +432,13 @@ def main() -> None:
         "crawl policy disallows before any other stage (RFC 9309)",
     )
     p.add_argument("--robots-agent", default="*")
+    p.add_argument(
+        "--drop-html",
+        action="store_true",
+        help="leave html out of the export (the at-scale shape: html "
+        "stays in the source store addressable by (url, warc_ts)); "
+        "without it html rejoins the kept rows at write time",
+    )
     p.add_argument(
         "--rep-mode",
         choices=("groupby", "pandas", "hof"),
@@ -514,6 +564,7 @@ def main() -> None:
         robots_agent=args.robots_agent,
         link_rank=args.link_rank,
         rep_mode=args.rep_mode,
+        keep_html=not args.drop_html,
     )
     writer = mixed
     if args.shuffle_shards:
