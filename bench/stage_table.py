@@ -17,20 +17,42 @@ import sys
 
 
 def _iter_events(path: str):
-    paths = []
-    if os.path.isdir(path):
-        for f in sorted(os.listdir(path)):
-            if not f.startswith("."):
-                paths.append(os.path.join(path, f))
-    else:
-        paths = [path]
+    def expand(p: str) -> list[str]:
+        # Spark 4 rolling logs are DIRECTORIES (eventlog_v2_<app>/
+        # events_1_<app> + an empty appstatus_ marker); recurse into
+        # them and keep only event files.
+        if os.path.isdir(p):
+            out = []
+            for f in sorted(os.listdir(p)):
+                if f.startswith(".") or f.startswith("appstatus_"):
+                    continue
+                out.extend(expand(os.path.join(p, f)))
+            return out
+        return [p]
+
+    paths = expand(path)
     for p in paths:
-        opener = open
-        if p.endswith(".gz"):
+        if p.endswith(".zstd"):
+            # Spark's rolled event files are zstd streams without a
+            # content-size header; shell out to the zstd binary (no
+            # python binding is guaranteed in this env)
+            import io
+            import subprocess
+
+            raw = subprocess.run(
+                ["zstd", "-dc", p], capture_output=True, check=True
+            ).stdout
+            fh = io.StringIO(raw.decode("utf-8", errors="replace"))
+            close = fh.close
+        elif p.endswith(".gz"):
             import gzip
 
-            opener = gzip.open
-        with opener(p, "rt", errors="replace") as fh:
+            fh = gzip.open(p, "rt", errors="replace")
+            close = fh.close
+        else:
+            fh = open(p, "rt", errors="replace")
+            close = fh.close
+        try:
             for line in fh:
                 line = line.strip()
                 if line:
@@ -38,11 +60,15 @@ def _iter_events(path: str):
                         yield json.loads(line)
                     except json.JSONDecodeError:
                         continue
+        finally:
+            close()
 
 
 def stage_table(path: str) -> dict:
     stages: dict[tuple[int, int], dict] = {}
     for ev in _iter_events(path):
+        if not isinstance(ev, dict):
+            continue
         kind = ev.get("Event")
         if kind == "SparkListenerStageCompleted":
             si = ev["Stage Info"]
@@ -52,7 +78,7 @@ def stage_table(path: str) -> dict:
             stages.setdefault(key, {"run_ms": 0, "tasks": 0}).update(
                 {
                     "stage_id": si["Stage ID"],
-                    "name": si.get("Name", "")[:80],
+                    "name": si.get("Stage Name", si.get("Name", ""))[:80],
                     "wall_sec": round((comp - sub) / 1000.0, 2)
                     if sub and comp
                     else None,
