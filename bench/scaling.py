@@ -334,7 +334,13 @@ def main() -> None:
     rounds = int(os.environ.get("SCALING_ROUNDS", "3"))
     sys.path.insert(0, REPO)
 
-    pages_path = os.path.join(REPO, ".bench_cache", f"pages_{n_pages}")
+    # SCALING_PAGES_PATH points at an alternate corpus (e.g. the
+    # *_nohtml variants data_scaling.py materializes when the disk
+    # cannot hold an html corpus — the dedup scan prunes html, so the
+    # timed job is identical; see data_scaling.materialize)
+    pages_path = os.environ.get("SCALING_PAGES_PATH") or os.path.join(
+        REPO, ".bench_cache", f"pages_{n_pages}"
+    )
     if not os.path.exists(os.path.join(pages_path, "_SUCCESS")):
         from dedupe_algo_spark.session import get_spark
         from dedupe_algo_spark.synth import synth_pages
