@@ -57,7 +57,16 @@ def pagerank(
     pre-aggregated via ``weight_col`` or counted implicitly. Dangling
     nodes (no outlinks) redistribute their mass uniformly, so the rank
     vector keeps total mass 1 every step (asserted cheaply by the
-    tests, not at runtime)."""
+    tests, not at runtime).
+
+    Superstep cost: ONE job per iteration (the eager checkpoint that
+    truncates the join lineage). The dangling mass is a one-row
+    aggregate broadcast back into the same plan (the scalar-subquery
+    shape), NOT a driver ``first()`` — through round 4 that collect
+    was a second driver-blocking job every superstep, the same
+    fixed-latency barrier class the connected-components Observation
+    fold removed; on a 200-host graph the barrier latency, not the
+    data, dominated a 10-iteration run."""
     w = F.col(weight_col) if weight_col else F.lit(1)
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst"), w.alias("w")
@@ -82,13 +91,21 @@ def pagerank(
     )
     if checkpoint:
         e = e.localCheckpoint(eager=True)
-    pr = nodes.select("node", F.lit(1.0 / n).alias("pr"))
-    has_out = outdeg.select(F.col("src").alias("node"))
+    # nodes tagged once with has-outlinks membership so each
+    # superstep can aggregate the dangling mass without an anti-join
+    has_out = outdeg.select(F.col("src").alias("node"), F.lit(True).alias("_has"))
+    tagged = nodes.join(has_out, "node", "left").select(
+        "node", F.coalesce("_has", F.lit(False)).alias("_has")
+    )
+    if checkpoint:
+        tagged = tagged.localCheckpoint(eager=True)
+    pr = tagged.select("node", "_has", F.lit(1.0 / n).alias("pr"))
     for _ in range(iterations):
-        dangling = (
-            pr.join(has_out, "node", "left_anti")
-            .agg(F.coalesce(F.sum("pr"), F.lit(0.0)))
-            .first()[0]
+        # dangling mass as a broadcast ONE-ROW aggregate inside the
+        # superstep's own plan — no driver collect, no extra job
+        dang = (
+            pr.where(~F.col("_has"))
+            .agg(F.coalesce(F.sum("pr"), F.lit(0.0)).alias("_dang"))
         )
         inflow = (
             e.join(pr, e.src == pr.node)
@@ -96,13 +113,21 @@ def pagerank(
             .groupBy("dst")
             .agg(F.sum("c").alias("inflow"))
         )
-        pr = nodes.join(inflow, nodes.node == inflow.dst, "left").select(
-            "node",
-            (
-                F.lit((1.0 - damping) / n)
-                + F.lit(damping)
-                * (F.coalesce("inflow", F.lit(0.0)) + F.lit(dangling / n))
-            ).alias("pr"),
+        pr = (
+            tagged.join(inflow, tagged.node == inflow.dst, "left")
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "node",
+                "_has",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce("inflow", F.lit(0.0))
+                        + F.col("_dang") / n
+                    )
+                ).alias("pr"),
+            )
         )
         if checkpoint:
             pr = pr.localCheckpoint(eager=True)
