@@ -87,14 +87,19 @@ def lang_id_heuristic(text: Column) -> Column:
         for lang, sw in STOPWORDS.items()
     }
     best_score = F.greatest(*scores.values())
-    expr = F.lit("und")
-    # deterministic tie-break: alphabetical language order, first max wins
-    for lang in sorted(scores):
-        expr = F.when(
-            (scores[lang] > 0) & (scores[lang] == best_score) & (expr == "und"),
-            F.lit(lang),
-        ).otherwise(expr)
-    return expr
+    # deterministic tie-break: alphabetical language order, first max wins.
+    # A bare when() yields NULL when the condition misses, so coalesce picks
+    # the first language hitting the max — same semantics as a chained
+    # when/otherwise but with a linear expression tree (the chained form
+    # embeds the accumulator in both branches, doubling the tree per
+    # language and emitting a trivially-true 'und'=='und' fold warning).
+    return F.coalesce(
+        *[
+            F.when((scores[lang] > 0) & (scores[lang] == best_score), F.lit(lang))
+            for lang in sorted(scores)
+        ],
+        F.lit("und"),
+    )
 
 
 # Dual polynomial (Rabin-Karp) fingerprint chains over codepoints. Two
