@@ -1749,6 +1749,51 @@ FROM signed a JOIN signed b ON b.doc_id = a.doc_id + 1
 """
 
 
+def q_simhash_candidates(spark, sf_dir):
+    """The north_star's pass-1 "SimHash band" blocking END-TO-END: band
+    keys via ``bucket_table(use_simhash=True)`` (the flagship's
+    explode-on-scan shape, text never shuffles) feeding the window-
+    pruned, hot-bucket-capped ``candidate_pairs`` self-join. The oracle
+    re-derives the signature chain, the 4×16-bit banding, the 2..cap
+    bucket-size gate, and the distinct pair join in DuckDB, so the
+    whole blocking tier — not just the hash kernel — is hash-checked.
+    candidate_pairs orients pairs lexicographically on the string key;
+    both sides re-orient numerically with least/greatest."""
+    from .operators.candidates import bucket_table, candidate_pairs
+
+    docs = _docs(spark, sf_dir)
+    working = docs.select(F.col("doc_id").cast("string").alias("url"), "text")
+    pairs = candidate_pairs(
+        bucket_table(working, use_minhash=False, use_cheap_key=False, use_simhash=True)
+    )
+    a = F.col("url_a").cast("long")
+    b = F.col("url_b").cast("long")
+    return pairs.select(
+        F.least(a, b).alias("doc_a"), F.greatest(a, b).alias("doc_b")
+    )
+
+
+SQL_SIMHASH_CANDIDATES = _SQL_SIMHASH_CHAIN + """
+, bands AS (
+  SELECT doc_id,
+         's' || CAST(k AS VARCHAR) || ':' ||
+         CAST((u64 // CAST(power(2, k * 16) AS HUGEINT)) % 65536 AS VARCHAR)
+         AS bucket_key
+  FROM signed CROSS JOIN (SELECT unnest(range(0, 4)) AS k) ks
+), sized AS (
+  SELECT doc_id, bucket_key,
+         COUNT(*) OVER (PARTITION BY bucket_key) AS n
+  FROM bands
+), ok AS (
+  SELECT doc_id, bucket_key FROM sized WHERE n BETWEEN 2 AND 2000
+)
+SELECT DISTINCT LEAST(a.doc_id, b.doc_id) AS doc_a,
+                GREATEST(a.doc_id, b.doc_id) AS doc_b
+FROM ok a JOIN ok b
+  ON a.bucket_key = b.bucket_key AND a.doc_id < b.doc_id
+"""
+
+
 def q_duplicate_spans(spark, sf_dir):
     """Substring-level dedup (Lee et al., ACL 2022 family): duplicated
     token-5-gram spans across base documents ∪ planted twins (twin =
@@ -4692,6 +4737,7 @@ QUERIES = {
     "pages_dedup_clusters_2k": q_pages_dedup_clusters_2k,
     "minhash_dup_pairs": q_minhash_dup_pairs,
     "simhash_hamming": q_simhash_hamming,
+    "simhash_candidates": q_simhash_candidates,
     "duplicate_spans": q_duplicate_spans,
     "span_removal": q_span_removal,
     "rep_signals": q_rep_signals,
@@ -4808,6 +4854,7 @@ ORACLES = {
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "simhash_signatures": SQL_SIMHASH_SIGNATURES,
     "simhash_hamming": SQL_SIMHASH_HAMMING,
+    "simhash_candidates": SQL_SIMHASH_CANDIDATES,
     "duplicate_spans": SQL_DUPLICATE_SPANS,
     "span_removal": SQL_SPAN_REMOVAL,
     "rep_signals": SQL_REP_SIGNALS,
