@@ -1794,6 +1794,79 @@ FROM ok a JOIN ok b
 """
 
 
+def q_cheap_block_key(spark, sf_dir):
+    """The north_star's OTHER pass-1 keys end-to-end: ``block_key`` =
+    text length log2-bucket + eTLD+1 registered domain (blocking.py:25,
+    the reference's group-by-size lib.rs:54-58 made content+origin
+    aware), then the F7 singleton-block prune. The documents table has
+    no url, so one is derived as a pure function of (source, doc_id) —
+    varying www prefix and .co.uk/.org/.com suffixes so the public-
+    suffix last-3-label branch, the last-2 branch, and the host regex
+    are all on the hashed path. The oracle re-derives host extraction,
+    label splitting, the suffix table, log2 bucketing, and the window
+    prune in DuckDB."""
+    from .operators.blocking import block_key, prune_singleton_blocks
+
+    docs = _docs(spark, sf_dir)
+    url = F.concat(
+        F.when(F.col("doc_id") % 5 == 0, F.lit("https://")).otherwise(
+            F.lit("https://www.")
+        ),
+        F.col("source"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(".co.uk"))
+        .when(F.col("doc_id") % 3 == 1, F.lit(".org"))
+        .otherwise(F.lit(".com")),
+        F.lit("/d/"),
+        F.col("doc_id").cast("string"),
+    )
+    keyed = docs.select(
+        "doc_id", block_key(F.col("text"), url.alias("url")).alias("block_key")
+    )
+    return prune_singleton_blocks(keyed)
+
+
+SQL_CHEAP_BLOCK_KEY = r"""
+WITH pages AS (
+  SELECT doc_id,
+         length(text) AS n,
+         (CASE WHEN doc_id % 5 = 0 THEN 'https://' ELSE 'https://www.' END)
+         || source
+         || (CASE doc_id % 3 WHEN 0 THEN '.co.uk' WHEN 1 THEN '.org'
+             ELSE '.com' END)
+         || '/d/' || CAST(doc_id AS VARCHAR) AS url
+  FROM documents
+), hosts AS (
+  SELECT doc_id, n,
+         string_split(lower(regexp_extract(
+             url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)', 1)), '.') AS parts
+  FROM pages
+), dom AS (
+  SELECT doc_id, n,
+         CASE
+           WHEN len(parts) <= 2 THEN array_to_string(parts, '.')
+           WHEN len(parts) >= 3
+                AND (parts[-2] || '.' || parts[-1]) IN
+                    ('co.uk','ac.uk','gov.uk','com.au','co.jp','co.in',
+                     'com.br','co.nz')
+             THEN parts[-3] || '.' || parts[-2] || '.' || parts[-1]
+           ELSE parts[-2] || '.' || parts[-1]
+         END AS domain
+  FROM hosts
+), keyed AS (
+  SELECT doc_id,
+         CAST(CASE WHEN n <= 0 THEN 0
+                   ELSE CAST(floor(log2(CAST(n AS DOUBLE))) AS INT)
+              END AS VARCHAR) || '|' || domain AS block_key
+  FROM dom
+), sized AS (
+  SELECT doc_id, block_key,
+         COUNT(*) OVER (PARTITION BY block_key) AS _n
+  FROM keyed
+)
+SELECT doc_id, block_key FROM sized WHERE _n >= 2
+"""
+
+
 def q_duplicate_spans(spark, sf_dir):
     """Substring-level dedup (Lee et al., ACL 2022 family): duplicated
     token-5-gram spans across base documents ∪ planted twins (twin =
@@ -4738,6 +4811,7 @@ QUERIES = {
     "minhash_dup_pairs": q_minhash_dup_pairs,
     "simhash_hamming": q_simhash_hamming,
     "simhash_candidates": q_simhash_candidates,
+    "cheap_block_key": q_cheap_block_key,
     "duplicate_spans": q_duplicate_spans,
     "span_removal": q_span_removal,
     "rep_signals": q_rep_signals,
@@ -4855,6 +4929,7 @@ ORACLES = {
     "simhash_signatures": SQL_SIMHASH_SIGNATURES,
     "simhash_hamming": SQL_SIMHASH_HAMMING,
     "simhash_candidates": SQL_SIMHASH_CANDIDATES,
+    "cheap_block_key": SQL_CHEAP_BLOCK_KEY,
     "duplicate_spans": SQL_DUPLICATE_SPANS,
     "span_removal": SQL_SPAN_REMOVAL,
     "rep_signals": SQL_REP_SIGNALS,
