@@ -76,6 +76,26 @@ def test_bucket_table_never_shuffles_text(spark, pages_1k):
     assert "bands" not in moved, moved
 
 
+def test_bucket_table_three_path_union_never_shuffles_text(spark, pages_1k):
+    # the same invariant with ALL pass-1 keys on (minhash bands +
+    # cheap length/domain key + simhash bands): every signature UDF is
+    # consumed map-side on the scan partitions, so the union still
+    # exchanges only (bucket_key, url) rows.
+    from dedupe_algo_spark.operators.candidates import bucket_table, candidate_pairs
+
+    bt = bucket_table(
+        pages_1k.select("url", "text"),
+        use_minhash=True,
+        use_cheap_key=True,
+        use_simhash=True,
+    )
+    moved = exchange_columns(candidate_pairs(bt))
+    assert "text" not in moved, moved
+    assert "sig" not in moved, moved
+    assert "bands" not in moved, moved
+    assert "simhash" not in moved, moved
+
+
 def test_small_dims_broadcast(spark):
     # small dimension sides must broadcast, not shuffle (J4's
     # longest-prefix theta join over the tiny system-nodes dim)
