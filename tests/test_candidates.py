@@ -338,3 +338,21 @@ def test_simhash_blocking_recall_on_synth_corpus(spark, pages_1k, labels_1k):
     assert hit["exact"] == 1014  # identical text => identical bands, always
     assert hit["near"] == 141  # 94% band recall on 1-5 token mutations
     pairs.unpersist()
+
+
+def test_dropped_buckets_audits_exactly_the_capped_keys(spark):
+    """The no-silent-truncation contract: every bucket candidate_pairs
+    excludes for exceeding max_bucket appears in dropped_buckets with
+    its true member count — and nothing else does."""
+    from dedupe_algo_spark.operators.candidates import dropped_buckets
+
+    rows = (
+        [(1, f"h{i}") for i in range(10)]  # hot: 10 members
+        + [(2, "a"), (2, "b")]  # kept pair bucket
+        + [(3, "x")]  # singleton: pruned but NOT "capped"
+    )
+    hot = {
+        (r["bucket_key"], r["n_members"])
+        for r in dropped_buckets(_buckets(spark, rows), max_bucket=5).collect()
+    }
+    assert hot == {(1, 10)}
