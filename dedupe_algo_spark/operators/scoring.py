@@ -153,17 +153,26 @@ def estimate_pairs(pairs: DataFrame, sigs: DataFrame, gate: float) -> DataFrame:
 
     Signature-join estimate (exact MinHash-Jaccard over the full
     signatures). The flagship pipeline gates on band-collision counts
-    instead (``band_gate``) — at 10^12 rows these two sig joins are the
-    second-largest shuffle in the job; this path remains for direct use
-    where the caller wants the numeric estimate."""
-    sa = sigs.select(F.col("url").alias("url_a"), F.col("sig").alias("_sa"))
-    sb = sigs.select(F.col("url").alias("url_b"), F.col("sig").alias("_sb"))
-    est = (
-        pairs.join(sa, "url_a")
-        .join(sb, "url_b")
-        .withColumn("est_score", minhash_jaccard_udf(F.col("_sa"), F.col("_sb")))
-        .drop("_sa", "_sb")
-    )
+    instead (``band_gate``); this path remains for direct use where the
+    caller wants the numeric estimate. It rides the same one-pass
+    melt/pivot join as the confirm tier (``pair_value_join``) — the
+    classic double sig join shuffled the |reps|×1KB signature table
+    TWICE (the job's second-largest exchange at 10^12 rows) and raced
+    two AQE query stages to fill a cold cache; here the signatures
+    cross one join exchange and the pivot carries each pair's two
+    sigs once. The explicit not-null filter keeps the inner-join
+    contract: a pair with a side absent from ``sigs`` is dropped, not
+    scored (the estimate UDF yields NaN on a null side, and Spark
+    orders NaN ABOVE every number, so ``NaN >= gate`` would otherwise
+    admit it)."""
+    joined = pair_value_join(
+        pairs.select("url_a", "url_b"),
+        sigs.select("url", F.col("sig").alias("_v")),
+        "_v",
+    ).where(F.col("_ta").isNotNull() & F.col("_tb").isNotNull())
+    est = joined.withColumn(
+        "est_score", minhash_jaccard_udf(F.col("_ta"), F.col("_tb"))
+    ).drop("_ta", "_tb")
     return est.where(F.col("est_score") >= gate)
 
 

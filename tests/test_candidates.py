@@ -356,3 +356,25 @@ def test_dropped_buckets_audits_exactly_the_capped_keys(spark):
         for r in dropped_buckets(_buckets(spark, rows), max_bucket=5).collect()
     }
     assert hot == {(1, 10)}
+
+
+def test_estimate_pairs_drops_half_present_pairs(spark):
+    """estimate_pairs keeps the inner-join contract on the melt/pivot
+    path: a pair with a side absent from sigs is DROPPED — it must not
+    be scored NaN, because Spark orders NaN above every number and
+    'NaN >= gate' would admit the pair."""
+    from dedupe_algo_spark.operators.scoring import estimate_pairs
+
+    sigs = spark.createDataFrame(
+        [("u1", [1, 2, 3, 4]), ("u2", [1, 2, 3, 4]), ("u4", [9, 9, 9, 9])],
+        "url string, sig array<bigint>",
+    )
+    pairs = spark.createDataFrame(
+        [("u1", "u2"), ("u1", "u3"), ("u3", "u2"), ("u1", "u4")],
+        "url_a string, url_b string",
+    )
+    got = {
+        (r["url_a"], r["url_b"]): r["est_score"]
+        for r in estimate_pairs(pairs, sigs, gate=0.5).collect()
+    }
+    assert got == {("u1", "u2"): 1.0}  # u3 pairs dropped; (u1,u4) est 0.0 < gate
