@@ -142,3 +142,34 @@ def test_pack_sequences_shares_the_shuffle_exchange(spark, pages_1k):
     )
     assert n_exchanges == 1, plan
     assert "text" not in exchange_columns(packed)
+
+
+def test_estimate_pairs_single_signature_exchange(spark):
+    # estimate_pairs rides the one-pass melt/pivot join: the 1KB-per-row
+    # signature array must cross exactly ONE shuffle (the slice side of
+    # the url join) — the classic double join moved it in two exchange
+    # children plus re-shuffled _sa through the second join.
+    import re
+
+    from dedupe_algo_spark.operators.scoring import estimate_pairs
+    from dedupe_algo_spark.plans import formatted_plan
+
+    sigs = spark.createDataFrame(
+        [("u%d" % i, [i, 2, 3, 4]) for i in range(50)],
+        "url string, sig array<bigint>",
+    )
+    pairs = spark.createDataFrame(
+        [("u1", "u2"), ("u3", "u4")], "url_a string, url_b string"
+    )
+    lines = formatted_plan(estimate_pairs(pairs, sigs, 0.0)).splitlines()
+    sig_exchanges = 0
+    for i, line in enumerate(lines):
+        if re.match(r"\(\d+\) Exchange", line.strip()):
+            for j in range(i + 1, min(i + 4, len(lines))):
+                m = re.match(r"Input \[\d+\]: \[(.*)\]", lines[j].strip())
+                if m:
+                    cols = {c.strip().split("#")[0] for c in m.group(1).split(",")}
+                    if {"_v", "sig"} & cols:
+                        sig_exchanges += 1
+                    break
+    assert sig_exchanges == 1, sig_exchanges
