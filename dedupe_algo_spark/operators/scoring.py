@@ -160,11 +160,19 @@ def estimate_pairs(pairs: DataFrame, sigs: DataFrame, gate: float) -> DataFrame:
     TWICE (the job's second-largest exchange at 10^12 rows) and raced
     two AQE query stages to fill a cold cache; here the signatures
     cross one join exchange and the pivot carries each pair's two
-    sigs once. The explicit not-null filter keeps the inner-join
-    contract: a pair with a side absent from ``sigs`` is dropped, not
-    scored (the estimate UDF yields NaN on a null side, and Spark
-    orders NaN ABOVE every number, so ``NaN >= gate`` would otherwise
-    admit it)."""
+    sigs once.
+
+    Contract (sharpened vs the old double join): ``pairs`` is projected
+    to bare ``(url_a, url_b)`` — pass-through columns are NOT preserved
+    (join the result back on the pair key if you need them), and
+    ``sigs`` must carry ONE row per url (true of every signature table
+    this engine builds; a duplicate url would collapse to an arbitrary
+    ``first`` in the pivot rather than fan out per combination). The
+    explicit not-null filter keeps the inner-join drop semantics — a
+    pair with a side absent from ``sigs`` is dropped, not scored — as
+    structural defense-in-depth: it does not depend on the estimate
+    UDF's own guarantee of returning NULL (never NaN, which Spark
+    orders above every number) on a null side, minhash.py:293-297."""
     joined = pair_value_join(
         pairs.select("url_a", "url_b"),
         sigs.select("url", F.col("sig").alias("_v")),

@@ -48,17 +48,20 @@ def has_broadcast_join(df: DataFrame) -> bool:
     return "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
 
 
-def exchange_columns(df: DataFrame) -> set[str]:
-    """Union of column names carried by every Exchange (shuffle) node —
-    the "what actually moves" check (e.g. assert text never shuffles).
-    Parses each Exchange's ``Input [n]: [...]`` row from the formatted
-    plan."""
+def exchange_column_sets(df: DataFrame) -> list[set[str]]:
+    """Column names carried by EACH Exchange (shuffle) node, one set
+    per exchange in plan order. Parses each Exchange's ``Input [n]:
+    [...]`` row from the formatted plan — the single place that knows
+    that layout (``exchange_columns`` and the per-exchange plan tests
+    both build on this, so a Spark explain-format shift breaks exactly
+    one parser)."""
     import re
 
     lines = formatted_plan(df).splitlines()
-    cols: set[str] = set()
+    sets: list[set[str]] = []
     for i, line in enumerate(lines):
         if re.match(r"\(\d+\) Exchange", line.strip()):
+            cols: set[str] = set()
             for j in range(i + 1, min(i + 4, len(lines))):
                 m = re.match(r"Input \[\d+\]: \[(.*)\]", lines[j].strip())
                 if m:
@@ -67,6 +70,16 @@ def exchange_columns(df: DataFrame) -> set[str]:
                         if name:
                             cols.add(name)
                     break
+            sets.append(cols)
+    return sets
+
+
+def exchange_columns(df: DataFrame) -> set[str]:
+    """Union of column names carried by every Exchange (shuffle) node —
+    the "what actually moves" check (e.g. assert text never shuffles)."""
+    cols: set[str] = set()
+    for s in exchange_column_sets(df):
+        cols |= s
     return cols
 
 

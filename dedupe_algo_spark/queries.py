@@ -1775,11 +1775,18 @@ def q_simhash_candidates(spark, sf_dir):
 
 SQL_SIMHASH_CANDIDATES = _SQL_SIMHASH_CHAIN + """
 , bands AS (
-  SELECT doc_id,
+  -- NULL-text docs are excluded to match the Spark side exactly: there
+  -- simhash64_udf(NULL) -> NULL, concat folds the band keys to NULL,
+  -- and a NULL bucket_key never equi-joins -- so such docs produce no
+  -- pairs. The chain's signed CTE COALESCEs missing hashes to 0, which
+  -- would instead band a NULL-text doc with the empty-text docs.
+  SELECT s.doc_id,
          's' || CAST(k AS VARCHAR) || ':' ||
          CAST((u64 // CAST(power(2, k * 16) AS HUGEINT)) % 65536 AS VARCHAR)
          AS bucket_key
-  FROM signed CROSS JOIN (SELECT unnest(range(0, 4)) AS k) ks
+  FROM signed s
+  JOIN documents d ON d.doc_id = s.doc_id AND d.text IS NOT NULL
+  CROSS JOIN (SELECT unnest(range(0, 4)) AS k) ks
 ), sized AS (
   SELECT doc_id, bucket_key,
          COUNT(*) OVER (PARTITION BY bucket_key) AS n

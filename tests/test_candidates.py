@@ -360,9 +360,11 @@ def test_dropped_buckets_audits_exactly_the_capped_keys(spark):
 
 def test_estimate_pairs_drops_half_present_pairs(spark):
     """estimate_pairs keeps the inner-join contract on the melt/pivot
-    path: a pair with a side absent from sigs is DROPPED — it must not
-    be scored NaN, because Spark orders NaN above every number and
-    'NaN >= gate' would admit the pair."""
+    path: a pair with a side absent from sigs is DROPPED before
+    scoring (explicit not-null filter — defense-in-depth on top of the
+    estimate UDF's own NULL-never-NaN guarantee, minhash.py:293-297;
+    a NaN leak would pass any gate under Spark's NaN-above-everything
+    ordering)."""
     from dedupe_algo_spark.operators.scoring import estimate_pairs
 
     sigs = spark.createDataFrame(

@@ -149,10 +149,8 @@ def test_estimate_pairs_single_signature_exchange(spark):
     # signature array must cross exactly ONE shuffle (the slice side of
     # the url join) — the classic double join moved it in two exchange
     # children plus re-shuffled _sa through the second join.
-    import re
-
     from dedupe_algo_spark.operators.scoring import estimate_pairs
-    from dedupe_algo_spark.plans import formatted_plan
+    from dedupe_algo_spark.plans import exchange_column_sets
 
     sigs = spark.createDataFrame(
         [("u%d" % i, [i, 2, 3, 4]) for i in range(50)],
@@ -161,15 +159,6 @@ def test_estimate_pairs_single_signature_exchange(spark):
     pairs = spark.createDataFrame(
         [("u1", "u2"), ("u3", "u4")], "url_a string, url_b string"
     )
-    lines = formatted_plan(estimate_pairs(pairs, sigs, 0.0)).splitlines()
-    sig_exchanges = 0
-    for i, line in enumerate(lines):
-        if re.match(r"\(\d+\) Exchange", line.strip()):
-            for j in range(i + 1, min(i + 4, len(lines))):
-                m = re.match(r"Input \[\d+\]: \[(.*)\]", lines[j].strip())
-                if m:
-                    cols = {c.strip().split("#")[0] for c in m.group(1).split(",")}
-                    if {"_v", "sig"} & cols:
-                        sig_exchanges += 1
-                    break
-    assert sig_exchanges == 1, sig_exchanges
+    per_exchange = exchange_column_sets(estimate_pairs(pairs, sigs, 0.0))
+    sig_exchanges = sum(1 for cols in per_exchange if {"_v", "sig"} & cols)
+    assert sig_exchanges == 1, per_exchange
