@@ -24,16 +24,37 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def host_edges(pages: DataFrame, html_col: str = "html") -> DataFrame:
+def host_edges(
+    pages: DataFrame,
+    html_col: str = "html",
+    dedup_key: list[str] | None = None,
+) -> DataFrame:
     """(src_host, dst_host, n_links) edges from raw html. Self-links
-    are kept (PageRank handles them); relative links (no host) drop."""
+    are kept (PageRank handles them); relative links (no host) drop.
+
+    ``dedup_key`` (e.g. ``["url", "warc_ts"]``): collapse duplicate
+    pages BEFORE counting, so a capture that appears twice in the
+    input (merged crawl dumps, same-second re-fetch) does not
+    double-count its outlinks. The dedup runs on the SLIM map-side
+    projection (key + src_host + extracted-href array) — html still
+    never enters an exchange — and picks the max struct per key, so
+    the choice is deterministic even for pathological inputs where
+    one capture key carries different payloads."""
     from ..functions.html import extract_outlinks, link_host
     from ..functions.urls import host_of
 
-    links = pages.select(
+    extracted = pages.select(
+        *(F.col(c) for c in (dedup_key or [])),
         host_of(F.col("url")).alias("src_host"),
-        F.explode(extract_outlinks(F.col(html_col))).alias("_t"),
+        extract_outlinks(F.col(html_col)).alias("_ls"),
     )
+    if dedup_key:
+        extracted = (
+            extracted.groupBy(*dedup_key)
+            .agg(F.max(F.struct("src_host", "_ls")).alias("_m"))
+            .select(F.col("_m.src_host").alias("src_host"), F.col("_m._ls").alias("_ls"))
+        )
+    links = extracted.select("src_host", F.explode("_ls").alias("_t"))
     return (
         links.select("src_host", link_host(F.col("_t")).alias("dst_host"))
         .where(F.length("dst_host") > 0)
@@ -101,33 +122,46 @@ def pagerank(
         tagged = tagged.localCheckpoint(eager=True)
     pr = tagged.select("node", "_has", F.lit(1.0 / n).alias("pr"))
     for _ in range(iterations):
-        # dangling mass as a broadcast ONE-ROW aggregate inside the
-        # superstep's own plan — no driver collect, no extra job
-        dang = (
-            pr.where(~F.col("_has"))
-            .agg(F.coalesce(F.sum("pr"), F.lit(0.0)).alias("_dang"))
-        )
+        if checkpoint:
+            # dangling mass as a broadcast ONE-ROW aggregate inside the
+            # superstep's own plan — no driver collect, no extra job.
+            # Safe ONLY because the eager checkpoint below truncates
+            # lineage per step: this shape references ``pr`` twice (here
+            # and in inflow), which without truncation would double the
+            # logical plan per iteration.
+            dang = (
+                pr.where(~F.col("_has"))
+                .agg(F.coalesce(F.sum("pr"), F.lit(0.0)).alias("_dang"))
+            )
+            dang_term = F.col("_dang")
+        else:
+            # checkpoint=False (tests / tiny graphs): keep plan growth
+            # LINEAR by collecting the scalar driver-side — the single
+            # remaining ``pr`` reference per iteration. The folded
+            # aggregate above would nest ~2^iterations plan copies.
+            dang_val = (
+                pr.where(~F.col("_has"))
+                .agg(F.coalesce(F.sum("pr"), F.lit(0.0)))
+                .first()[0]
+            )
+            dang_term = F.lit(dang_val)
         inflow = (
             e.join(pr, e.src == pr.node)
             .select("dst", (F.col("pr") * F.col("share")).alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("inflow"))
         )
-        pr = (
-            tagged.join(inflow, tagged.node == inflow.dst, "left")
-            .crossJoin(F.broadcast(dang))
-            .select(
-                "node",
-                "_has",
-                (
-                    F.lit((1.0 - damping) / n)
-                    + F.lit(damping)
-                    * (
-                        F.coalesce("inflow", F.lit(0.0))
-                        + F.col("_dang") / n
-                    )
-                ).alias("pr"),
-            )
+        pr = tagged.join(inflow, tagged.node == inflow.dst, "left")
+        if checkpoint:
+            pr = pr.crossJoin(F.broadcast(dang))
+        pr = pr.select(
+            "node",
+            "_has",
+            (
+                F.lit((1.0 - damping) / n)
+                + F.lit(damping)
+                * (F.coalesce("inflow", F.lit(0.0)) + dang_term / n)
+            ).alias("pr"),
         )
         if checkpoint:
             pr = pr.localCheckpoint(eager=True)

@@ -92,7 +92,18 @@ def parse_robots(
                     elif key in ("allow", "disallow"):
                         in_group_body = True
                         if not val and key == "disallow":
-                            continue  # empty Disallow: allow-all, no rule
+                            # Empty Disallow = allow-all. Emit it as an
+                            # allow-'' row (same shape an empty Allow
+                            # already takes): plen 0 loses every
+                            # longest-match contest so verdicts are
+                            # unchanged, but the row marks GROUP
+                            # PRESENCE — without it a 'User-agent:
+                            # somebot / Disallow:' group is invisible
+                            # and robots_verdicts would wrongly fall
+                            # back to the '*' group (RFC 9309 §2.2.1:
+                            # the exact group, even an allow-all one,
+                            # is used exclusively).
+                            key = "allow"
                         for a in agents:
                             rows.append((host, a, key, val, order))
                             order += 1

@@ -255,9 +255,18 @@ def confirm_pairs(
     paths and against the MinHash shingler (Python split).
 
     ``tracker`` (a :class:`~dedupe_algo_spark.tracking.PersistTracker`)
-    registers the two persisted intermediates (pair list, text slice)
-    for release once the caller has consumed the scores — without it a
-    long-lived session accumulates block-manager memory per call.
+    registers the persisted pair list for release once the caller has
+    consumed the scores — without it a long-lived session accumulates
+    block-manager memory per call. (The text slice is no longer
+    persisted: the one-pass ``pair_value_join`` references it exactly
+    once, so there is nothing to cache or race.)
+
+    Contract: ``pages`` must carry ONE row per url (true of every
+    table this engine feeds it — the pipeline scores rep urls, which
+    are exact-dedup keepers). The melt/pivot's ``first`` would
+    collapse duplicate-url rows to an arbitrary one rather than fan
+    the pair out per version as the old double join did; pre-dedup
+    un-deduped input before direct calls.
     """
     _persist = tracker.persist if tracker is not None else (lambda df: df.persist())
     cand = _persist(candidates.select("url_a", "url_b"))

@@ -1860,10 +1860,17 @@ WITH pages AS (
          END AS domain
   FROM hosts
 ), keyed AS (
+  -- NULL text: Spark's length(NULL) is NULL, the bucket CASE yields
+  -- NULL, and concat_ws SKIPS null args — the key collapses to the
+  -- bare domain. DuckDB's || would instead null the whole key (and
+  -- its window would pool all NULL keys into one group), so the
+  -- NULL-text branch is emulated explicitly.
   SELECT doc_id,
-         CAST(CASE WHEN n <= 0 THEN 0
-                   ELSE CAST(floor(log2(CAST(n AS DOUBLE))) AS INT)
-              END AS VARCHAR) || '|' || domain AS block_key
+         CASE WHEN n IS NULL THEN domain
+              ELSE CAST(CASE WHEN n <= 0 THEN 0
+                        ELSE CAST(floor(log2(CAST(n AS DOUBLE))) AS INT)
+                   END AS VARCHAR) || '|' || domain
+         END AS block_key
   FROM dom
 ), sized AS (
   SELECT doc_id, block_key,

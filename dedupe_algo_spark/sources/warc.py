@@ -572,8 +572,11 @@ def file_member_geometry(
     2 GB cap entirely."""
     files = _list_segment_files(path)
     if not files:
-        return spark.createDataFrame(
-            [], "warc_file string, offset long, length long"
+        # mirror binaryFile's behavior on a bad/empty path: a loud
+        # error, not a silently empty ingest that "succeeds" with 0
+        # rows because of a typo'd directory
+        raise FileNotFoundError(
+            f"file_member_geometry: no segment files under {path!r}"
         )
     if num_partitions is None:
         num_partitions = min(len(files), spark.sparkContext.defaultParallelism)
@@ -589,6 +592,18 @@ def file_member_geometry(
                     with open(p, "rb") as fh, mmap.mmap(
                         fh.fileno(), 0, access=mmap.ACCESS_READ
                     ) as mm:
+                        if mm[:2] != b"\x1f\x8b":
+                            # a plain (uncompressed) .warc has no gzip
+                            # members — the member walk would yield
+                            # nothing and the file's pages would vanish
+                            # silently; the 'warc' (binaryFile) format
+                            # parses such files via its plain-bytes
+                            # passthrough, so point the caller there
+                            raise ValueError(
+                                f"{p}: not gzip — ranged ingest needs "
+                                "member-gzip segments; use "
+                                "input_format='warc' for plain WARCs"
+                            )
                         rows = [
                             (p, off, clen)
                             for off, clen, _ in _iter_members_chunked(mm)

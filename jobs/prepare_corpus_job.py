@@ -338,7 +338,13 @@ def prepare(
         if upper <= BROADCAST_URL_LIMIT:
             kept_keys = F.broadcast(kept_keys)
         kept_src = src.join(kept_keys, ["url", "warc_ts"], "left_semi")
-        edges = host_edges(kept_src.where(F.col("html").isNotNull()))
+        # dedup_key: a capture key duplicated in the raw input (merged
+        # dumps) must not double-count its outlinks — host_edges
+        # collapses on the slim extracted projection, html unexchanged
+        edges = host_edges(
+            kept_src.where(F.col("html").isNotNull()),
+            dedup_key=["url", "warc_ts"],
+        )
         ranks = pagerank(
             edges.withColumnRenamed("src_host", "src").withColumnRenamed(
                 "dst_host", "dst"
@@ -368,12 +374,20 @@ def prepare(
     if keep_html and has_html:
         # export-time html reattach: the one place the payload moves —
         # a single join on the capture key against the never-cached
-        # source. ``keep_html=False`` (--drop-html) skips even that:
-        # the at-scale export shape, where html stays in the source
-        # store addressable by (url, warc_ts).
-        mixed = mixed.join(
-            src.select("url", "warc_ts", "html"), ["url", "warc_ts"], "left"
+        # source, with the html slice made UNIQUE per capture key
+        # first (max(html) — deterministic) so a duplicated input
+        # capture cannot fan the deduplicated corpus back out to two
+        # rows. The max(html) groupBy is the one html exchange in the
+        # job and exists only on this convenience path;
+        # ``keep_html=False`` (--drop-html) skips it entirely: the
+        # at-scale export shape, where html stays in the source store
+        # addressable by (url, warc_ts).
+        html_slice = (
+            src.select("url", "warc_ts", "html")
+            .groupBy("url", "warc_ts")
+            .agg(F.max("html").alias("html"))
         )
+        mixed = mixed.join(html_slice, ["url", "warc_ts"], "left")
     return mixed, lineage, lambda: final.unpersist()
 
 

@@ -92,3 +92,26 @@ def test_pagerank_empty_graph_returns_empty(spark):
     out = pagerank(e, iterations=3)
     assert out.columns == ["node", "pagerank"]
     assert out.count() == 0
+
+
+def test_pagerank_checkpoint_modes_agree(spark):
+    """checkpoint=False (driver-scalar dangling, linear plan growth)
+    and checkpoint=True (folded broadcast aggregate + localCheckpoint)
+    must produce identical ranks — the two dangling-mass mechanisms
+    are alternative plumbings of the same arithmetic."""
+    from dedupe_algo_spark.operators.linkgraph import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"), ("d", "a")],
+        "src string, dst string",
+    )
+    with_cp = {
+        r["node"]: round(r["pagerank"], 12)
+        for r in pagerank(edges, iterations=6, checkpoint=True).collect()
+    }
+    no_cp = {
+        r["node"]: round(r["pagerank"], 12)
+        for r in pagerank(edges, iterations=6, checkpoint=False).collect()
+    }
+    assert with_cp == no_cp
+    assert abs(sum(no_cp.values()) - 1.0) < 1e-9

@@ -369,3 +369,46 @@ def test_prepare_with_link_rank(spark):
         )
     finally:
         release()
+
+
+def test_duplicate_capture_key_does_not_fan_out(spark):
+    """A capture key duplicated verbatim in the raw input (merged crawl
+    dumps) must not (a) double its outlinks in the link-rank graph or
+    (b) fan the deduplicated corpus back out at export-time html
+    reattach — one output row per kept page, exactly."""
+    from dedupe_algo_spark.operators.linkgraph import host_edges
+
+    rows = []
+    for i in range(12):
+        html = (
+            f'<html><body><p>page {i}</p>'
+            f'<a href="https://hub.com/x">l</a></body></html>'
+        ).encode()
+        text = f"unique page body number {i} " + " ".join(
+            f"w{i}x{j}" for j in range(30)
+        )
+        rows.append((f"https://h{i % 3}.com/p/{i}", bytearray(html), text, "en"))
+    pages = spark.createDataFrame(
+        rows, "url string, html binary, text string, lang string"
+    ).withColumn("warc_ts", F.lit("2026-01-01 00:00:00").cast("timestamp"))
+    doubled = pages.unionByName(pages)  # every capture appears twice
+
+    # (a) host_edges with dedup_key: counts as if each capture was seen once
+    once = {
+        (r.src_host, r.dst_host): r.n_links
+        for r in host_edges(pages).collect()
+    }
+    deduped = {
+        (r.src_host, r.dst_host): r.n_links
+        for r in host_edges(doubled, dedup_key=["url", "warc_ts"]).collect()
+    }
+    assert deduped == once
+
+    # (b) end-to-end with html reattach: one row per kept url
+    mixed, lineage, release = prepare(spark, doubled, keep_html=True)
+    try:
+        out = mixed.select("url").toPandas()
+        assert out["url"].is_unique
+        assert "html" in mixed.columns
+    finally:
+        release()

@@ -48,8 +48,12 @@ def test_parse_groups_and_directives(spark):
     # consecutive User-agent lines share one group
     assert ("ex.com", "a", "disallow", "/shared/") in rows
     assert ("ex.com", "b", "disallow", "/shared/") in rows
-    # empty Disallow emits no rule
-    assert not any(h == "open.org" for h, *_ in rows)
+    # empty Disallow emits an allow-'' GROUP-PRESENCE row (plen 0 —
+    # never wins a longest-match contest, so verdicts are unchanged,
+    # but the exact-agent fallback window can see the group exists)
+    assert {r for r in rows if r[0] == "open.org"} == {
+        ("open.org", "*", "allow", "")
+    }
 
 
 def test_verdicts_longest_match_and_wildcards(spark):
@@ -247,3 +251,37 @@ def test_parse_sitemap_urls(spark):
         ("ex.com", "https://ex.com/news.xml"),
         ("ex.com", "https://ex.com/sitemap.xml"),
     ]
+
+
+def test_empty_exact_group_suppresses_star_fallback(spark):
+    """RFC 9309 §2.2.1: an agent whose OWN group is empty (allow-all,
+    'Disallow:' with no value) must use that group exclusively — the
+    host's 'User-agent: * / Disallow: /' block does not apply to it.
+    The empty Disallow emits an allow-'' presence row, so the
+    exact-group window sees the group and drops the '*' rules."""
+    from dedupe_algo_spark.operators.robots import parse_robots, robots_verdicts
+
+    bodies = spark.createDataFrame(
+        [
+            (
+                "h1.com",
+                "User-agent: somebot\nDisallow:\n\nUser-agent: *\nDisallow: /\n",
+            )
+        ],
+        "host string, body string",
+    )
+    rules = parse_robots(bodies)
+    pages = spark.createDataFrame(
+        [("https://h1.com/a",), ("https://h1.com/",)], "url string"
+    )
+    got = {
+        r["url"]: r["allowed"]
+        for r in robots_verdicts(pages, rules, agent="somebot").collect()
+    }
+    assert got == {"https://h1.com/a": True, "https://h1.com/": True}
+    # the wildcard agent still sees the '*' group's total Disallow
+    star = {
+        r["url"]: r["allowed"]
+        for r in robots_verdicts(pages, rules, agent="*").collect()
+    }
+    assert star == {"https://h1.com/a": False, "https://h1.com/": False}

@@ -610,3 +610,24 @@ def test_truncated_whole_file_gzip_keeps_prefix():
     recs = list(parse_warc(cut))
     assert len(recs) >= 1  # prefix recovered, not zero
     assert recs[0]["body"] == PAGES[0][2]
+
+
+def test_ranged_ingest_refuses_silent_drops(spark, tmp_path):
+    """The ranged path must fail LOUDLY where binaryFile would: an
+    empty/typo'd directory raises instead of yielding a 0-row
+    'success', and a plain (non-gzip) .warc raises with a pointer to
+    input_format='warc' instead of silently dropping the file."""
+    import pytest
+
+    from dedupe_algo_spark.sources.warc import file_member_geometry
+
+    with pytest.raises(FileNotFoundError):
+        file_member_geometry(spark, str(tmp_path / "no-such-dir"))
+
+    d = tmp_path / "seg"
+    d.mkdir()
+    (d / "plain.warc").write_bytes(
+        b"WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: 0\r\n\r\n\r\n\r\n"
+    )
+    with pytest.raises(Exception, match="not gzip"):
+        file_member_geometry(spark, str(d)).collect()
